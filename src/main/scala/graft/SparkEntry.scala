@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator/capability from
+  * SURVEY.md §2; entries with an exact ANSI-SQL equivalent also appear
+  * in [[oracleSql]] (DuckDB runs it on the same parquet tables and
+  * hash-compares). Column names are aliased identically on both sides —
+  * the driver's compare sorts columns by name before hashing.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: connected components of the sf0.001 co-purchase graph. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    CCQueries.ccCopurchase(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cc_copurchase" -> (CCQueries.ccCopurchase _),
+    "cc_components" -> (CCQueries.ccCopurchaseComponents _),
+    "q1_pricing_summary" -> (RelationalQueries.q1PricingSummary _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "cc_copurchase" -> CCQueries.copurchaseOracle,
+    "cc_components" -> CCQueries.copurchaseComponentsOracle,
+    "q1_pricing_summary" -> RelationalQueries.q1Oracle,
+  )
 }

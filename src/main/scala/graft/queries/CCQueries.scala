@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cc.ConnectedComponents
+
+/** Connected-component queries over graphs derived relationally from the
+  * testdata (cliques are not shipped — see FIXTURES.md §B). Each returns
+  * a deterministic, oracle-comparable DataFrame.
+  */
+object CCQueries {
+
+  /** Co-purchase graph: two parts are connected iff they appear in the
+    * same order. Self-pairs for every part seen in lineitem, so isolated
+    * parts surface as singleton components (reference semantics,
+    * ConnectedComponent.scala:193-197). Output: (node, component).
+    */
+  def copurchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).dropDuplicates()
+    val a = li.as("a")
+    val b = li.as("b")
+    val pairs = a.join(b,
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("b.l_partkey").as("src"), col("a.l_partkey").as("dst"))
+      .dropDuplicates()
+    val selfPairs = li.select(col("l_partkey").as("src"),
+                              col("l_partkey").as("dst")).dropDuplicates()
+    pairs.union(selfPairs)
+  }
+
+  def ccCopurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val res = ConnectedComponents.run(copurchaseEdges(spark, sfDir), maxIterations = 20)
+    require(res.converged, s"CC did not converge in ${res.iterations} iterations")
+    res.assignments.orderBy("node")
+  }
+
+  /** Same co-purchase graph, materialized components with sizes —
+    * exercises the full reference CCDriver output path
+    * (group by component → sorted member list).
+    */
+  def ccCopurchaseComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val res = ConnectedComponents.run(copurchaseEdges(spark, sfDir), maxIterations = 20)
+    require(res.converged, s"CC did not converge in ${res.iterations} iterations")
+    ConnectedComponents.components(res.assignments)
+      .select(col("component"), col("n_members"), col("members"))
+      .orderBy("component")
+  }
+
+  /** Oracle for ccCopurchase: DuckDB recursive min-label propagation.
+    * Monotone fixpoint — terminates; feasible at sf0.01 scale
+    * (SURVEY.md §7.4.3).
+    */
+  val copurchaseOracle: String = """
+WITH RECURSIVE li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT b.l_partkey AS src, a.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  UNION
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+nodes AS (SELECT DISTINCT l_partkey AS node FROM li),
+walk(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
+"""
+
+  val copurchaseComponentsOracle: String = """
+WITH RECURSIVE li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT b.l_partkey AS src, a.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  UNION
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+nodes AS (SELECT DISTINCT l_partkey AS node FROM li),
+walk(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+),
+assign AS (
+  SELECT node, min(comp) AS component FROM walk GROUP BY node
+)
+SELECT component,
+       cast(count(*) AS int) AS n_members,
+       list_sort(list(node)) AS members
+FROM assign GROUP BY component ORDER BY component
+"""
+}

@@ -1,0 +1,114 @@
+package graft.cc
+
+import graft.SparkSpec
+
+/** Golden fixtures from the reference's own docs:
+  *   - README worked example (/root/reference/README.md:12-24)
+  *   - star-op vectors from code comments
+  *     (/root/reference/.../ConnectedComponent.scala:46-60,118-133)
+  */
+class ConnectedComponentsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def cliquesDf(cliques: Seq[Seq[Long]]) = {
+    val s = spark
+    import s.implicits._
+    cliques.toDF("nodes")
+  }
+
+  private def edgesDf(edges: Seq[(Long, Long)]) = {
+    val s = spark
+    import s.implicits._
+    edges.toDF("src", "dst")
+  }
+
+  private val readmeCliques: Seq[Seq[Long]] =
+    Seq(Seq(1L, 2L, 3L), Seq(3L, 4L), Seq(1L, 5L), Seq(2L), Seq(6L),
+        Seq(7L, 8L), Seq(6L, 8L), Seq(9L))
+
+  private val readmeExpected: Set[(Long, Long)] =
+    Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+        (6L, 6L), (7L, 6L), (8L, 6L), (9L, 9L))
+
+  test("cliqueEdges: all-pairs (max,min) orientation + singleton self-pair") {
+    val s = spark; import s.implicits._
+    val got = EdgeBuilder.cliqueEdges(cliquesDf(readmeCliques))
+      .as[(Long, Long)].collect().toSeq
+    // clique [1,2,3] -> (2,1),(3,1),(3,2); [3,4] -> (4,3); singleton [2] -> (2,2)
+    assert(got.toSet === Set(
+      (2L, 1L), (3L, 1L), (3L, 2L), (4L, 3L), (5L, 1L), (2L, 2L), (6L, 6L),
+      (8L, 7L), (8L, 6L), (9L, 9L)))
+    // multiset: no unexpected duplicates beyond genuine repeats
+    assert(got.size === 10)
+  }
+
+  test("smallStar matches the reference comment vector") {
+    val s = spark; import s.implicits._
+    // reference ConnectedComponent.scala:46-60: (1,4),(6,1),(3,2),(6,5)
+    val r = StarOps.smallStar(edgesDf(Seq((1L, 4L), (6L, 1L), (3L, 2L), (6L, 5L))))
+    val got = r.pairs.as[(Long, Long)].collect().toSet
+    // groups: (4,[1])->m=1: {(4,1)}; (6,[1,5])->m=1: {(6,1),(5,1)}; (3,[2])->m=2: {(3,2)}
+    assert(got === Set((4L, 1L), (6L, 1L), (5L, 1L), (3L, 2L)))
+    assert(r.changeCount === 1) // only (5,1) is new
+    r.handle.unpersist()
+  }
+
+  test("largeStar matches the reference comment vector") {
+    val s = spark; import s.implicits._
+    val r = StarOps.largeStar(edgesDf(Seq((1L, 4L), (6L, 1L), (3L, 2L), (6L, 5L))))
+    val got = r.pairs.as[(Long, Long)].collect().toSet
+    // adjacency: (4,[1]) (1,[4,6]) (6,[1,5]) (3,[2]) (2,[3]) (5,[6])
+    // emit n>=self -> (4,1); (1,1),(4,1),(6,1); (6,1); (3,2); (2,2),(3,2); (5,5),(6,5)
+    assert(got === Set((4L, 1L), (1L, 1L), (6L, 1L), (3L, 2L), (2L, 2L),
+                       (5L, 5L), (6L, 5L)))
+    r.handle.unpersist()
+  }
+
+  test("README example: full CC run (labels = component min, incl. self-pair)") {
+    val s = spark; import s.implicits._
+    val res = ConnectedComponents.runCliques(cliquesDf(readmeCliques))
+    assert(res.converged)
+    assert(res.iterations <= 6) // BASELINE.md engine-internal target
+    val got = res.assignments.as[(Long, Long)].collect()
+    assert(got.toSet === readmeExpected)
+    assert(got.length === readmeExpected.size) // each node exactly once
+  }
+
+  test("components materialization (CCDriver parity)") {
+    val s = spark; import s.implicits._
+    val res = ConnectedComponents.runCliques(cliquesDf(readmeCliques))
+    val comps = ConnectedComponents.components(res.assignments)
+      .as[(Long, Int, Seq[Long])].collect().toSet
+    assert(comps === Set(
+      (1L, 5, Seq(1L, 2L, 3L, 4L, 5L)),
+      (6L, 3, Seq(6L, 7L, 8L)),
+      (9L, 1, Seq(9L))))
+  }
+
+  test("edge cases: empty input, single self-loop, path graph, maxIterations=0") {
+    val s = spark; import s.implicits._
+    val empty = ConnectedComponents.run(edgesDf(Seq.empty))
+    assert(empty.converged && empty.assignments.count() === 0)
+
+    val loop = ConnectedComponents.run(edgesDf(Seq((5L, 5L))))
+    assert(loop.converged)
+    assert(loop.assignments.as[(Long, Long)].collect().toSet === Set((5L, 5L)))
+
+    // long path 0-1-2-...-15: worst case for iteration count
+    val path = ConnectedComponents.run(edgesDf((0L until 15L).map(i => (i, i + 1))))
+    assert(path.converged)
+    assert(path.assignments.as[(Long, Long)].collect().toSet ===
+      (0L to 15L).map((_, 0L)).toSet)
+
+    val non = ConnectedComponents.run(edgesDf(Seq((1L, 2L))), maxIterations = 0)
+    assert(!non.converged && non.iterations === 0)
+  }
+
+  test("starEdges yields the same components as cliqueEdges") {
+    val s = spark; import s.implicits._
+    val a = ConnectedComponents.run(EdgeBuilder.cliqueEdges(cliquesDf(readmeCliques)))
+    val b = ConnectedComponents.run(EdgeBuilder.starEdges(cliquesDf(readmeCliques)))
+    assert(a.assignments.as[(Long, Long)].collect().toSet ===
+           b.assignments.as[(Long, Long)].collect().toSet)
+  }
+}
