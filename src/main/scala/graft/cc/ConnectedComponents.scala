@@ -46,6 +46,7 @@ object ConnectedComponents {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
+      val t0 = System.nanoTime()
       val ls = StarOps.largeStar(pairs)
       val ss = StarOps.smallStar(ls.pairs)
       val next =
@@ -54,6 +55,9 @@ object ConnectedComponents {
       ls.handle.unpersist(false)
       ss.handle.unpersist(false)
       iter += 1
+      if (sys.env.contains("GRAFT_CC_VERBOSE"))
+        System.err.println(f"[cc] iter=$iter large=${ls.changeCount} " +
+          f"small=${ss.changeCount} ${(System.nanoTime() - t0) / 1e9}%.2fs")
       converged =
         (ls.changeCount == prevLarge && ss.changeCount == prevSmall) ||
         (ls.changeCount == 0 && ss.changeCount == 0)

@@ -18,15 +18,25 @@ import org.apache.spark.storage.StorageLevel
   *    once), group by self, m = min(self :: nbrs); emit the distinct set
   *    {(n, m) | n ∈ {self} ∪ nbrs, n ≥ self}.
   *  - changeCount (reference :91,160): |newPairs \ {(self, n) | n ∈ nbrs}|
-  *    summed over groups. Neighbor sets are deduped (HashSet in the
-  *    reference, collect_set here), so set-minus (`array_except`) is
-  *    exactly the reference's List `diff`.
+  *    summed over groups.
   *
-  * Each star triggers ONE action (the change-count sum) over a persisted
-  * grouped projection; the emitted pairs are a narrow explode over that
-  * same persisted data, so nothing is computed twice. The map-side
-  * partial aggregation the reference hand-rolled with `aggregateByKey`
-  * is automatic here (ObjectHashAggregate partial/final for collect_set).
+  * Implementation notes, load-bearing for scale:
+  *
+  *  - The emitted sets are distinct BY CONSTRUCTION (nbrs is a
+  *    collect_set; the self pair is excluded from the neighbor scan), so
+  *    no `array_distinct` is needed. Likewise every new pair shares
+  *    dst = m, so the reference's set-diff change count collapses to
+  *    `size(newPairs) - (m ∈ nbrs ? 1 : 0)` — the only old pair a new
+  *    pair can equal is (self, m). This matters: array_distinct /
+  *    array_except on struct arrays are O(n²) in Spark (no hash path for
+  *    non-atomic types) and a converged giant component puts the whole
+  *    component in one group's array — the quadratic fallback turned
+  *    30ms iterations into 30s ones at a mere 20k nodes.
+  *  - Each star runs ONE action (the change-count sum) over a persisted
+  *    grouped projection; the emitted pairs are a narrow explode over
+  *    the same persisted data, so nothing is computed twice. The
+  *    map-side partial aggregation the reference hand-rolls with
+  *    `aggregateByKey` is automatic (ObjectHashAggregate partial/final).
   */
 object StarOps {
 
@@ -36,21 +46,18 @@ object StarOps {
     */
   final case class StarResult(pairs: DataFrame, changeCount: Long, handle: DataFrame)
 
-  private val EdgeArrayType = "array<struct<src:bigint,dst:bigint>>"
-
   def smallStar(nodePairs: DataFrame): StarResult = {
     val oriented = nodePairs.select(
       greatest(col("src"), col("dst")).as("self"),
       least(col("src"), col("dst")).as("nbr"))
     val grouped = oriented.groupBy("self").agg(collect_set("nbr").as("nbrs"))
     val m = least(col("self"), array_min(col("nbrs")))
-    val newPairs = array_distinct(concat(
-      array(struct(col("self").as("src"), m.as("dst"))),
-      transform(
-        filter(col("nbrs"), (n: Column) => n =!= m),
-        (n: Column) => struct(n.as("src"), m.as("dst")))
-    )).cast(EdgeArrayType)
-    finish(grouped, newPairs)
+    // {(self,m)} ∪ {(n,m) | n ∈ nbrs, n ≠ m, n ≠ self}: nbrs ≤ self by
+    // orientation, so this is exactly the reference's post-dedup set.
+    val srcs = concat(
+      array(col("self")),
+      filter(col("nbrs"), (n: Column) => n =!= m && n =!= col("self")))
+    finish(grouped, srcs, m)
   }
 
   def largeStar(nodePairs: DataFrame): StarResult = {
@@ -63,31 +70,31 @@ object StarOps {
     ).as("e")).select(col("e.self").as("self"), col("e.nbr").as("nbr"))
     val grouped = sym.groupBy("self").agg(collect_set("nbr").as("nbrs"))
     val m = least(col("self"), array_min(col("nbrs")))
-    val newPairs = array_distinct(transform(
-      filter(
-        concat(array(col("self")), col("nbrs")),
-        (n: Column) => n >= col("self")),
-      (n: Column) => struct(n.as("src"), m.as("dst"))
-    )).cast(EdgeArrayType)
-    finish(grouped, newPairs)
+    // {(n,m) | n ∈ {self} ∪ nbrs, n ≥ self}, distinct: self once, then
+    // strictly-greater neighbors.
+    val srcs = concat(
+      array(col("self")),
+      filter(col("nbrs"), (n: Column) => n > col("self")))
+    finish(grouped, srcs, m)
   }
 
-  /** Shared tail: attach pairs + per-group change count, persist, run the
-    * single counting action, and expose the exploded pairs lazily.
+  /** Shared tail. New pairs per group: (s, m) for s ∈ srcs. Change count
+    * per group: |new \ {(self, n) | n ∈ nbrs}|; since new pairs all have
+    * dst = m and old pairs all have src = self, the only possible overlap
+    * is (self, m) when m ∈ nbrs.
     */
-  private def finish(grouped: DataFrame, newPairs: Column): StarResult = {
-    val oldPairs = transform(col("nbrs"),
-      (n: Column) => struct(col("self").as("src"), n.as("dst"))
-    ).cast(EdgeArrayType)
+  private def finish(grouped: DataFrame, srcs: Column, m: Column): StarResult = {
     val computed = grouped
-      .select(newPairs.as("pairs"),
-              size(array_except(newPairs, oldPairs)).cast("long").as("cnt"))
+      .select(
+        srcs.as("srcs"),
+        m.as("dst"),
+        (size(srcs) - when(array_contains(col("nbrs"), m), 1).otherwise(0))
+          .cast("long").as("cnt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val changeCount =
       computed.agg(coalesce(sum("cnt"), lit(0L))).first().getLong(0)
     val pairs = computed
-      .select(explode(col("pairs")).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .select(explode(col("srcs")).as("src"), col("dst"))
     StarResult(pairs, changeCount, computed)
   }
 }
