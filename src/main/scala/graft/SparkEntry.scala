@@ -18,15 +18,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     CCQueries.ccCopurchase(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "cc_copurchase" -> (CCQueries.ccCopurchase _),
-    "cc_components" -> (CCQueries.ccCopurchaseComponents _),
-    "q1_pricing_summary" -> (RelationalQueries.q1PricingSummary _),
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
+      "cc_copurchase" -> (CCQueries.ccCopurchase _),
+      "cc_components" -> (CCQueries.ccCopurchaseComponents _),
+    ) ++ RelationalQueries.all
 
   def oracleSql: Map[String, String] = Map(
     "cc_copurchase" -> CCQueries.copurchaseOracle,
     "cc_components" -> CCQueries.copurchaseComponentsOracle,
-    "q1_pricing_summary" -> RelationalQueries.q1Oracle,
-  )
+  ) ++ RelationalQueries.oracles
 }

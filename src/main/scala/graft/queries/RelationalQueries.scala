@@ -1,22 +1,28 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational coverage queries (SURVEY.md §2.6): aggregation, joins of
-  * every flavor, windows, rollup, set ops — the surface the reference
-  * lacks but a complete engine needs. Each has an exact DuckDB oracle.
+  * every flavor (broadcast, semi, anti, range, as-of), windows, rollup/
+  * cube, set ops, JSON — the surface the reference lacks but a complete
+  * engine needs. Each has an exact DuckDB oracle in the companion SQL.
   *
-  * Determinism discipline for oracle hash-parity: money/double
-  * aggregates are computed over `decimal`-cast columns (exact, order
-  * independent in both engines), then rounded and cast back to double.
-  * Plain double sums would differ in the last ulps between engines.
+  * Determinism discipline for oracle hash-parity:
+  *  - money/double aggregates are computed over `decimal`-cast columns
+  *    (exact, order-independent in both engines), rounded, cast back to
+  *    double. Plain double sums differ between engines in the last ulps.
+  *  - ratios divide exact decimal sums as doubles, then round.
+  *  - no timestamp-typed output columns (epoch bigints instead).
+  *  - every ORDER BY / top-k has a full deterministic tie-break.
   */
 object RelationalQueries {
 
   private def dec(c: String): Column = col(c).cast("decimal(18,2)")
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
-  /** TPC-H Q1-style pricing summary. */
+  /** TPC-H Q1-style pricing summary: hash aggregate, multiple measures. */
   def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -38,4 +44,389 @@ FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
+
+  /** Multi-way join with a broadcast dimension: revenue per nation.
+    * nation/region are tiny — broadcast() keeps them off the shuffle.
+    */
+  def q2RevenueByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  val q2Oracle: String = """
+SELECT n_name,
+  round(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1 AS decimal(18,2)) - cast(l_discount AS decimal(18,2)))), 2)::double AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+  /** Distributed top-k (TakeOrderedAndProject): top-10 BUILDING-segment
+    * orders by revenue, deterministic tie-break on o_orderkey.
+    */
+  def q3TopOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+      .where(col("c_mktsegment") === "BUILDING")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(round(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))), 2)
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q3Oracle: String = """
+SELECT o_orderkey,
+  round(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1 AS decimal(18,2)) - cast(l_discount AS decimal(18,2)))), 2)::double AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+  /** Left-semi join (EXISTS): orders having at least one returned item. */
+  def q4SemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val returned = Tables.lineitem(spark, sfDir)
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    o.join(returned, o("o_orderkey") === returned("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4Oracle: String = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+  /** Left-anti join (NOT EXISTS): customers with no orders since 2000. */
+  def q5AntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+           round(sum(dec("c_acctbal")), 2).cast("double").as("total_acctbal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q5Oracle: String = """
+SELECT c_mktsegment, count(*) AS n_customers,
+  round(sum(cast(c_acctbal AS decimal(18,2))), 2)::double AS total_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= timestamp '2000-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+  /** TPC-H Q6-style selective scan: filters must push to parquet. */
+  def q6ForecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+             col("l_discount").between(0.02, 0.06) &&
+             col("l_quantity") < 24)
+      .agg(round(sum(dec("l_extendedprice") * dec("l_discount")), 2)
+             .cast("double").as("revenue"),
+           count(lit(1)).as("n_lines"))
+
+  val q6Oracle: String = """
+SELECT
+  round(sum(cast(l_extendedprice AS decimal(18,2)) * cast(l_discount AS decimal(18,2))), 2)::double AS revenue,
+  count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= timestamp '1996-01-01' AND l_shipdate < timestamp '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+"""
+
+  /** Running-total window per supplier, fully tie-broken ordering. */
+  def q7RunningQty(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+              round(sum(dec("l_quantity")).over(w), 2).cast("double").as("running_qty"))
+  }
+
+  val q7Oracle: String = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+  round(sum(cast(l_quantity AS decimal(18,2))) OVER (
+    PARTITION BY l_suppkey
+    ORDER BY l_shipdate, l_orderkey, l_linenumber
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::double AS running_qty
+FROM lineitem
+"""
+
+  /** Rollup: order value by region/nation with subtotal + grand-total rows. */
+  def q8RollupRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(dec("o_totalprice")), 2).cast("double").as("total_value"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  val q8Oracle: String = """
+SELECT r_name, n_name,
+  round(sum(cast(o_totalprice AS decimal(18,2))), 2)::double AS total_value,
+  count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+"""
+
+  /** Cube over lineitem status flags. */
+  def q9Cube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_lines"),
+           round(sum(dec("l_quantity")), 2).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val q9Oracle: String = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+  round(sum(cast(l_quantity AS decimal(18,2))), 2)::double AS sum_qty
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+  /** Set operations: INTERSECT ∪ distinct-UNION \ EXCEPT, set semantics
+    * on both sides.
+    */
+  def q10SetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val building = c.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val bigSpenders = o.where(col("o_totalprice") > 100000).select(col("o_custkey").as("c_custkey"))
+    val machineryNeg = c.where(col("c_mktsegment") === "MACHINERY" && col("c_acctbal") < 0)
+      .select(col("c_custkey"))
+    val ordered2000 = o.where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey").as("c_custkey"))
+    building.intersect(bigSpenders)
+      .union(machineryNeg).distinct()
+      .except(ordered2000)
+      .orderBy("c_custkey")
+  }
+
+  val q10Oracle: String = """
+SELECT c_custkey FROM (
+  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+   INTERSECT
+   SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000)
+  UNION
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY' AND c_acctbal < 0
+  EXCEPT
+  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderdate >= timestamp '2000-01-01'
+)
+ORDER BY c_custkey
+"""
+
+  /** Exact distinct aggregation + HAVING-style post-filter. */
+  def q11SupplierStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_suppkey"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+           count(lit(1)).as("n_lines"),
+           round(sum(dec("l_quantity")), 2).cast("double").as("total_qty"))
+      .where(col("n_lines") >= 10)
+      .orderBy("l_suppkey")
+
+  val q11Oracle: String = """
+SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_lines,
+  round(sum(cast(l_quantity AS decimal(18,2))), 2)::double AS total_qty
+FROM lineitem
+GROUP BY l_suppkey
+HAVING count(*) >= 10
+ORDER BY l_suppkey
+"""
+
+  /** Range self-join: event pairs of the same user within 60 seconds
+    * (strictly ordered by (ts, event_id) to avoid double counting).
+    */
+  def q12EventBursts(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
+    val a = e.as("a")
+    val b = e.as("b")
+    a.join(b,
+        col("a.user_id") === col("b.user_id") &&
+        col("b.ts") <= col("a.ts") + expr("INTERVAL 60 SECONDS") &&
+        (col("b.ts") > col("a.ts") ||
+         (col("b.ts") === col("a.ts") && col("b.event_id") > col("a.event_id"))))
+      .groupBy(col("a.user_id").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
+  val q12Oracle: String = """
+SELECT a.user_id, count(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts <= a.ts + INTERVAL 60 SECOND
+ AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+GROUP BY a.user_id
+ORDER BY a.user_id
+"""
+
+  /** As-of join: for each click, the same user's most recent error
+    * strictly before it. Implemented the scalable way — one union +
+    * one window pass (no per-row subquery): errors sort before clicks
+    * only when strictly earlier, then last_value(ignoreNulls) carries
+    * the latest error id forward.
+    */
+  def q13AsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("is_click"),
+              lit(null).cast("bigint").as("err_id"))
+    val errors = e.where(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("is_click"),
+              col("event_id").as("err_id"))
+    // at equal ts a click sorts BEFORE the error (is_click desc? no:
+    // strictly-before semantics => click first), so the error is not
+    // visible to it; among equal-ts errors the larger event_id wins.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_click").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(errors)
+      .withColumn("last_err", last(col("err_id"), ignoreNulls = true).over(w))
+      .where(col("is_click") === 1)
+      .select(col("event_id").as("click_event_id"),
+              col("last_err").as("error_event_id"))
+      .orderBy("click_event_id")
+  }
+
+  val q13Oracle: String = """
+SELECT c.event_id AS click_event_id,
+  (SELECT e.event_id FROM events e
+   WHERE e.user_id = c.user_id AND e.event_type = 'error' AND e.ts < c.ts
+   ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS error_event_id
+FROM events c
+WHERE c.event_type = 'click'
+ORDER BY c.event_id
+"""
+
+  /** Conditional aggregation + exact-decimal ratio: promo revenue share. */
+  def q14PromoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    val disc = dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast("decimal(18,2)"))), 2)
+          .cast("double").as("promo_revenue"),
+        round(sum(disc), 2).cast("double").as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+              round(col("promo_revenue") / col("total_revenue"), 6).as("promo_share"))
+  }
+
+  val q14Oracle: String = """
+WITH t AS (
+  SELECT
+    round(sum(CASE WHEN p_type = 'PROMO'
+      THEN cast(l_extendedprice AS decimal(18,2)) * (cast(1 AS decimal(18,2)) - cast(l_discount AS decimal(18,2)))
+      ELSE cast(0 AS decimal(18,2)) END), 2)::double AS promo_revenue,
+    round(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1 AS decimal(18,2)) - cast(l_discount AS decimal(18,2)))), 2)::double AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT promo_revenue, total_revenue,
+       round(promo_revenue / total_revenue, 6) AS promo_share
+FROM t
+"""
+
+  /** JSON extraction: parse events.props and aggregate the "k" field. */
+  def q15Json(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+              get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+           countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy("event_type")
+
+  val q15Oracle: String = """
+SELECT event_type, count(*) AS n,
+  sum(cast(json_extract_string(props, '$.k') AS bigint)) AS sum_k,
+  count(DISTINCT cast(json_extract_string(props, '$.k') AS bigint)) AS n_distinct_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q2_revenue_by_nation" -> (q2RevenueByNation _),
+    "q3_top_orders" -> (q3TopOrders _),
+    "q4_semi_join" -> (q4SemiJoin _),
+    "q5_anti_join" -> (q5AntiJoin _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q7_running_qty" -> (q7RunningQty _),
+    "q8_rollup_revenue" -> (q8RollupRevenue _),
+    "q9_cube" -> (q9Cube _),
+    "q10_setops" -> (q10SetOps _),
+    "q11_supplier_stats" -> (q11SupplierStats _),
+    "q12_event_bursts" -> (q12EventBursts _),
+    "q13_asof_join" -> (q13AsofJoin _),
+    "q14_promo_share" -> (q14PromoShare _),
+    "q15_json" -> (q15Json _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Oracle,
+    "q2_revenue_by_nation" -> q2Oracle,
+    "q3_top_orders" -> q3Oracle,
+    "q4_semi_join" -> q4Oracle,
+    "q5_anti_join" -> q5Oracle,
+    "q6_forecast_revenue" -> q6Oracle,
+    "q7_running_qty" -> q7Oracle,
+    "q8_rollup_revenue" -> q8Oracle,
+    "q9_cube" -> q9Oracle,
+    "q10_setops" -> q10Oracle,
+    "q11_supplier_stats" -> q11Oracle,
+    "q12_event_bursts" -> q12Oracle,
+    "q13_asof_join" -> q13Oracle,
+    "q14_promo_share" -> q14Oracle,
+    "q15_json" -> q15Oracle,
+  )
 }
