@@ -22,10 +22,12 @@ object SparkEntry {
     Map[String, (SparkSession, String) => DataFrame](
       "cc_copurchase" -> (CCQueries.ccCopurchase _),
       "cc_components" -> (CCQueries.ccCopurchaseComponents _),
-    ) ++ RelationalQueries.all
+    ) ++ RelationalQueries.all ++ DedupQueries.all ++
+      SimilarityQueries.all ++ TextQueries.all
 
   def oracleSql: Map[String, String] = Map(
     "cc_copurchase" -> CCQueries.copurchaseOracle,
     "cc_components" -> CCQueries.copurchaseComponentsOracle,
-  ) ++ RelationalQueries.oracles
+  ) ++ RelationalQueries.oracles ++ DedupQueries.oracles ++
+    SimilarityQueries.oracles ++ TextQueries.oracles
 }

@@ -1,0 +1,292 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.cc.ConnectedComponents
+
+/** Deduplication suite over `documents` — the LLM-training-pipeline
+  * operators: exact (normalized-key groupBy), MinHash+LSH
+  * (shingle→minhash→band→bucket-join→verify→cluster via our own CC),
+  * SimHash fingerprinting, and exact n-gram Jaccard pairs.
+  *
+  * Everything is deterministic and DuckDB-oracle-checkable: hashes are
+  * md5 (identical hex in both engines), minima over md5 strings are
+  * valid minhashes, and jaccard thresholds compare integers
+  * (τ·|A∪B| ≤ |A∩B| cross-multiplied) so no float boundary exists.
+  */
+object DedupQueries {
+
+  /** Distinct-token-set tokens per doc (word-level shingles). */
+  private def docTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+              array_distinct(split(col("text"), " ")).as("tokens"))
+
+  // ---------------------------------------------------------------
+  // Exact dedup: canonical id per normalized token-set key.
+  // ---------------------------------------------------------------
+
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("key"))
+    docTokens(spark, sfDir)
+      .select(col("doc_id"),
+              concat_ws(" ", sort_array(col("tokens"))).as("key"))
+      .select(col("doc_id"),
+              min(col("doc_id")).over(w).as("canonical_id"),
+              count(lit(1)).over(w).as("group_size"))
+      .orderBy("doc_id")
+  }
+
+  val dedupExactOracle: String = """
+SELECT doc_id,
+  min(doc_id) OVER (PARTITION BY key) AS canonical_id,
+  count(*) OVER (PARTITION BY key) AS group_size
+FROM (
+  SELECT doc_id,
+         array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS key
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+  // ---------------------------------------------------------------
+  // MinHash + LSH near-dup clustering (verified, then clustered with
+  // our Large/Small-Star CC). 12 minhashes, 4 bands x 3 rows,
+  // verification threshold: token-set jaccard >= 0.8.
+  // ---------------------------------------------------------------
+
+  private val NumHashes = 16
+  private val BandSize = 8
+  private val MaxBucket = 50
+
+  /** Verified near-duplicate pairs (a < b) from the LSH pipeline.
+    *
+    * Banding is 2 bands × 8 rows: this corpus draws from a ~31-word
+    * vocabulary, so the pairwise unigram-jaccard distribution has a fat
+    * middle (median 0.63) that narrow bands would sweep wholesale into
+    * the candidate set. Hot buckets (> MaxBucket docs) are dropped — the
+    * standard LSH guard against degenerate buckets; at 100 TB this is
+    * what keeps a skewed bucket from quadratic blowup.
+    *
+    * Reused stages are localCheckpoint'ed: the token sets feed the
+    * signature build AND both verification sides, and the bands feed a
+    * self-join — without the checkpoint Spark recomputes the md5
+    * signature pipeline once per branch.
+    */
+  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = docTokens(spark, sfDir).localCheckpoint()
+    val exploded = toks.select(col("doc_id"), explode(col("tokens")).as("token"))
+    // signature_i = min over tokens of md5(i || ':' || token)
+    val sigCols = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("token")))).as(s"s$i"))
+    val sigs = exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // band_j = j || ':' || md5(s_{8j} | ... | s_{8j+7})
+    val bandCols = (0 until NumHashes / BandSize).map { j =>
+      val parts = (0 until BandSize).map(k => col(s"s${j * BandSize + k}"))
+      concat(lit(s"$j:"), md5(concat_ws("|", parts: _*)))
+    }
+    val bands = sigs.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("band")).localCheckpoint()
+    val coldBands = bands.join(
+      broadcast(bands.groupBy("band").count().where(col("count") <= MaxBucket))
+        .select("band"),
+      "band")
+    val cand = coldBands.as("x").join(coldBands.as("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .dropDuplicates()
+    // verify: |A∩B| * 5 >= |A∪B| * 4  (jaccard >= 0.8, integer-exact)
+    val ta = toks.select(col("doc_id").as("a"), col("tokens").as("ta"))
+    val tb = toks.select(col("doc_id").as("b"), col("tokens").as("tb"))
+    cand.join(ta, "a").join(tb, "b")
+      .select(col("a"), col("b"),
+              size(array_intersect(col("ta"), col("tb"))).as("inter"),
+              size(array_union(col("ta"), col("tb"))).as("uni"))
+      .where(col("inter") * 5 >= col("uni") * 4)
+      .select(col("a"), col("b"))
+  }
+
+  /** Cluster assignment for every document: CC over verified pairs plus
+    * a self-pair per doc (singletons stay their own cluster).
+    */
+  def dedupMinhashClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashPairs(spark, sfDir)
+      .select(col("b").as("src"), col("a").as("dst"))
+    val selfPairs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("src"), col("doc_id").as("dst"))
+    val res = ConnectedComponents.run(pairs.union(selfPairs), maxIterations = 20)
+    require(res.converged, "minhash CC did not converge")
+    res.assignments.toDF("doc_id", "cluster").orderBy("doc_id")
+  }
+
+  val dedupMinhashOracle: String = s"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+),
+sigs AS (
+  SELECT doc_id, i,
+         min(md5(i || ':' || token)) AS sig
+  FROM toks, unnest(range(0, $NumHashes)) AS u(i)
+  GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, (i // $BandSize) AS band_idx,
+         (i // $BandSize) || ':' || md5(string_agg(sig, '|' ORDER BY i)) AS band
+  FROM sigs
+  GROUP BY doc_id, (i // $BandSize)
+),
+cold AS (
+  SELECT band FROM bands GROUP BY band HAVING count(*) <= $MaxBucket
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
+  WHERE x.band IN (SELECT band FROM cold)
+),
+tsets AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents
+),
+verified AS (
+  SELECT a, b FROM (
+    SELECT a, b,
+           len(list_intersect(ta.ts, tb.ts)) AS inter,
+           len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)) AS uni
+    FROM cand JOIN tsets ta ON cand.a = ta.doc_id
+              JOIN tsets tb ON cand.b = tb.doc_id
+  ) WHERE inter * 5 >= uni * 4
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM verified
+  UNION
+  SELECT b AS src, a AS dst FROM verified
+),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node AS doc_id, min(comp) AS cluster FROM walk GROUP BY node ORDER BY doc_id
+"""
+
+  // ---------------------------------------------------------------
+  // SimHash: 32-bit fingerprint from per-token md5-derived hashes.
+  // ---------------------------------------------------------------
+
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = docTokens(spark, sfDir)
+      .select(col("doc_id"), explode(col("tokens")).as("token"))
+      .withColumn("h", conv(substring(md5(col("token")), 1, 8), 16, 10).cast("bigint"))
+    // per bit b: sum over tokens of (bit set ? +1 : -1); fingerprint has
+    // bit b set iff the sum is positive.
+    val bitSums = (0 until 32).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$b"))
+    val perDoc = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 32).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    val withFp = perDoc.select(col("doc_id"), fp.as("simhash"))
+    val w = Window.partitionBy(col("simhash"))
+    withFp.select(col("doc_id"), col("simhash"),
+                  count(lit(1)).over(w).as("n_same_fp"))
+      .orderBy("doc_id")
+  }
+
+  val dedupSimhashOracle: String = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, cast('0x' || substr(md5(token), 1, 8) AS bigint) AS h FROM toks
+),
+bitsums AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed, unnest(range(0, 32)) AS u(b)
+  GROUP BY doc_id, b
+),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::bigint << b) ELSE 0 END) AS simhash
+  FROM bitsums GROUP BY doc_id
+)
+SELECT doc_id, simhash,
+       count(*) OVER (PARTITION BY simhash) AS n_same_fp
+FROM fp ORDER BY doc_id
+"""
+
+  // ---------------------------------------------------------------
+  // Exact word-3-gram jaccard pairs (inverted-index join, integer
+  // threshold 3gram-jaccard >= 0.02 i.e. inter*50 >= uni).
+  // ---------------------------------------------------------------
+
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        // starts 1..L-2 (1-based); guard: sequence() descends if start>stop
+        when(size(col("w")) < 3, array().cast("array<string>"))
+          .otherwise(array_distinct(transform(
+            sequence(lit(1), size(col("w")) - 2),
+            (i: Column) => concat_ws(" ",
+              element_at(col("w"), i),
+              element_at(col("w"), i + 1),
+              element_at(col("w"), i + 2))))).as("grams"))
+      .where(size(col("grams")) > 0)
+    val inv = grams.select(col("doc_id"), explode(col("grams")).as("g"))
+    val shared = inv.as("x").join(inv.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = grams.select(col("doc_id"), size(col("grams")).as("n"))
+    shared
+      .join(sizes.toDF("a", "na"), "a")
+      .join(sizes.toDF("b", "nb"), "b")
+      .select(col("a"), col("b"), col("inter"),
+              (col("na") + col("nb") - col("inter")).as("uni"))
+      .where(col("inter") * 50 >= col("na") + col("nb") - col("inter"))
+      .orderBy("a", "b")
+  }
+
+  val ngramJaccardOracle: String = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 3 THEN []
+              ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)])
+         END AS grams
+  FROM w
+),
+nonempty AS (SELECT * FROM grams WHERE len(grams) > 0),
+inv AS (SELECT doc_id, unnest(grams) AS g FROM nonempty),
+shared AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+  FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+sizes AS (SELECT doc_id, len(grams) AS n FROM nonempty)
+SELECT a, b, inter, (sa.n + sb.n - inter) AS uni
+FROM shared JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+WHERE inter * 50 >= sa.n + sb.n - inter
+ORDER BY a, b
+"""
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash_clusters" -> (dedupMinhashClusters _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ngram_jaccard" -> (ngramJaccardPairs _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactOracle,
+    "dedup_minhash_clusters" -> dedupMinhashOracle,
+    "dedup_simhash" -> dedupSimhashOracle,
+    "dedup_ngram_jaccard" -> ngramJaccardOracle,
+  )
+}

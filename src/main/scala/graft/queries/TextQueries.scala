@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents`: quality statistics,
+  * stopword-heuristic language ID, dual tokenization counts, and
+  * rolling-shingle document fingerprinting. All integer/string-derived
+  * and therefore bit-exact against the DuckDB oracles.
+  */
+object TextQueries {
+
+  private val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "en", "un"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "in", "ein"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和"),
+  )
+
+  /** Per-document stats: token counts, type-token ratio, average token
+    * length, english-stopword ratio. Ratios divide exact ints → double →
+    * round(4); identical in both engines.
+    */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val sw = array(Stopwords("en").map(lit): _*)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), toks.as("w"))
+      .select(
+        col("doc_id"), col("lang"),
+        size(col("w")).as("n_tokens"),
+        size(array_distinct(col("w"))).as("n_types"),
+        round(size(array_distinct(col("w"))).cast("double") / size(col("w")), 4).as("ttr"),
+        round(aggregate(col("w"), lit(0L), (acc: Column, x: Column) => acc + length(x))
+                .cast("double") / size(col("w")), 4).as("avg_token_len"),
+        round(size(filter(col("w"), (x: Column) => array_contains(sw, x))).cast("double")
+                / size(col("w")), 4).as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val textStatsOracle: String = """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id, lang,
+  len(w) AS n_tokens,
+  len(list_distinct(w)) AS n_types,
+  round(len(list_distinct(w))::double / len(w), 4) AS ttr,
+  round(list_sum(list_transform(w, x -> length(x)))::double / len(w), 4) AS avg_token_len,
+  round(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x)))::double / len(w), 4) AS stopword_ratio
+FROM t ORDER BY doc_id
+"""
+
+  /** Stopword-list language ID: score = stopword hits per language,
+    * argmax with alphabetical tie-break (deterministic heuristic; the
+    * synthetic corpus carries no real language signal, so `correct`
+    * simply reports agreement with the label column).
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    // argmax with deterministic tie-break: encode each (score, lang) as
+    // "00042:en" and take greatest() — max score, then last lang
+    // alphabetically. Mirrors 1:1 into the SQL oracle.
+    val encoded = Stopwords.toSeq.sortBy(_._1).map { case (l, words) =>
+      val swArr = array(words.map(lit): _*)
+      concat(lpad(size(filter(col("w"), (x: Column) => array_contains(swArr, x)))
+        .cast("string"), 5, "0"), lit(s":$l"))
+    }
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), toks.as("w"))
+      .withColumn("best", greatest(encoded: _*))
+      .select(col("doc_id"), col("lang"),
+              substring(col("best"), 7, 2).as("predicted_lang"),
+              substring(col("best"), 1, 5).cast("int").as("best_score"))
+      .withColumn("correct", (col("predicted_lang") === col("lang")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val langIdOracle: String = """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+best AS (
+  SELECT doc_id, lang, greatest(
+    lpad(len(list_filter(w, x -> list_contains(['der','die','das','und','zu','in','ein'], x)))::varchar, 5, '0') || ':de',
+    lpad(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x)))::varchar, 5, '0') || ':en',
+    lpad(len(list_filter(w, x -> list_contains(['el','la','de','y','que','en','un'], x)))::varchar, 5, '0') || ':es',
+    lpad(len(list_filter(w, x -> list_contains(['le','la','de','et','que','en','un'], x)))::varchar, 5, '0') || ':fr',
+    lpad(len(list_filter(w, x -> list_contains(['的','了','是','在','我','有','和'], x)))::varchar, 5, '0') || ':zh'
+  ) AS b
+  FROM t
+)
+SELECT doc_id, lang,
+       substr(b, 7, 2) AS predicted_lang,
+       cast(substr(b, 1, 5) AS int) AS best_score,
+       CASE WHEN substr(b, 7, 2) = lang THEN 1 ELSE 0 END AS correct
+FROM best ORDER BY doc_id
+"""
+
+  /** Dual tokenization: whitespace count vs BPE-ish regex token count. */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("n_re_tokens"),
+        length(col("text")).as("n_chars_computed"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
+  val tokenCountsOracle: String = """
+SELECT doc_id,
+  len(string_split(text, ' ')) AS n_ws_tokens,
+  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re_tokens,
+  length(text) AS n_chars_computed,
+  n_chars
+FROM documents ORDER BY doc_id
+"""
+
+  /** Document fingerprint: minimum md5 over all 8-char rolling shingles
+    * (a deterministic min-hash — stable under content shifts), plus the
+    * distinct-shingle count.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        transform(
+          sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
+          (i: Column) => md5(col("text").substr(i, lit(8)))).as("shingles"))
+      .select(col("doc_id"),
+        array_min(col("shingles")).as("fp"),
+        size(array_distinct(col("shingles"))).as("n_shingles"))
+      .orderBy("doc_id")
+
+  val fingerprintOracle: String = """
+SELECT doc_id, min(md5(substr(text, i, 8))) AS fp,
+       count(DISTINCT md5(substr(text, i, 8))) AS n_shingles
+FROM documents, unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS u(i)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (textStats _),
+    "text_langid" -> (langId _),
+    "text_token_counts" -> (tokenCounts _),
+    "text_fingerprint" -> (fingerprint _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" -> textStatsOracle,
+    "text_langid" -> langIdOracle,
+    "text_token_counts" -> tokenCountsOracle,
+    "text_fingerprint" -> fingerprintOracle,
+  )
+}
