@@ -1,0 +1,89 @@
+package graft.cc
+
+import graft.SparkSpec
+
+/** Property tests per FIXTURES.md §C: CC labels equal an in-memory
+  * union-find oracle on random graphs; invariance under permutation /
+  * duplication / orientation; idempotence; GraphX/Pregel agreement.
+  * Cases are seeded (deterministic) random multigraphs with self-loops,
+  * duplicate edges and both orientations.
+  */
+class CCPropertySpec extends SparkSpec {
+
+  /** Union-find oracle: node -> min node of its component (union always
+    * parents the larger root under the smaller, so roots are minima).
+    */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.flatMap(e => Seq(e._1, e._2)).distinct.map(n => n -> find(n)).toMap
+  }
+
+  private def randomEdges(rnd: scala.util.Random, n: Int, maxNode: Int): List[(Long, Long)] =
+    List.fill(n)((rnd.nextInt(maxNode).toLong, rnd.nextInt(maxNode).toLong))
+
+  private def runCC(edges: Seq[(Long, Long)]): (Map[Long, Long], Boolean) = {
+    val s = spark
+    import s.implicits._
+    val res = ConnectedComponents.run(edges.toDF("src", "dst"), maxIterations = 50)
+    (res.assignments.as[(Long, Long)].collect().toMap, res.converged)
+  }
+
+  test("CC matches union-find oracle on random multigraphs") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 6) {
+      val edges = randomEdges(rnd, 10 + rnd.nextInt(120), 5 + trial * 8)
+      val (got, converged) = runCC(edges)
+      assert(converged, s"trial $trial did not converge")
+      assert(got === unionFind(edges), s"trial $trial mismatch")
+    }
+  }
+
+  test("CC output is invariant under edge permutation, duplication and flipping") {
+    val rnd = new scala.util.Random(99)
+    val edges = randomEdges(rnd, 80, 30)
+    val base = runCC(edges)._1
+    for (_ <- 1 to 3) {
+      val mutated = rnd.shuffle(edges ++ rnd.shuffle(edges).take(edges.size / 2))
+        .map { case (a, b) => if (rnd.nextBoolean()) (b, a) else (a, b) }
+      assert(runCC(mutated)._1 === base)
+    }
+  }
+
+  test("CC is idempotent: running on its own output pairs is a fixed point") {
+    val rnd = new scala.util.Random(5)
+    for (_ <- 1 to 3) {
+      val edges = randomEdges(rnd, 60, 25)
+      val (first, _) = runCC(edges)
+      assert(runCC(first.toSeq)._1 === first)
+    }
+  }
+
+  test("labels are component minima and every node labeled exactly once") {
+    val rnd = new scala.util.Random(42)
+    val edges = randomEdges(rnd, 150, 60)
+    val (got, _) = runCC(edges)
+    assert(got.keySet === edges.flatMap(e => Seq(e._1, e._2)).toSet)
+    got.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min === label)
+    }
+  }
+
+  test("agrees with GraphX connectedComponents (Pregel) on a fixed random graph") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = randomEdges(rnd, 300, 120)
+    val ours = runCC(edges)._1
+    val theirs = GraphXCC.run(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(ours === theirs)
+  }
+}
