@@ -276,11 +276,71 @@ WHERE inter * 50 >= sa.n + sb.n - inter
 ORDER BY a, b
 """
 
+  // ---------------------------------------------------------------
+  // Embedding-cosine near-dup: vectors whose cosine >= 0.4 are
+  // near-duplicates; clusters via our CC (plus self-pairs so isolated
+  // vectors stay singletons).
+  // ---------------------------------------------------------------
+
+  /** Near-dup clustering over `embeddings`: exact cosine-threshold pairs
+    * (the correctness baseline; at 100 TB the candidate set comes from
+    * the LSH/IVF path in [[SimilarityQueries]] instead of an all-pairs
+    * join) → Large/Small-Star CC. Threshold 0.4 sits in a wide gap of
+    * the pair-cosine distribution, so float fold order can't flip
+    * membership (see SimilarityQueries scaladoc).
+    */
+  def dedupEmbeddingClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), (x: Column) => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("v"),
+        sqrt(aggregate(col("v"), lit(0.0), (acc: Column, x: Column) => acc + x * x)).as("norm"))
+      .select(col("vec_id"),
+        transform(col("v"), (x: Column) => x / col("norm")).as("u"))
+      .localCheckpoint()
+    val a = n.toDF("a", "ua")
+    val b = n.toDF("b", "ub")
+    val pairs = a.join(b, col("a") < col("b"))
+      .where(graft.functions.VectorFunctions.dot(col("ua"), col("ub")) >= 0.4)
+      .select(col("b").as("src"), col("a").as("dst"))
+    val selfPairs = n.select(col("vec_id").as("src"), col("vec_id").as("dst"))
+    val res = ConnectedComponents.run(pairs.union(selfPairs), maxIterations = 20)
+    require(res.converged, "embedding CC did not converge")
+    res.assignments.toDF("vec_id", "cluster").orderBy("vec_id")
+  }
+
+  val dedupEmbeddingOracle: String = """
+WITH RECURSIVE n AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::double) AS v,
+         sqrt(list_sum(list_transform(embedding, x -> (x::double) * (x::double)))) AS nrm
+  FROM embeddings
+),
+u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
+near AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM u a JOIN u b ON a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(range(1, len(a.u) + 1), i -> a.u[i] * b.u[i])) >= 0.4
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM near
+  UNION
+  SELECT b AS src, a AS dst FROM near
+),
+walk(node, comp) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node AS vec_id, min(comp) AS cluster FROM walk GROUP BY node ORDER BY vec_id
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_clusters" -> (dedupMinhashClusters _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (ngramJaccardPairs _),
+    "dedup_embedding_clusters" -> (dedupEmbeddingClusters _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -288,5 +348,6 @@ ORDER BY a, b
     "dedup_minhash_clusters" -> dedupMinhashOracle,
     "dedup_simhash" -> dedupSimhashOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_embedding_clusters" -> dedupEmbeddingOracle,
   )
 }

@@ -106,30 +106,47 @@ SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos4
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
 
-  /** ANN via random-hyperplane LSH: 8 seeded hyperplanes → 8-bit bucket;
-    * top-3 exact rerank within the query's bucket. Candidates shrink
-    * ~256× vs brute force; recall is checked in the test suite against
-    * [[topkBruteForce]]. No SQL oracle (rows-only check) — the bucketing
-    * is the point, not reproducible ANSI SQL.
+  /** ANN via multi-table random-hyperplane LSH: 12 independent tables of
+    * 5 seeded hyperplanes each → 12 5-bit bucket keys per vector; a
+    * query's candidates are the union of its buckets across tables,
+    * reranked exactly, top-3. Multi-table is load-bearing: true
+    * neighbors here sit at cos ≈ 0.3–0.43 (θ ≈ 70°, per-plane collision
+    * ≈ 0.6), so one b-bit table has recall 0.6^b ≈ 8% — L tables lift
+    * it to 1-(1-p^b)^L ≈ 70% while random pairs still collide ~4× less
+    * often (uniform-random embeddings are LSH's worst case; clustered
+    * real-world embeddings fare far better). At 100 TB: shuffle once by
+    * (table, bucket), broadcast the query side per bucket.
+    *
+    * Recall is asserted in SimilaritySpec against [[topkBruteForce]].
+    * No SQL oracle (rows-only check) — seeded gaussian hyperplanes
+    * aren't reproducible in ANSI SQL.
     */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val dim = 64
-    val nPlanes = 8
+    val nTables = 12
+    val bitsPerTable = 5
     val rnd = new scala.util.Random(42)
-    val planes: Array[Array[Double]] =
-      Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    val planes: Array[Array[Array[Double]]] =
+      Array.fill(nTables, bitsPerTable, dim)(rnd.nextGaussian())
     val n = normalized(spark, sfDir)
-    val bucketBits = (0 until nPlanes).map { h =>
-      val plane = array(planes(h).map(lit): _*)
-      when(dot(col("u"), plane) >= 0, lit(1L << h)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val bucketed = n.withColumn("bucket", bucketBits)
+    // one (table, bucket) key per table, exploded to rows
+    val keys = (0 until nTables).map { t =>
+      val bits = (0 until bitsPerTable).map { h =>
+        val plane = array(planes(t)(h).map(lit): _*)
+        when(dot(col("u"), plane) >= 0, lit(1L << h)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      bits * 100 + t // (bucket << tableBits) | table, readable form
+    }
+    val bucketed = n.select(col("vec_id"), col("u"),
+      explode(array(keys.map(_.as("k")): _*)).as("bucket"))
     val q = bucketed.toDF("query_id", "uq", "bucket").where(col("query_id") % 50 === 0)
     val c = bucketed.toDF("neighbor_id", "uc", "bucket")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     q.join(c, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("uq"), col("uc"))
+      .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
               dot(col("uq"), col("uc")).as("cos"))
       .withColumn("rank", row_number().over(w))
@@ -139,15 +156,113 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
       .orderBy("query_id", "rank")
   }
 
+  /** ANN via IVF (inverted-file) coarse quantization: every 25th vector
+    * is a centroid (nlist ≈ N/25, deterministic — a k-means step would
+    * go here at scale); each vector is assigned to its nearest centroid
+    * (the inverted file); a query probes its `nprobe`=3 nearest
+    * centroids and reranks only those lists. Candidates shrink by
+    * ~nprobe/nlist vs brute force. The centroid table is tiny and
+    * broadcast; the inverted file is the only shuffled side — at 100 TB
+    * you'd partition the corpus BY list id so each probe touches
+    * `nprobe` partitions.
+    *
+    * Deterministic end-to-end (centroid choice is arithmetic, argmins
+    * tie-break on id), so unlike the seeded-hyperplane LSH it has an
+    * exact SQL oracle. Cosine gaps ≫ float error make the argmin stable
+    * across engines (same argument as [[cosinePairs]]).
+    */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val nProbe = 3
+    val n = normalized(spark, sfDir).localCheckpoint()
+    val cents = broadcast(n.where(col("vec_id") % 25 === 0).toDF("cid", "ucent"))
+    // inverted file: nearest centroid per vector
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cid"))
+    val ivf = n.crossJoin(cents)
+      .select(col("vec_id"), col("cid"), dot(col("u"), col("ucent")).as("cos"))
+      .withColumn("r", row_number().over(wAssign))
+      .where(col("r") === 1)
+      .select(col("vec_id"), col("cid"))
+    // probe lists: top-nprobe centroids per query
+    val q = n.toDF("query_id", "uq").where(col("query_id") % 50 === 0)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cid"))
+    val probes = q.crossJoin(cents)
+      .select(col("query_id"), col("uq"), col("cid"),
+              dot(col("uq"), col("ucent")).as("cos"))
+      .withColumn("r", row_number().over(wProbe))
+      .where(col("r") <= nProbe)
+      .select(col("query_id"), col("uq"), col("cid"))
+    // rerank within the probed lists
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(ivf, "cid")
+      .where(col("query_id") =!= col("vec_id"))
+      .join(n.toDF("vec_id2", "uc"), col("vec_id") === col("vec_id2"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              dot(col("uq"), col("uc")).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              round(col("cos"), 4).as("cos4"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annIvfOracle: String = """
+WITH n AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::double) AS v,
+         sqrt(list_sum(list_transform(embedding, x -> (x::double) * (x::double)))) AS nrm
+  FROM embeddings
+),
+u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
+cents AS (SELECT vec_id AS cid, u AS ucent FROM u WHERE vec_id % 25 = 0),
+assign AS (
+  SELECT vec_id, cid, row_number() OVER (
+    PARTITION BY vec_id
+    ORDER BY list_sum(list_transform(range(1, len(u.u) + 1), i -> u.u[i] * c.ucent[i])) DESC, cid
+  ) AS r
+  FROM u, cents c
+),
+ivf AS (SELECT vec_id, cid FROM assign WHERE r = 1),
+q AS (SELECT vec_id AS query_id, u AS uq FROM u WHERE vec_id % 50 = 0),
+probe AS (
+  SELECT query_id, uq, cid, row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY list_sum(list_transform(range(1, len(q.uq) + 1), i -> q.uq[i] * c.ucent[i])) DESC, cid
+  ) AS r
+  FROM q, cents c
+),
+cand AS (
+  SELECT p.query_id, p.uq, f.vec_id AS neighbor_id
+  FROM probe p JOIN ivf f ON p.cid = f.cid
+  WHERE p.r <= 3 AND p.query_id <> f.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list_transform(range(1, len(c.uq) + 1), i -> c.uq[i] * u.u[i])) AS cos
+  FROM cand c JOIN u ON c.neighbor_id = u.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos4
+FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_pairs" -> (cosinePairs _),
     "sim_topk_bruteforce" -> (topkBruteForce _),
     "sim_ann_lsh" -> (annLsh _),
+    "sim_ann_ivf" -> (annIvf _),
   )
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_pairs" -> cosinePairsOracle,
     "sim_topk_bruteforce" -> topkOracle,
     // sim_ann_lsh: rows-only (seeded hyperplanes not reproducible in SQL)
+    "sim_ann_ivf" -> annIvfOracle,
   )
 }
