@@ -45,15 +45,20 @@ object ConnectedComponents {
     var prevSmall = Sentinel
     var converged = false
     var iter = 0
+    // Handles persisted in iteration i stay alive until iteration i+1's
+    // first action has materialized the (lazy) checkpoint that reads
+    // them — eager checkpointing would cost a whole extra job per
+    // iteration, which dominates wall time on small graphs.
+    var pendingUnpersist: Seq[DataFrame] = Nil
     while (!converged && iter < maxIterations) {
       val t0 = System.nanoTime()
-      val ls = StarOps.largeStar(pairs)
+      val ls = StarOps.largeStar(pairs) // its count action materializes last iter's checkpoint
+      pendingUnpersist.foreach(_.unpersist(false))
       val ss = StarOps.smallStar(ls.pairs)
       val next =
-        if (reliableCheckpoint) ss.pairs.checkpoint()
-        else ss.pairs.localCheckpoint()
-      ls.handle.unpersist(false)
-      ss.handle.unpersist(false)
+        if (reliableCheckpoint) ss.pairs.checkpoint(eager = false)
+        else ss.pairs.localCheckpoint(eager = false)
+      pendingUnpersist = Seq(ls.handle, ss.handle)
       iter += 1
       if (sys.env.contains("GRAFT_CC_VERBOSE"))
         System.err.println(f"[cc] iter=$iter large=${ls.changeCount} " +
@@ -65,7 +70,56 @@ object ConnectedComponents {
       prevSmall = ss.changeCount
       pairs = next
     }
-    CCResult(pairs.toDF("node", "component"), converged, iter)
+    // Materialize the final checkpoint before releasing its inputs.
+    val out = pairs.toDF("node", "component")
+    if (iter > 0) { out.count(); pendingUnpersist.foreach(_.unpersist(false)) }
+    CCResult(out, converged, iter)
+  }
+
+  /** Adaptive variant — the CC analog of Spark's
+    * `autoBroadcastJoinThreshold`: count the (distinct) edges first; at
+    * or below `smallGraphThreshold` solve with a driver-side union-find
+    * (one collect, exact same min-labels), otherwise run the
+    * distributed alternating fixpoint. Rationale: a fixpoint iteration
+    * costs 2 shuffles + 2 actions of fixed latency, so a converged
+    * 6-round run on a few thousand edges spends seconds of pure
+    * scheduling — while a sub-million-edge graph union-finds in
+    * milliseconds in the driver (exactly the regime where AQE would
+    * broadcast a join side). Threshold is edge COUNT; at 16 bytes/edge
+    * the default 4M edges ≈ 64 MB on the driver.
+    *
+    * `iterations` is 0 on the driver path; `converged` is always true
+    * there (union-find is exact).
+    */
+  def runAuto(edges: DataFrame, maxIterations: Int = 20,
+              smallGraphThreshold: Long = 4L << 20): CCResult = {
+    val spark = edges.sparkSession
+    val e = edges.select(
+      col("src").cast("bigint").as("src"),
+      col("dst").cast("bigint").as("dst"))
+      .dropDuplicates("src", "dst")
+      .localCheckpoint()
+    if (e.count() > smallGraphThreshold) run(e, maxIterations)
+    else {
+      import spark.implicits._
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      // iterative find + full path compression (recursion would blow the
+      // stack on adversarial long chains at the 4M-edge default)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      e.as[(Long, Long)].collect().foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labeled = parent.keys.toSeq.map(n => (n, find(n)))
+      CCResult(spark.createDataset(labeled).toDF("node", "component"),
+               converged = true, iterations = 0)
+    }
   }
 
   /** Reference `run(cliques)` equivalent: cliques (array column) → CC. */

@@ -37,9 +37,13 @@ object CCQueries {
     val cliques = Tables.lineitem(spark, sfDir)
       .groupBy("l_orderkey")
       .agg(collect_set("l_partkey").as("nodes"))
-    // No dedup here: the first star's collect_set absorbs duplicates,
-    // saving a full shuffle over the expanded edge set.
-    graft.cc.EdgeBuilder.cliqueEdges(cliques)
+    // Star expansion, not all-pairs: O(k) edges per order instead of
+    // O(k²), identical connected components (every member is linked to
+    // the clique min). At 100 TB a single hot order would otherwise
+    // explode quadratically. No dedup here: the first star's
+    // collect_set absorbs duplicates, saving a full shuffle over the
+    // expanded edge set.
+    graft.cc.EdgeBuilder.starEdges(cliques)
   }
 
   def ccCopurchase(spark: SparkSession, sfDir: String): DataFrame =

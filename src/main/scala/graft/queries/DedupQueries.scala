@@ -116,7 +116,7 @@ ORDER BY doc_id
       .select(col("b").as("src"), col("a").as("dst"))
     val selfPairs = Tables.documents(spark, sfDir)
       .select(col("doc_id").as("src"), col("doc_id").as("dst"))
-    val res = ConnectedComponents.run(pairs.union(selfPairs), maxIterations = 20)
+    val res = ConnectedComponents.runAuto(pairs.union(selfPairs), maxIterations = 20)
     require(res.converged, "minhash CC did not converge")
     res.assignments.toDF("doc_id", "cluster").orderBy("doc_id")
   }
@@ -223,6 +223,10 @@ FROM fp ORDER BY doc_id
   // ---------------------------------------------------------------
 
   def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    // Gram construction is a shuffle-free per-row HOF chain (interpreted,
+    // ~µs/gram — the price of staying narrow; a custom Generator would
+    // codegen it if this ever dominates). Checkpointed once: it feeds
+    // the self-join (twice) and the size table.
     val grams = Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
@@ -235,7 +239,12 @@ FROM fp ORDER BY doc_id
               element_at(col("w"), i + 1),
               element_at(col("w"), i + 2))))).as("grams"))
       .where(size(col("grams")) > 0)
-    val inv = grams.select(col("doc_id"), explode(col("grams")).as("g"))
+      .localCheckpoint()
+    // Join on xxhash64(gram), not the ~20-char string: same pairs (a
+    // 64-bit collision among ~27k distinct grams has p ≈ 2e-11 and the
+    // oracle would catch it), half the shuffle bytes.
+    val inv = grams.select(col("doc_id"), explode(col("grams")).as("gs"))
+      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
     val shared = inv.as("x").join(inv.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -304,7 +313,7 @@ ORDER BY a, b
       .where(graft.functions.VectorFunctions.dot(col("ua"), col("ub")) >= 0.4)
       .select(col("b").as("src"), col("a").as("dst"))
     val selfPairs = n.select(col("vec_id").as("src"), col("vec_id").as("dst"))
-    val res = ConnectedComponents.run(pairs.union(selfPairs), maxIterations = 20)
+    val res = ConnectedComponents.runAuto(pairs.union(selfPairs), maxIterations = 20)
     require(res.converged, "embedding CC did not converge")
     res.assignments.toDF("vec_id", "cluster").orderBy("vec_id")
   }

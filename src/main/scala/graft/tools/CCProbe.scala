@@ -24,6 +24,22 @@ object CCProbe {
       r
     }
 
+    time("warmup (range sum)") {
+      spark.range(2000000).selectExpr("sum(id)").collect()
+    }
+    time("lineitem 2-col scan") {
+      graft.queries.Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_partkey").count()
+    }
+    time("cliques groupBy collect_set") {
+      graft.queries.Tables.lineitem(spark, sfDir)
+        .groupBy("l_orderkey")
+        .agg(org.apache.spark.sql.functions.collect_set("l_partkey").as("nodes"))
+        .count()
+    }
+    time("edges (no checkpoint) count") {
+      CCQueries.copurchaseEdges(spark, sfDir).count()
+    }
     var pairs = time("edges+checkpoint") {
       CCQueries.copurchaseEdges(spark, sfDir).localCheckpoint()
     }

@@ -76,6 +76,22 @@ class CCPropertySpec extends SparkSpec {
     }
   }
 
+  test("runAuto small-graph (driver union-find) path matches the distributed fixpoint") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(77)
+    val edges = randomEdges(rnd, 200, 80)
+    val dist = runCC(edges)._1
+    val auto = ConnectedComponents.runAuto(edges.toDF("src", "dst"))
+    assert(auto.converged && auto.iterations === 0) // small path taken
+    assert(auto.assignments.as[(Long, Long)].collect().toMap === dist)
+    // force the distributed path through runAuto too
+    val big = ConnectedComponents.runAuto(edges.toDF("src", "dst"),
+      smallGraphThreshold = 0)
+    assert(big.iterations > 0)
+    assert(big.assignments.as[(Long, Long)].collect().toMap === dist)
+  }
+
   test("agrees with GraphX connectedComponents (Pregel) on a fixed random graph") {
     val s = spark
     import s.implicits._
