@@ -23,11 +23,15 @@ object SparkEntry {
       "cc_copurchase" -> (CCQueries.ccCopurchase _),
       "cc_components" -> (CCQueries.ccCopurchaseComponents _),
     ) ++ RelationalQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ TextQueries.all
+      SimilarityQueries.all ++ TextQueries.all ++
+      graft.streaming.StreamingQueries.all ++
+      graft.multimodal.MultimodalQueries.all
 
   def oracleSql: Map[String, String] = Map(
     "cc_copurchase" -> CCQueries.copurchaseOracle,
     "cc_components" -> CCQueries.copurchaseComponentsOracle,
   ) ++ RelationalQueries.oracles ++ DedupQueries.oracles ++
-    SimilarityQueries.oracles ++ TextQueries.oracles
+    SimilarityQueries.oracles ++ TextQueries.oracles ++
+    graft.streaming.StreamingQueries.oracles ++
+    graft.multimodal.MultimodalQueries.oracles
 }

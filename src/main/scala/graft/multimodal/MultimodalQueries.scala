@@ -1,0 +1,181 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables
+
+/** Multimodal-column plumbing: media as opaque `binary` payloads with a
+  * typed metadata struct, decoded at an explicit codec boundary.
+  *
+  * The pattern for a 100 TB training-data pipeline: media bytes live in
+  * one opaque binary column (never parsed by Catalyst), metadata is a
+  * small typed struct usable for pruning/partitioning, and the decode /
+  * feature-extract / resize / frame-sample step crosses a per-partition
+  * batch boundary — here Scala `mapPartitions` over a typed Dataset; in
+  * a Python shop the identical shape is `mapInPandas` with Arrow
+  * batches. Everything after the boundary is ordinary codegen'd SQL
+  * (hashes, aggregations), so only the codec itself is opaque.
+  *
+  * This container has no media libraries, so [[StubCodec]] is a
+  * DETERMINISTIC FAKE — the payload bytes are the "pixels" (documents
+  * text re-encoded as UTF-8, ASCII throughout, so the DuckDB oracles
+  * can recompute every feature byte-for-byte from the text). The
+  * Spark-side plumbing — schema, encoders, batch iteration, the
+  * explicit decode boundary — is real and is what these queries test.
+  */
+object MultimodalQueries {
+
+  final case class MediaMeta(media_type: String, width: Int, height: Int,
+                             n_frames: Int)
+  final case class MediaRow(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
+  final case class FrameSlice(frame_idx: Int, frame_off: Int, frame_len: Int,
+                              bytes: Array[Byte])
+  final case class Decoded(doc_id: Long, media_type: String, width: Int,
+                           height: Int, n_frames: Int, n_bytes: Int,
+                           byte_sum: Long, min_byte: Int, max_byte: Int,
+                           resized: Array[Byte], frames: Seq[FrameSlice])
+
+  /** Deterministic stand-in for a real codec (PIL / ffmpeg / soundfile
+    * would be called here, vectorized per batch). Interprets the payload
+    * bytes directly as samples: features are byte statistics, "resize"
+    * is 2:1 decimation, "frame sampling" slices the payload into
+    * `n_frames` fixed-stride frames and keeps the even-indexed ones.
+    */
+  object StubCodec {
+    def decode(row: MediaRow): Decoded = {
+      val b = row.payload
+      var sum = 0L; var mn = 255; var mx = 0
+      var i = 0
+      while (i < b.length) {
+        val v = b(i) & 0xff
+        sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+        i += 1
+      }
+      val resized = Array.tabulate((b.length + 1) / 2)(j => b(2 * j))
+      val frames =
+        if (row.meta.media_type != "video") Seq.empty[FrameSlice]
+        else {
+          val flen = b.length / row.meta.n_frames
+          if (flen == 0) Seq.empty[FrameSlice]
+          else (0 until row.meta.n_frames).filter(_ % 2 == 0).map { k =>
+            FrameSlice(k, k * flen, flen, b.slice(k * flen, k * flen + flen))
+          }
+        }
+      Decoded(row.doc_id, row.meta.media_type, row.meta.width,
+        row.meta.height, row.meta.n_frames, b.length, sum,
+        if (b.isEmpty) 0 else mn, if (b.isEmpty) 0 else mx, resized, frames)
+    }
+  }
+
+  /** The media table: opaque payload + typed metadata, derived
+    * deterministically from `documents` (media_type by doc_id mod 3,
+    * dimensions from n_chars/doc_id arithmetic — mirrored in oracles).
+    */
+  def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+        (lit(16) + pmod(col("n_chars"), lit(48))).cast("int").as("width"),
+        (lit(16) + pmod(col("doc_id"), lit(32))).cast("int").as("height"),
+        when(pmod(col("doc_id"), lit(3)) === 2, pmod(col("doc_id"), lit(7)) + 1)
+          .otherwise(lit(1)).cast("int").as("n_frames")
+      ).as("meta")
+    ).as[MediaRow]
+  }
+
+  /** The decode boundary: one batched pass per partition. */
+  def decoded(spark: SparkSession, sfDir: String): Dataset[Decoded] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).mapPartitions(_.map(StubCodec.decode))
+  }
+
+  /** Per-media feature extraction (decode + byte statistics). */
+  def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    decoded(spark, sfDir).toDF()
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        col("n_bytes"), col("byte_sum"),
+        round(col("byte_sum").cast("double") / col("n_bytes"), 4).as("mean_byte"),
+        col("min_byte"), col("max_byte"))
+      .orderBy("doc_id")
+
+  val mediaFeaturesOracle: String = """
+WITH codes AS (
+  SELECT doc_id, n_chars,
+         list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))) AS cs
+  FROM documents
+)
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+  cast(16 + n_chars % 48 AS int) AS width,
+  cast(16 + doc_id % 32 AS int) AS height,
+  cast(len(cs) AS int) AS n_bytes,
+  cast(list_sum(cs) AS bigint) AS byte_sum,
+  round(list_sum(cs)::double / len(cs), 4) AS mean_byte,
+  cast(list_aggregate(cs, 'min') AS int) AS min_byte,
+  cast(list_aggregate(cs, 'max') AS int) AS max_byte
+FROM codes ORDER BY doc_id
+"""
+
+  /** Frame sampling over video payloads: even-indexed frames of the
+    * n_frames fixed-stride decomposition, fingerprinted after decode.
+    */
+  def mediaFrameSample(spark: SparkSession, sfDir: String): DataFrame =
+    decoded(spark, sfDir).toDF()
+      .where(col("media_type") === "video")
+      .select(col("doc_id"), explode(col("frames")).as("f"))
+      .select(col("doc_id"), col("f.frame_idx"), col("f.frame_off"),
+              col("f.frame_len"), md5(col("f.bytes")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+
+  val mediaFrameSampleOracle: String = """
+SELECT doc_id,
+  cast(k AS int) AS frame_idx,
+  cast(k * (length(text) // (doc_id % 7 + 1)) AS int) AS frame_off,
+  cast(length(text) // (doc_id % 7 + 1) AS int) AS frame_len,
+  md5(substr(text, cast(k * (length(text) // (doc_id % 7 + 1)) + 1 AS int),
+             cast(length(text) // (doc_id % 7 + 1) AS int))) AS frame_md5
+FROM documents, unnest(range(0, doc_id % 7 + 1)) AS u(k)
+WHERE doc_id % 3 = 2 AND k % 2 = 0
+  AND length(text) // (doc_id % 7 + 1) > 0
+ORDER BY doc_id, frame_idx
+"""
+
+  /** Resize (2:1 decimation) stub: halved dimensions + decimated
+    * payload, fingerprinted.
+    */
+  def mediaResize(spark: SparkSession, sfDir: String): DataFrame =
+    decoded(spark, sfDir).toDF()
+      .select(col("doc_id"),
+        expr("width div 2").cast("int").as("new_width"),
+        expr("height div 2").cast("int").as("new_height"),
+        length(col("resized")).as("out_bytes"),
+        md5(col("resized")).as("out_md5"))
+      .orderBy("doc_id")
+
+  val mediaResizeOracle: String = """
+SELECT doc_id,
+  cast((16 + n_chars % 48) // 2 AS int) AS new_width,
+  cast((16 + doc_id % 32) // 2 AS int) AS new_height,
+  cast((length(text) + 1) // 2 AS int) AS out_bytes,
+  md5(array_to_string(list_transform(range(1, length(text) + 1, 2),
+                                     i -> substr(text, i, 1)), '')) AS out_md5
+FROM documents ORDER BY doc_id
+"""
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_features" -> (mediaFeatures _),
+    "media_frame_sample" -> (mediaFrameSample _),
+    "media_resize" -> (mediaResize _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "media_features" -> mediaFeaturesOracle,
+    "media_frame_sample" -> mediaFrameSampleOracle,
+    "media_resize" -> mediaResizeOracle,
+  )
+}

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming over the `events` table: the same parquet data
+  * replayed through `readStream` (file source), windowed/sessionized
+  * with streaming state, run to completion with `Trigger.AvailableNow`
+  * into a memory sink and returned as a DataFrame.
+  *
+  * Complete output mode makes the finite-replay result exactly equal to
+  * the batch computation (append mode would hold back windows newer
+  * than the watermark at end-of-stream — the append/watermark path is
+  * exercised deterministically in StreamingSpec with a MemoryStream
+  * whose batch boundaries we control). At scale the same pipelines run
+  * unbounded: swap the trigger for a processing-time one, keep the
+  * watermark, and the state store bounds memory; partitioning is by
+  * the grouping key (window/user) exactly as in batch.
+  */
+object StreamingQueries {
+
+  /** Streamed view of events.parquet, ts decoded as in Tables.events
+    * (parquet TIMESTAMP(NANOS) read as long, converted to µs).
+    */
+  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    // The file source requires a DIRECTORY to monitor (in production
+    // this is the landing dir new files arrive into); testdata ships a
+    // single file, so stage a symlink to it in a per-sf temp dir.
+    val src = java.nio.file.Paths.get(path).toAbsolutePath
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_stream",
+      Integer.toHexString(sfDir.hashCode), "events")
+    java.nio.file.Files.createDirectories(dir)
+    val link = dir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link, src)
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private val nameCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Run a finite streaming DataFrame to completion into a memory sink
+    * and return the sink table.
+    */
+  private def runToCompletion(spark: SparkSession, df: DataFrame,
+                              mode: String): DataFrame = {
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Hourly tumbling-window counts per event type — the canonical
+    * streaming aggregation (state keyed by (window, event_type)).
+    */
+  def windowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToCompletion(spark, agg, "complete")
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+              col("event_type"), col("n"))
+      .orderBy("window_start", "event_type")
+  }
+
+  val windowedCountsOracle: String = """
+SELECT (cast(floor(epoch(ts) / 3600) AS bigint) * 3600) AS window_start,
+       event_type, count(*) AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+  /** Per-user sessionization with a 30-minute inactivity gap via the
+    * native `session_window` streaming aggregation (merging session
+    * state per user).
+    */
+  def sessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 minute")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+    runToCompletion(spark, agg, "complete")
+      .select(col("user_id"),
+              unix_micros(col("session_window.start")).as("session_start_us"),
+              unix_micros(col("last_ts")).as("last_event_us"),
+              col("n_events"))
+      .orderBy("user_id", "session_start_us")
+  }
+
+  /** Gaps-and-islands equivalent of session_window(gap=30min). */
+  val sessionsOracle: String = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS last_event_us,
+       count(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
+"""
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_windowed_counts" -> (windowedCounts _),
+    "stream_sessions" -> (sessions _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_windowed_counts" -> windowedCountsOracle,
+    "stream_sessions" -> sessionsOracle,
+  )
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** Streaming semantics:
+  *  - the finite-replay queries equal their batch equivalents;
+  *  - append mode + watermark over a MemoryStream with controlled batch
+  *    boundaries: windows flush only once the watermark passes them,
+  *    and late data behind the watermark is dropped.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("streaming windowed counts equal the batch computation") {
+    val streamed = StreamingQueries.windowedCounts(spark, sfDir).collect()
+    val batch = graft.queries.Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+              col("event_type"), col("n"))
+      .orderBy("window_start", "event_type")
+      .collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("streaming session windows equal the batch session_window computation") {
+    val streamed = StreamingQueries.sessions(spark, sfDir).collect()
+    val batch = graft.queries.Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"),
+              unix_micros(col("session_window.start")).as("session_start_us"),
+              unix_micros(col("last_ts")).as("last_event_us"),
+              col("n_events"))
+      .orderBy("user_id", "session_start_us")
+      .collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("append mode: watermark gates window emission and drops late data") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("w"), col("k"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+    // batch 1: two events in hour 10, one in hour 11
+    input.addData((ts(10, 5), "a"), (ts(10, 40), "a"), (ts(11, 5), "b"))
+    q.processAllAvailable()
+    // watermark after batch 1 = 11:05 - 10min = 10:55 < 11:00 → nothing emitted
+    assert(spark.table("wm_test").count() === 0)
+
+    // batch 2: event at 12:30 pushes watermark to 12:20 → hour-10 and
+    // hour-11 windows flush
+    input.addData((ts(12, 30), "c"))
+    q.processAllAvailable()
+    val emitted = spark.table("wm_test").as[(Long, String, Long)].collect()
+    assert(emitted.map(t => (t._2, t._3)).toSet === Set(("a", 2L), ("b", 1L)))
+
+    // batch 3: a late event in hour 10 (behind the 12:20 watermark) is dropped
+    input.addData((ts(10, 50), "a"))
+    q.processAllAvailable()
+    assert(spark.table("wm_test").count() === 2) // unchanged
+
+    q.stop()
+  }
+}
