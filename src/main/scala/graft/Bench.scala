@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session (executor threads, codegen compiler, shuffle
+    // machinery) so the first measured query isn't charged ~4s of JVM
+    // startup that every later query gets for free.
+    spark.range(2000000).selectExpr("sum(id)").collect()
+    spark.range(100000).selectExpr("id % 97 AS k", "id AS v")
+      .groupBy("k").count().count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,0 +1,46 @@
+package graft.cc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-file driver parity with the reference CCDriver
+  * (/root/reference/src/main/scala/com/kwartile/lib/cc/CCDriver.scala:40-79):
+  * read one whitespace-separated clique per line, run CC, write one
+  * component per line as `<size> <minNode> <sorted members…>`.
+  *
+  * Spark-native re-expression: the line parse is a codegen'd
+  * `split`+cast projection (no Scala closure), the output formatting is
+  * `concat_ws`/`array_join` over the materialized components, and the
+  * skew the reference countered with a sampled `RangePartitioner`
+  * (CCDriver.scala:62-67) is left to AQE.
+  */
+object CCTextDriver {
+
+  /** S1+S2: text scan + line parse → cliques(nodes: array<bigint>).
+    * Blank lines are dropped; tokens must be integral.
+    */
+  def readCliques(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(trim(col("value")).as("line"))
+      .where(col("line") =!= "") // before the cast: ANSI cast('')->bigint throws
+      .select(split(col("line"), "\\s+").cast("array<bigint>").as("nodes"))
+
+  /** S3: component text lines, reference CCDriver.scala:74 format. */
+  def formatComponents(assignments: DataFrame): DataFrame =
+    ConnectedComponents.components(assignments)
+      .select(concat_ws(" ",
+        col("n_members"), col("component"),
+        array_join(col("members"), " ")).as("value"))
+
+  /** Full driver path: clique text file → CC → component text file
+    * (written to `outPath`). Returns the CC result for inspection.
+    */
+  def run(spark: SparkSession, inPath: String, outPath: String,
+          maxIterations: Int = 20): ConnectedComponents.CCResult = {
+    val res = ConnectedComponents.runCliques(readCliques(spark, inPath),
+      maxIterations = maxIterations)
+    if (res.converged)
+      formatComponents(res.assignments).write.mode("overwrite").text(outPath)
+    res
+  }
+}
