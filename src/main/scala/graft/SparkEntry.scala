@@ -22,6 +22,7 @@ object SparkEntry {
     Map[String, (SparkSession, String) => DataFrame](
       "cc_copurchase" -> (CCQueries.ccCopurchase _),
       "cc_components" -> (CCQueries.ccCopurchaseComponents _),
+      "cc_graphx" -> (CCQueries.ccGraphx _),
     ) ++ RelationalQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ TextQueries.all ++
       graft.streaming.StreamingQueries.all ++
@@ -30,6 +31,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "cc_copurchase" -> CCQueries.copurchaseOracle,
     "cc_components" -> CCQueries.copurchaseComponentsOracle,
+    "cc_graphx" -> CCQueries.copurchaseOracle,
   ) ++ RelationalQueries.oracles ++ DedupQueries.oracles ++
     SimilarityQueries.oracles ++ TextQueries.oracles ++
     graft.streaming.StreamingQueries.oracles ++

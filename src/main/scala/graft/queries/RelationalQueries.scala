@@ -394,6 +394,119 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+  /** Correlated scalar subquery (decorrelated by Catalyst into a join):
+    * customers whose balance beats their market segment's average.
+    */
+  def q16AboveSegmentAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val segAvg = c.groupBy(col("c_mktsegment").as("seg"))
+      .agg((sum(dec("c_acctbal")) / count(lit(1))).as("avg_bal"))
+    c.join(broadcast(segAvg), col("c_mktsegment") === col("seg"))
+      .where(dec("c_acctbal") > col("avg_bal"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_above"),
+           round(max(dec("c_acctbal")), 2).cast("double").as("top_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q16Oracle: String = """
+SELECT c_mktsegment, count(*) AS n_above,
+  round(max(cast(c_acctbal AS decimal(18,2))), 2)::double AS top_bal
+FROM customer c
+WHERE cast(c_acctbal AS decimal(18,2)) >
+  (SELECT sum(cast(c_acctbal AS decimal(18,2))) / count(*)
+   FROM customer i WHERE i.c_mktsegment = c.c_mktsegment)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+  /** Pivot (event counts per user bucket × event type), fixed columns. */
+  def q17Pivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(pmod(col("user_id"), lit(10)).as("user_bucket"), col("event_type"))
+      .groupBy("user_bucket")
+      .pivot("event_type", Seq("click", "view", "purchase", "error"))
+      .count()
+      .na.fill(0L)
+      .orderBy("user_bucket")
+
+  val q17Oracle: String = """
+SELECT (user_id % 10) AS user_bucket,
+  coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
+  coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view,
+  coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
+  coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error
+FROM events
+GROUP BY 1 ORDER BY user_bucket
+"""
+
+  /** Exact percentiles (continuous interpolation) of order value per
+    * priority; both engines interpolate linearly, outputs rounded.
+    */
+  def q18Percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  val q18Oracle: String = """
+SELECT o_orderpriority,
+  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+  round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+  count(*) AS n
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+  /** Date/time arithmetic: order volume by year × quarter with
+    * month-boundary bucketing (epoch-day outputs, no timestamp cols).
+    */
+  def q19DateBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(year(col("o_orderdate")).as("y"),
+              quarter(col("o_orderdate")).as("q"),
+              datediff(col("o_orderdate"),
+                       trunc(col("o_orderdate"), "year")).as("doy0"),
+              dec("o_totalprice").as("v"))
+      .groupBy("y", "q")
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("v")), 2).cast("double").as("total_value"),
+           max(col("doy0")).as("max_day_of_year0"))
+      .orderBy("y", "q")
+
+  val q19Oracle: String = """
+SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+  count(*) AS n_orders,
+  round(sum(cast(o_totalprice AS decimal(18,2))), 2)::double AS total_value,
+  max(datediff('day', date_trunc('year', o_orderdate), o_orderdate)) AS max_day_of_year0
+FROM orders GROUP BY 1, 2 ORDER BY y, q
+"""
+
+  /** String function battery: case/substring/regexp/edit distance —
+    * all integer/string outputs, bit-exact across engines.
+    */
+  def q20StringFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_name"), 1, 5).as("prefix5"),
+        length(regexp_replace(col("p_name"), "[aeiou]", "")).as("n_consonants"),
+        levenshtein(col("p_name"), col("p_type")).as("name_type_dist"))
+      .orderBy("p_partkey")
+
+  val q20Oracle: String = """
+SELECT p_partkey,
+  upper(p_name) AS uname,
+  substr(p_name, 1, 5) AS prefix5,
+  length(regexp_replace(p_name, '[aeiou]', '', 'g')) AS n_consonants,
+  levenshtein(p_name, p_type) AS name_type_dist
+FROM part ORDER BY p_partkey
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
@@ -410,6 +523,11 @@ ORDER BY event_type
     "q13_asof_join" -> (q13AsofJoin _),
     "q14_promo_share" -> (q14PromoShare _),
     "q15_json" -> (q15Json _),
+    "q16_above_segment_avg" -> (q16AboveSegmentAvg _),
+    "q17_pivot" -> (q17Pivot _),
+    "q18_percentiles" -> (q18Percentiles _),
+    "q19_date_buckets" -> (q19DateBuckets _),
+    "q20_string_funcs" -> (q20StringFuncs _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -428,5 +546,10 @@ ORDER BY event_type
     "q13_asof_join" -> q13Oracle,
     "q14_promo_share" -> q14Oracle,
     "q15_json" -> q15Oracle,
+    "q16_above_segment_avg" -> q16Oracle,
+    "q17_pivot" -> q17Oracle,
+    "q18_percentiles" -> q18Oracle,
+    "q19_date_buckets" -> q19Oracle,
+    "q20_string_funcs" -> q20Oracle,
   )
 }
