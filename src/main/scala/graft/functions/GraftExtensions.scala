@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration for graft's custom Catalyst expressions, both as a
+  * `SparkSessionExtensions` injector (set
+  * `spark.sql.extensions=graft.functions.GraftExtensions` at session
+  * build — the deployment path) and as a runtime registrar for an
+  * already-running session (tests, notebooks).
+  */
+object GraftFunctions {
+
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+     new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+     (children: Seq[Expression]) => {
+       require(children.length == 2, "graft_dot takes exactly 2 arguments")
+       DotProduct(children(0), children(1))
+     }))
+
+  def inject(ext: SparkSessionExtensions): Unit =
+    functions.foreach(ext.injectFunction)
+
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(ext)
+}
