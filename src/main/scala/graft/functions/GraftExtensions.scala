@@ -19,6 +19,12 @@ object GraftFunctions {
      (children: Seq[Expression]) => {
        require(children.length == 2, "graft_dot takes exactly 2 arguments")
        DotProduct(children(0), children(1))
+     }),
+    (FunctionIdentifier("graft_trigram_hashes"),
+     new ExpressionInfo(classOf[TrigramHashes].getName, "graft_trigram_hashes"),
+     (children: Seq[Expression]) => {
+       require(children.length == 1, "graft_trigram_hashes takes exactly 1 argument")
+       TrigramHashes(children.head)
      }))
 
   def inject(ext: SparkSessionExtensions): Unit =

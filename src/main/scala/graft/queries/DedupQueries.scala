@@ -223,28 +223,20 @@ FROM fp ORDER BY doc_id
   // ---------------------------------------------------------------
 
   def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    // Gram construction is a shuffle-free per-row HOF chain (interpreted,
-    // ~µs/gram — the price of staying narrow; a custom Generator would
-    // codegen it if this ever dominates). Checkpointed once: it feeds
-    // the self-join (twice) and the size table.
+    // Gram construction is one compiled pass per row: the custom
+    // TrigramHashes expression emits distinct 64-bit trigram signatures
+    // directly (shuffle-free, codegen'd; see its scaladoc for why the
+    // built-in HOF chain was 6× slower). Joining on the hash instead of
+    // the ~20-char string halves shuffle bytes; identical pairs (a
+    // collision among ~27k distinct grams has p ≈ 2e-11 and the oracle
+    // would catch it). Checkpointed once: it feeds the self-join
+    // (twice) and the size table.
     val grams = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
-        // starts 1..L-2 (1-based); guard: sequence() descends if start>stop
-        when(size(col("w")) < 3, array().cast("array<string>"))
-          .otherwise(array_distinct(transform(
-            sequence(lit(1), size(col("w")) - 2),
-            (i: Column) => concat_ws(" ",
-              element_at(col("w"), i),
-              element_at(col("w"), i + 1),
-              element_at(col("w"), i + 2))))).as("grams"))
+        graft.functions.TrigramHashes(split(col("text"), " ")).as("grams"))
       .where(size(col("grams")) > 0)
       .localCheckpoint()
-    // Join on xxhash64(gram), not the ~20-char string: same pairs (a
-    // 64-bit collision among ~27k distinct grams has p ≈ 2e-11 and the
-    // oracle would catch it), half the shuffle bytes.
-    val inv = grams.select(col("doc_id"), explode(col("grams")).as("gs"))
-      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
+    val inv = grams.select(col("doc_id"), explode(col("grams")).as("g"))
     val shared = inv.as("x").join(inv.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
