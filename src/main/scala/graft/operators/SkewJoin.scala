@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed key distributions.
+  *
+  * AQE's skew-join handling (on by default) splits oversized sort-merge
+  * partitions after the fact and covers most cases; explicit salting
+  * remains the tool when a single hot key must be spread BEFORE the
+  * shuffle — e.g. the build side of a shuffled hash join, or a hot-key
+  * aggregation feeding a join. The salt routes each big-side row to one
+  * of `factor` sub-partitions of its key; the small side is replicated
+  * across all `factor` salts, so the join result is exactly the plain
+  * equi-join (each big row still meets every matching small row exactly
+  * once). Cost: small side shuffles `factor`×.
+  */
+object SkewJoin {
+
+  /** Inner equi-join of `big` (skewed) with `small` on `key`,
+    * spreading every big-side key over `factor` reducer sub-keys.
+    */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
+                     factor: Int): DataFrame = {
+    require(factor >= 1, "salt factor must be >= 1")
+    // Salt from a per-row counter: values need not be reproducible
+    // across runs — they only route rows; the join result is invariant.
+    val b = big.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(factor.toLong)))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(factor.toLong - 1))))
+    b.join(s, Seq(key, "__salt")).drop("__salt")
+  }
+}
