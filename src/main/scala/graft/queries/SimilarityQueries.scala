@@ -137,16 +137,23 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
       }.reduce(_ + _)
       bits * 100 + t // (bucket << tableBits) | table, readable form
     }
-    val bucketed = n.select(col("vec_id"), col("u"),
+    // Bucket join on bare ids — the 64-double vectors are joined back
+    // exactly once per deduped candidate, not carried through the
+    // 12-table exploded join.
+    val nCk = n.localCheckpoint()
+    val bucketed = nCk.select(col("vec_id"), col("u"),
       explode(array(keys.map(_.as("k")): _*)).as("bucket"))
-    val q = bucketed.toDF("query_id", "uq", "bucket").where(col("query_id") % 50 === 0)
-    val c = bucketed.toDF("neighbor_id", "uc", "bucket")
+      .select(col("vec_id"), col("bucket"))
+    val q = bucketed.toDF("query_id", "bucket").where(col("query_id") % 50 === 0)
+    val c = bucketed.toDF("neighbor_id", "bucket")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     q.join(c, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("uq"), col("uc"))
+      .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
+      .join(nCk.toDF("query_id", "uq"), "query_id")
+      .join(nCk.toDF("neighbor_id", "uc"), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
               dot(col("uq"), col("uc")).as("cos"))
       .withColumn("rank", row_number().over(w))
