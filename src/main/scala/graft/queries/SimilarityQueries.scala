@@ -132,7 +132,7 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
     // one (table, bucket) key per table, exploded to rows
     val keys = (0 until nTables).map { t =>
       val bits = (0 until bitsPerTable).map { h =>
-        val plane = array(planes(t)(h).map(lit): _*)
+        val plane = array(planes(t)(h).toIndexedSeq.map(lit): _*)
         when(dot(col("u"), plane) >= 0, lit(1L << h)).otherwise(lit(0L))
       }.reduce(_ + _)
       bits * 100 + t // (bucket << tableBits) | table, readable form
