@@ -32,8 +32,12 @@ object CCTextDriver {
         col("n_members"), col("component"),
         array_join(col("members"), " ")).as("value"))
 
-  /** Full driver path: clique text file → CC → component text file
-    * (written to `outPath`). Returns the CC result for inspection.
+  /** Full driver path: clique text file → CC → component text file.
+    * The output is written ONLY on convergence (mirroring the reference
+    * driver, which has no output to write when `run` returns null);
+    * non-convergence is reported loudly on stderr and via the returned
+    * result — callers must branch on `converged` before reading
+    * `outPath`.
     */
   def run(spark: SparkSession, inPath: String, outPath: String,
           maxIterations: Int = 20): ConnectedComponents.CCResult = {
@@ -41,6 +45,9 @@ object CCTextDriver {
       maxIterations = maxIterations)
     if (res.converged)
       formatComponents(res.assignments).write.mode("overwrite").text(outPath)
+    else
+      System.err.println(s"[cc-text-driver] did NOT converge in " +
+        s"${res.iterations} iterations — no output written to $outPath")
     res
   }
 }

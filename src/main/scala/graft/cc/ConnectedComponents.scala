@@ -85,14 +85,17 @@ object ConnectedComponents {
     * 6-round run on a few thousand edges spends seconds of pure
     * scheduling — while a sub-million-edge graph union-finds in
     * milliseconds in the driver (exactly the regime where AQE would
-    * broadcast a join side). Threshold is edge COUNT; at 16 bytes/edge
-    * the default 4M edges ≈ 64 MB on the driver.
+    * broadcast a join side). Threshold is edge COUNT; the boxed
+    * HashMap-based union-find costs ~100 bytes per entry on the JVM,
+    * so the default 1M edges budgets roughly 100–200 MB of driver heap
+    * (raise it only with a matching driver-memory setting; an
+    * open-addressing primitive map would buy ~10×).
     *
     * `iterations` is 0 on the driver path; `converged` is always true
     * there (union-find is exact).
     */
   def runAuto(edges: DataFrame, maxIterations: Int = 20,
-              smallGraphThreshold: Long = 4L << 20): CCResult = {
+              smallGraphThreshold: Long = 1L << 20): CCResult = {
     val spark = edges.sparkSession
     val e = edges.select(
       col("src").cast("bigint").as("src"),

@@ -50,7 +50,9 @@ object EdgeBuilder {
     * node (a star). Same connected components, O(k) edges per clique.
     */
   def starEdges(cliques: DataFrame, nodesCol: String = "nodes"): DataFrame = {
-    val n = col(nodesCol).cast("array<bigint>")
+    // Distinct first: a clique like [5,5] must yield the (5,5)
+    // self-pair (cliqueEdges parity), not vanish after the hub filter.
+    val n = array_distinct(col(nodesCol).cast("array<bigint>"))
     val hub = array_min(n)
     val pairs = when(size(n) === 1,
         array(struct(n.getItem(0).as("src"), n.getItem(0).as("dst"))))

@@ -95,13 +95,20 @@ object MultimodalQueries {
   }
 
   /** Per-media feature extraction (decode + byte statistics). */
-  def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame =
+  def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    // Empty payloads surface as NULL stats, matching the SQL oracle's
+    // aggregate-over-empty-list semantics (list_sum([]) IS NULL).
+    val nonEmpty = col("n_bytes") > 0
     decoded(spark, sfDir).toDF()
       .select(col("doc_id"), col("media_type"), col("width"), col("height"),
-        col("n_bytes"), col("byte_sum"),
-        round(col("byte_sum").cast("double") / col("n_bytes"), 4).as("mean_byte"),
-        col("min_byte"), col("max_byte"))
+        col("n_bytes"),
+        when(nonEmpty, col("byte_sum")).as("byte_sum"),
+        when(nonEmpty,
+          round(col("byte_sum").cast("double") / col("n_bytes"), 4)).as("mean_byte"),
+        when(nonEmpty, col("min_byte")).as("min_byte"),
+        when(nonEmpty, col("max_byte")).as("max_byte"))
       .orderBy("doc_id")
+  }
 
   val mediaFeaturesOracle: String = """
 WITH codes AS (

@@ -23,10 +23,15 @@ object SkewJoin {
   def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
                      factor: Int): DataFrame = {
     require(factor >= 1, "salt factor must be >= 1")
-    // Salt from a per-row counter: values need not be reproducible
-    // across runs — they only route rows; the join result is invariant.
+    // Salt must be DETERMINISTIC per row content: a counter-based salt
+    // changes on task retry after a shuffle-fetch failure, which can
+    // duplicate/drop rows when some reducers already committed (the
+    // SPARK-23207 round-robin class of bug). Hashing all columns routes
+    // identical rows identically — fully-duplicate hot rows then share
+    // a salt, which caps the spread for that degenerate case but never
+    // affects correctness.
     val b = big.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(factor.toLong)))
+      pmod(xxhash64(big.columns.map(col): _*), lit(factor.toLong)))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(factor.toLong - 1))))
     b.join(s, Seq(key, "__salt")).drop("__salt")

@@ -53,7 +53,7 @@ ORDER BY doc_id
 
   // ---------------------------------------------------------------
   // MinHash + LSH near-dup clustering (verified, then clustered with
-  // our Large/Small-Star CC). 12 minhashes, 4 bands x 3 rows,
+  // our Large/Small-Star CC). 16 minhashes, 2 bands x 8 rows,
   // verification threshold: token-set jaccard >= 0.8.
   // ---------------------------------------------------------------
 

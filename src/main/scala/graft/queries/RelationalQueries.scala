@@ -423,7 +423,9 @@ ORDER BY c_mktsegment
   /** Pivot (event counts per user bucket × event type), fixed columns. */
   def q17Pivot(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
-      .select(pmod(col("user_id"), lit(10)).as("user_bucket"), col("event_type"))
+      // % not pmod: must agree with the oracle's `user_id % 10` for
+      // negative ids too (Spark % and DuckDB % share sign semantics)
+      .select((col("user_id") % 10).as("user_bucket"), col("event_type"))
       .groupBy("user_bucket")
       .pivot("event_type", Seq("click", "view", "purchase", "error"))
       .count()

@@ -32,10 +32,17 @@ object StreamingQueries {
     val src = java.nio.file.Paths.get(path).toAbsolutePath
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_stream",
-      Integer.toHexString(sfDir.hashCode), "events")
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_"), "events")
     java.nio.file.Files.createDirectories(dir)
     val link = dir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
+    // NOFOLLOW: a dangling symlink (target regenerated/moved) must be
+    // detected and re-pointed, not mistaken for "absent".
+    if (java.nio.file.Files.exists(link,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+        java.nio.file.Files.readSymbolicLink(link) != src)
+      java.nio.file.Files.delete(link)
+    if (!java.nio.file.Files.exists(link,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS))
       java.nio.file.Files.createSymbolicLink(link, src)
     val schema = spark.read.parquet(path).schema
     spark.readStream.schema(schema).parquet(dir.toString)

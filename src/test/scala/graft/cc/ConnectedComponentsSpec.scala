@@ -104,6 +104,13 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(!non.converged && non.iterations === 0)
   }
 
+  test("starEdges: duplicate-only cliques keep their node as a self-pair") {
+    val s = spark; import s.implicits._
+    val got = EdgeBuilder.starEdges(cliquesDf(Seq(Seq(5L, 5L), Seq(7L, 7L, 8L))))
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((5L, 5L), (8L, 7L)))
+  }
+
   test("starEdges yields the same components as cliqueEdges") {
     val s = spark; import s.implicits._
     val a = ConnectedComponents.run(EdgeBuilder.cliqueEdges(cliquesDf(readmeCliques)))
