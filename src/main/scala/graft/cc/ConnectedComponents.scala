@@ -85,17 +85,17 @@ object ConnectedComponents {
     * 6-round run on a few thousand edges spends seconds of pure
     * scheduling — while a sub-million-edge graph union-finds in
     * milliseconds in the driver (exactly the regime where AQE would
-    * broadcast a join side). Threshold is edge COUNT; the boxed
-    * HashMap-based union-find costs ~100 bytes per entry on the JVM,
-    * so the default 1M edges budgets roughly 100–200 MB of driver heap
-    * (raise it only with a matching driver-memory setting; an
-    * open-addressing primitive map would buy ~10×).
+    * broadcast a join side). Threshold is edge COUNT; the union-find
+    * runs on an open-addressing primitive long→long map (~16 bytes per
+    * node at 50% load), so the default 4M edges budgets roughly
+    * 128–256 MB of driver heap even if every edge introduces two new
+    * nodes. Raise further only with a matching driver-memory setting.
     *
     * `iterations` is 0 on the driver path; `converged` is always true
     * there (union-find is exact).
     */
   def runAuto(edges: DataFrame, maxIterations: Int = 20,
-              smallGraphThreshold: Long = 1L << 20): CCResult = {
+              smallGraphThreshold: Long = 4L << 20): CCResult = {
     val spark = edges.sparkSession
     val e = edges.select(
       col("src").cast("bigint").as("src"),
@@ -105,23 +105,86 @@ object ConnectedComponents {
     if (e.count() > smallGraphThreshold) run(e, maxIterations)
     else {
       import spark.implicits._
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      val parent = new LongLongMap(1 << 16)
       // iterative find + full path compression (recursion would blow the
       // stack on adversarial long chains at the 4M-edge default)
       def find(x: Long): Long = {
         var r = x
-        while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+        while (parent.getOrPut(r, r) != r) r = parent(r)
         var c = x
-        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        while (parent(c) != r) { val nxt = parent(c); parent.put(c, r); c = nxt }
         r
       }
       e.as[(Long, Long)].collect().foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
       }
-      val labeled = parent.keys.toSeq.map(n => (n, find(n)))
-      CCResult(spark.createDataset(labeled).toDF("node", "component"),
+      val labeled = Array.newBuilder[(Long, Long)]
+      parent.foreachKey(n => labeled += ((n, find(n))))
+      CCResult(spark.createDataset(labeled.result().toIndexedSeq)
+                 .toDF("node", "component"),
                converged = true, iterations = 0)
+    }
+  }
+
+  /** Minimal open-addressing long→long map (linear probe, power-of-two
+    * capacity, grow at 60% load) — the driver union-find's working set.
+    * A boxed `Map[Long, Long]` costs ~100 bytes/entry; this costs 16
+    * bytes/slot, which is what makes the 4M-edge threshold honest.
+    * `Long.MinValue` is reserved as the empty-slot sentinel (node ids
+    * are cast from data columns; MinValue cannot occur as a real key
+    * without 2⁶³-scale ids, and is rejected loudly if it does).
+    */
+  private final class LongLongMap(initialCapacity: Int) {
+    private val Empty = Long.MinValue
+    private var cap = Integer.highestOneBit(math.max(initialCapacity, 16) * 2 - 1) << 1 match {
+      case 0 => 16
+      case c => c
+    }
+    private var keys = Array.fill(cap)(Empty)
+    private var vals = new Array[Long](cap)
+    private var n = 0
+
+    private def idx(k: Long): Int = {
+      require(k != Empty, "Long.MinValue node id unsupported on the driver path")
+      var i = (java.lang.Long.hashCode(k * 0x9e3779b97f4a7c15L)) & (cap - 1)
+      while (keys(i) != Empty && keys(i) != k) i = (i + 1) & (cap - 1)
+      i
+    }
+
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals
+      cap <<= 1
+      keys = Array.fill(cap)(Empty)
+      vals = new Array[Long](cap)
+      n = 0
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != Empty) put(ok(i), ov(i))
+        i += 1
+      }
+    }
+
+    def put(k: Long, v: Long): Unit = {
+      val i = idx(k)
+      if (keys(i) == Empty) {
+        keys(i) = k; n += 1
+        if (n * 5 > cap * 3) { vals(i) = v; grow(); return }
+      }
+      vals(i) = v
+    }
+
+    /** value for k, inserting `default` first if absent. */
+    def getOrPut(k: Long, default: Long): Long = {
+      val i = idx(k)
+      if (keys(i) == Empty) { put(k, default); default } else vals(i)
+    }
+
+    def apply(k: Long): Long = vals(idx(k))
+
+    def foreachKey(f: Long => Unit): Unit = {
+      var i = 0
+      while (i < keys.length) { if (keys(i) != Empty) f(keys(i)); i += 1 }
     }
   }
 

@@ -92,6 +92,20 @@ class CCPropertySpec extends SparkSpec {
     assert(big.assignments.as[(Long, Long)].collect().toMap === dist)
   }
 
+  test("runAuto driver path survives map growth on a 150k-edge graph") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(2024)
+    // ~150k edges over ~120k distinct nodes: forces several resizes of
+    // the open-addressing union-find map (initial capacity 128k slots,
+    // 60% load)
+    val edges = List.fill(150000)(
+      (rnd.nextInt(120000).toLong, rnd.nextInt(120000).toLong))
+    val auto = ConnectedComponents.runAuto(edges.toDF("src", "dst"))
+    assert(auto.converged && auto.iterations === 0)
+    assert(auto.assignments.as[(Long, Long)].collect().toMap === unionFind(edges))
+  }
+
   test("agrees with GraphX connectedComponents (Pregel) on a fixed random graph") {
     val s = spark
     import s.implicits._
