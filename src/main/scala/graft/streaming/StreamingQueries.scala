@@ -57,9 +57,19 @@ object StreamingQueries {
   private def runToCompletion(spark: SparkSession, df: DataFrame,
                               mode: String): DataFrame = {
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // Streaming state partition count is fixed at query start from
+    // spark.sql.shuffle.partitions. The aggregate state here is tiny
+    // (thousands of windows/users), so 8 partitions of state-store
+    // machinery beat 32; an unbounded production deployment with large
+    // state would keep the higher count instead.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 
