@@ -85,11 +85,12 @@ object ConnectedComponents {
     * 6-round run on a few thousand edges spends seconds of pure
     * scheduling — while a sub-million-edge graph union-finds in
     * milliseconds in the driver (exactly the regime where AQE would
-    * broadcast a join side). Threshold is edge COUNT; the union-find
-    * runs on an open-addressing primitive long→long map (~16 bytes per
-    * node at 50% load), so the default 4M edges budgets roughly
-    * 128–256 MB of driver heap even if every edge introduces two new
-    * nodes. Raise further only with a matching driver-memory setting.
+    * broadcast a join side). Threshold is edge COUNT. Driver memory at
+    * the default 4M edges: the union-find map is compact (~16 bytes per
+    * node slot, open addressing), but the `collect()` itself transits
+    * up to 4M boxed tuples — budget ~1 GB of driver heap at the
+    * default, dominated by the collect, and raise the threshold only
+    * with a matching driver-memory setting.
     *
     * `iterations` is 0 on the driver path; `converged` is always true
     * there (union-find is exact).
@@ -110,7 +111,8 @@ object ConnectedComponents {
       // stack on adversarial long chains at the 4M-edge default)
       def find(x: Long): Long = {
         var r = x
-        while (parent.getOrPut(r, r) != r) r = parent(r)
+        var p = parent.getOrPut(r, r)
+        while (p != r) { r = p; p = parent.getOrPut(r, r) }
         var c = x
         while (parent(c) != r) { val nxt = parent(c); parent.put(c, r); c = nxt }
         r
@@ -167,11 +169,9 @@ object ConnectedComponents {
 
     def put(k: Long, v: Long): Unit = {
       val i = idx(k)
-      if (keys(i) == Empty) {
-        keys(i) = k; n += 1
-        if (n * 5 > cap * 3) { vals(i) = v; grow(); return }
-      }
+      if (keys(i) == Empty) { keys(i) = k; n += 1 }
       vals(i) = v
+      if (n * 5 > cap * 3) grow()
     }
 
     /** value for k, inserting `default` first if absent. */

@@ -342,9 +342,12 @@ SELECT node AS vec_id, min(comp) AS cluster FROM walk GROUP BY node ORDER BY vec
   // exact-distance filter inside approxSimilarityJoin).
   // ---------------------------------------------------------------
 
-  /** Near-dup pairs (token-set jaccard >= 0.8) via MLlib's MinHashLSH:
-    * binary HashingTF features → 8 seeded hash tables →
-    * approxSimilarityJoin at jaccard-distance <= 0.2. Precision is 1.0
+  /** Near-dup pairs (token-set jaccard >= 0.8; boundary pairs at
+    * distance exactly 0.2 are retained — verified empirically in
+    * MllibDedupSpec) via MinHashLSH: binary CountVectorizer features
+    * (exact vocabulary, so feature-space jaccard IS token-set
+    * jaccard — HashingTF collisions would smear the boundary) →
+    * 8 seeded hash tables → approxSimilarityJoin. Precision is 1.0
     * by construction (the join filters on exact distance over the
     * feature vectors); recall < 1 is the LSH trade — both are asserted
     * in MllibDedupSpec against the exact pair set.
@@ -357,11 +360,12 @@ SELECT node AS vec_id, min(comp) AS cluster FROM walk GROUP BY node ORDER BY vec
     * measured argument for why the capped pipeline is the scale path.
     */
   def minhashMllibPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
     val toks = docTokens(spark, sfDir)
-    val features = new HashingTF()
+    val features = new CountVectorizer()
       .setInputCol("tokens").setOutputCol("features")
-      .setNumFeatures(1 << 18).setBinary(true)
+      .setBinary(true)
+      .fit(toks)
       .transform(toks)
     val model = new MinHashLSH()
       .setInputCol("features").setOutputCol("hashes")

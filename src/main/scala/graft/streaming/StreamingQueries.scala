@@ -54,34 +54,36 @@ object StreamingQueries {
   /** Run a finite streaming DataFrame to completion into a memory sink
     * and return the sink table.
     */
-  private def runToCompletion(spark: SparkSession, df: DataFrame,
+  /** Build the stream on an isolated cloned session (shared
+    * SparkContext, own SQL conf) so the state-partition override can't
+    * leak into — or race with — other queries on the caller's session.
+    * Streaming state partition count is fixed at query start from
+    * spark.sql.shuffle.partitions; the aggregate state here is tiny
+    * (thousands of windows/users), so 8 partitions of state-store
+    * machinery beat 32. An unbounded production deployment with large
+    * state would keep the higher count instead.
+    */
+  private def runToCompletion(spark: SparkSession,
+                              build: SparkSession => DataFrame,
                               mode: String): DataFrame = {
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    // Streaming state partition count is fixed at query start from
-    // spark.sql.shuffle.partitions. The aggregate state here is tiny
-    // (thousands of windows/users), so 8 partitions of state-store
-    // machinery beat 32; an unbounded production deployment with large
-    // state would keep the higher count instead.
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
-    try {
-      val q = df.writeStream.format("memory").queryName(name)
-        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    } finally spark.conf.set(key, prev)
-    spark.table(name)
+    val sub = spark.newSession()
+    sub.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = build(sub).writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    sub.table(name) // memory-sink temp view is session-scoped
   }
 
   /** Hourly tumbling-window counts per event type — the canonical
     * streaming aggregation (state keyed by (window, event_type)).
     */
   def windowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val agg = eventsStream(spark, sfDir)
-      .withWatermark("ts", "1 minute")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-    runToCompletion(spark, agg, "complete")
+    runToCompletion(spark, sub => eventsStream(sub, sfDir)
+        .withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n")),
+      "complete")
       .select(unix_timestamp(col("window.start")).as("window_start"),
               col("event_type"), col("n"))
       .orderBy("window_start", "event_type")
@@ -100,11 +102,11 @@ ORDER BY window_start, event_type
     * state per user).
     */
   def sessions(spark: SparkSession, sfDir: String): DataFrame = {
-    val agg = eventsStream(spark, sfDir)
-      .withWatermark("ts", "1 minute")
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
-    runToCompletion(spark, agg, "complete")
+    runToCompletion(spark, sub => eventsStream(sub, sfDir)
+        .withWatermark("ts", "1 minute")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts")),
+      "complete")
       .select(col("user_id"),
               unix_micros(col("session_window.start")).as("session_start_us"),
               unix_micros(col("last_ts")).as("last_event_us"),

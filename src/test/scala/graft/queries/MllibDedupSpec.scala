@@ -23,6 +23,8 @@ class MllibDedupSpec extends SparkSpec {
       .select(col("a"), col("b"),
         size(array_intersect(col("ta"), col("tb"))).as("inter"),
         size(array_union(col("ta"), col("tb"))).as("uni"))
+      // INCLUSIVE >= 0.8: verified empirically — approxSimilarityJoin
+      // retains boundary pairs at jaccard-distance exactly 0.2
       .where(col("inter") * 5 >= col("uni") * 4)
       .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
   }
