@@ -52,21 +52,26 @@ object ConnectedComponents {
     var pendingUnpersist: Seq[DataFrame] = Nil
     while (!converged && iter < maxIterations) {
       val t0 = System.nanoTime()
-      val ls = StarOps.largeStar(pairs) // its count action materializes last iter's checkpoint
-      pendingUnpersist.foreach(_.unpersist(false))
+      // ONE job per round: the large star is fully lazy (its change
+      // count is an Observation) and streams into the small star,
+      // whose count action executes the whole round — materializing
+      // last round's lazy checkpoint on the way.
+      val ls = StarOps.largeStarLazy(pairs)
       val ss = StarOps.smallStar(ls.pairs)
+      val largeCount = ls.changeCount()
+      pendingUnpersist.foreach(_.unpersist(false))
       val next =
         if (reliableCheckpoint) ss.pairs.checkpoint(eager = false)
         else ss.pairs.localCheckpoint(eager = false)
-      pendingUnpersist = Seq(ls.handle, ss.handle)
+      pendingUnpersist = Seq(ss.handle)
       iter += 1
       if (sys.env.contains("GRAFT_CC_VERBOSE"))
-        System.err.println(f"[cc] iter=$iter large=${ls.changeCount} " +
+        System.err.println(f"[cc] iter=$iter large=$largeCount " +
           f"small=${ss.changeCount} ${(System.nanoTime() - t0) / 1e9}%.2fs")
       converged =
-        (ls.changeCount == prevLarge && ss.changeCount == prevSmall) ||
-        (ls.changeCount == 0 && ss.changeCount == 0)
-      prevLarge = ls.changeCount
+        (largeCount == prevLarge && ss.changeCount == prevSmall) ||
+        (largeCount == 0 && ss.changeCount == 0)
+      prevLarge = largeCount
       prevSmall = ss.changeCount
       pairs = next
     }

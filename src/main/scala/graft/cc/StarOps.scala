@@ -46,6 +46,44 @@ object StarOps {
     */
   final case class StarResult(pairs: DataFrame, changeCount: Long, handle: DataFrame)
 
+  /** Large star without its own action or persist: the change count is
+    * an [[org.apache.spark.sql.Observation]] collected DURING whatever
+    * downstream job consumes `pairs` (in the CC loop: the small star's
+    * count action). One job per fixpoint round instead of two, and the
+    * large-star intermediate needs no cache — it streams straight into
+    * the small star's shuffle. `changeCount()` must only be called
+    * after a downstream action has executed `pairs` exactly once.
+    */
+  final case class LazyStarResult(pairs: DataFrame, changeCount: () => Long)
+
+  def largeStarLazy(nodePairs: DataFrame): LazyStarResult = {
+    val sym = nodePairs.select(explode(
+      when(col("src") === col("dst"),
+        array(struct(col("src").as("self"), col("dst").as("nbr"))))
+      .otherwise(array(
+        struct(col("src").as("self"), col("dst").as("nbr")),
+        struct(col("dst").as("self"), col("src").as("nbr"))))
+    ).as("e")).select(col("e.self").as("self"), col("e.nbr").as("nbr"))
+    val grouped = sym.groupBy("self").agg(collect_set("nbr").as("nbrs"))
+    val m = least(col("self"), array_min(col("nbrs")))
+    val srcs = concat(
+      array(col("self")),
+      filter(col("nbrs"), (n: Column) => n > col("self")))
+    val obs = new org.apache.spark.sql.Observation()
+    val computed = grouped
+      .select(
+        srcs.as("srcs"),
+        m.as("dst"),
+        (size(srcs) - when(array_contains(col("nbrs"), m), 1).otherwise(0))
+          .cast("long").as("cnt"))
+      .observe(obs, coalesce(sum(col("cnt")), lit(0L)).as("change"))
+    val pairs = computed.select(explode(col("srcs")).as("src"), col("dst"))
+    // getOrElse: on an empty input Catalyst's PropagateEmptyRelation can
+    // prune the CollectMetrics node entirely — no metric means 0 changes
+    LazyStarResult(pairs,
+      () => obs.get.getOrElse("change", 0L).asInstanceOf[Long])
+  }
+
   def smallStar(nodePairs: DataFrame): StarResult = {
     val oriented = nodePairs.select(
       greatest(col("src"), col("dst")).as("self"),
