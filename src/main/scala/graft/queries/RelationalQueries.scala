@@ -509,6 +509,77 @@ SELECT p_partkey,
 FROM part ORDER BY p_partkey
 """
 
+  /** Multiset set operations (EXCEPT ALL / INTERSECT ALL): nation keys
+    * of BUILDING customers minus MACHINERY ones, multiplicity-aware.
+    */
+  def q21MultisetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val building = c.where(col("c_mktsegment") === "BUILDING").select(col("c_nationkey"))
+    val machinery = c.where(col("c_mktsegment") === "MACHINERY").select(col("c_nationkey"))
+    building.exceptAll(machinery)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("surplus"))
+      .orderBy("c_nationkey")
+  }
+
+  val q21Oracle: String = """
+SELECT c_nationkey, count(*) AS surplus FROM (
+  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT ALL
+  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+)
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+  /** Interval RANGE window frame: per customer, rolling 30-day order
+    * value ending at each order (peer-inclusive — deterministic under
+    * equal order dates by construction).
+    */
+  def q22RangeFrame(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+              dec("o_totalprice").as("v"))
+      .withColumn("rolling_30d",
+        expr("""round(sum(v) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate
+                  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2)""")
+          .cast("double"))
+      .select(col("o_orderkey"), col("rolling_30d"))
+      .orderBy("o_orderkey")
+
+  val q22Oracle: String = """
+SELECT o_orderkey,
+  round(sum(cast(o_totalprice AS decimal(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate
+    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2)::double AS rolling_30d
+FROM orders ORDER BY o_orderkey
+"""
+
+  /** Map construction + lookup: per-user event-type counts as a map,
+    * read back by key (order-independent, so collect_list ordering
+    * cannot leak into the output).
+    */
+  def q23MapFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("n"))))
+             .as("m"))
+      .select(col("user_id"),
+              coalesce(element_at(col("m"), "click"), lit(0L)).as("clicks"),
+              coalesce(element_at(col("m"), "error"), lit(0L)).as("errors"),
+              size(col("m")).as("n_types"))
+      .orderBy("user_id")
+
+  val q23Oracle: String = """
+SELECT user_id,
+  coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS clicks,
+  coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS errors,
+  count(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
@@ -530,6 +601,9 @@ FROM part ORDER BY p_partkey
     "q18_percentiles" -> (q18Percentiles _),
     "q19_date_buckets" -> (q19DateBuckets _),
     "q20_string_funcs" -> (q20StringFuncs _),
+    "q21_multiset_ops" -> (q21MultisetOps _),
+    "q22_range_frame" -> (q22RangeFrame _),
+    "q23_map_funcs" -> (q23MapFuncs _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -553,5 +627,8 @@ FROM part ORDER BY p_partkey
     "q18_percentiles" -> q18Oracle,
     "q19_date_buckets" -> q19Oracle,
     "q20_string_funcs" -> q20Oracle,
+    "q21_multiset_ops" -> q21Oracle,
+    "q22_range_frame" -> q22Oracle,
+    "q23_map_funcs" -> q23Oracle,
   )
 }
