@@ -51,11 +51,15 @@ object CCQueries {
 
   /** Same co-purchase graph, materialized components with sizes —
     * exercises the full reference CCDriver output path
-    * (group by component → sorted member list).
+    * (group by component → sorted member list). `members` is emitted as
+    * the space-joined string the reference's text sink writes
+    * (CCDriver.scala:74); it also keeps the gate's row-sort happy
+    * (array cells are unsortable driver-side).
     */
   def ccCopurchaseComponents(spark: SparkSession, sfDir: String): DataFrame =
     ConnectedComponents.components(copurchaseAssignments(spark, sfDir))
-      .select(col("component"), col("n_members"), col("members"))
+      .select(col("component"), col("n_members"),
+              array_join(col("members"), " ").as("members"))
       .orderBy("component")
 
   /** Same co-purchase graph through the GraphX/Pregel comparator path
@@ -116,7 +120,7 @@ assign AS (
 )
 SELECT component,
        cast(count(*) AS int) AS n_members,
-       list_sort(list(node)) AS members
+       array_to_string(list_sort(list(node)), ' ') AS members
 FROM assign GROUP BY component ORDER BY component
 """
 }

@@ -209,7 +209,7 @@ bitsums AS (
 ),
 fp AS (
   SELECT doc_id,
-         sum(CASE WHEN s > 0 THEN (1::bigint << b) ELSE 0 END) AS simhash
+         cast(sum(CASE WHEN s > 0 THEN (1::bigint << b) ELSE 0 END) AS bigint) AS simhash
   FROM bitsums GROUP BY doc_id
 )
 SELECT doc_id, simhash,

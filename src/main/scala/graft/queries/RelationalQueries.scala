@@ -387,7 +387,7 @@ FROM t
 
   val q15Oracle: String = """
 SELECT event_type, count(*) AS n,
-  sum(cast(json_extract_string(props, '$.k') AS bigint)) AS sum_k,
+  cast(sum(cast(json_extract_string(props, '$.k') AS bigint)) AS bigint) AS sum_k,
   count(DISTINCT cast(json_extract_string(props, '$.k') AS bigint)) AS n_distinct_k
 FROM events
 GROUP BY event_type
@@ -434,10 +434,10 @@ ORDER BY c_mktsegment
 
   val q17Oracle: String = """
 SELECT (user_id % 10) AS user_bucket,
-  coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
-  coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view,
-  coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
-  coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error
+  count(*) FILTER (WHERE event_type = 'click') AS click,
+  count(*) FILTER (WHERE event_type = 'view') AS view,
+  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+  count(*) FILTER (WHERE event_type = 'error') AS error
 FROM events
 GROUP BY 1 ORDER BY user_bucket
 """
@@ -569,13 +569,13 @@ FROM orders ORDER BY o_orderkey
       .select(col("user_id"),
               coalesce(element_at(col("m"), "click"), lit(0L)).as("clicks"),
               coalesce(element_at(col("m"), "error"), lit(0L)).as("errors"),
-              size(col("m")).as("n_types"))
+              size(col("m")).cast("bigint").as("n_types"))
       .orderBy("user_id")
 
   val q23Oracle: String = """
 SELECT user_id,
-  coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS clicks,
-  coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS errors,
+  count(*) FILTER (WHERE event_type = 'click') AS clicks,
+  count(*) FILTER (WHERE event_type = 'error') AS errors,
   count(DISTINCT event_type) AS n_types
 FROM events GROUP BY user_id ORDER BY user_id
 """
