@@ -118,16 +118,27 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
     * (table, bucket), broadcast the query side per bucket.
     *
     * Recall is asserted in SimilaritySpec against [[topkBruteForce]].
-    * No SQL oracle (rows-only check) — seeded gaussian hyperplanes
-    * aren't reproducible in ANSI SQL.
+    * Hyperplane components are derived from md5("t:h:i") arithmetic —
+    * uniform in [-1,1), identical hex in every engine, so unlike a
+    * seeded-PRNG plane set this one has an exact SQL oracle (division
+    * by 2^31 and the subtraction are exact IEEE ops on both sides; a
+    * bucket bit could only diverge if a dot product landed within
+    * ~1e-15 of zero, vanishingly unlikely on continuous data).
     */
+  private[queries] def planeComponent(t: Int, h: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$t:$h:$i".getBytes("UTF-8"))
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    v / 2147483648.0 - 1.0
+  }
+
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val dim = 64
     val nTables = 12
     val bitsPerTable = 5
-    val rnd = new scala.util.Random(42)
     val planes: Array[Array[Array[Double]]] =
-      Array.fill(nTables, bitsPerTable, dim)(rnd.nextGaussian())
+      Array.tabulate(nTables, bitsPerTable, dim)(planeComponent)
     val n = normalized(spark, sfDir)
     // one (table, bucket) key per table, exploded to rows
     val keys = (0 until nTables).map { t =>
@@ -162,6 +173,59 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
               round(col("cos"), 4).as("cos4"))
       .orderBy("query_id", "rank")
   }
+
+  /** Oracle for [[annLsh]]: reproduces the md5-derived hyperplanes,
+    * bucket keys, candidate union, and exact rerank in DuckDB.
+    */
+  val annLshOracle: String = """
+WITH n AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::double) AS v,
+         sqrt(list_sum(list_transform(embedding, x -> (x::double) * (x::double)))) AS nrm
+  FROM embeddings
+),
+u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
+comps AS (
+  SELECT t, h, i,
+         cast('0x' || substr(md5(t || ':' || h || ':' || i), 1, 8) AS bigint)
+           / 2147483648.0 - 1.0 AS w
+  FROM unnest(range(0, 12)) AS tt(t),
+       unnest(range(0, 5)) AS hh(h),
+       unnest(range(0, 64)) AS ii(i)
+),
+planes AS (
+  SELECT t, h, list(w ORDER BY i) AS w FROM comps GROUP BY t, h
+),
+dots AS (
+  SELECT u.vec_id, p.t, p.h,
+         list_sum(list_transform(range(1, len(u.u) + 1), i -> u.u[i] * p.w[i])) AS d
+  FROM u, planes p
+),
+buckets AS (
+  SELECT vec_id,
+         cast(sum(CASE WHEN d >= 0 THEN 1 << h ELSE 0 END) AS bigint) * 100 + t AS bucket
+  FROM dots GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets q JOIN buckets c ON q.bucket = c.bucket
+  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_sum(list_transform(range(1, len(q.u) + 1), i -> q.u[i] * c.u[i])) AS cos
+  FROM cand
+  JOIN u q ON cand.query_id = q.vec_id
+  JOIN u c ON cand.neighbor_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos4
+FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+"""
 
   /** ANN via IVF (inverted-file) coarse quantization: every 25th vector
     * is a centroid (nlist ≈ N/25, deterministic — a k-means step would
@@ -269,7 +333,7 @@ FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
   val oracles: Map[String, String] = Map(
     "sim_cosine_pairs" -> cosinePairsOracle,
     "sim_topk_bruteforce" -> topkOracle,
-    // sim_ann_lsh: rows-only (seeded hyperplanes not reproducible in SQL)
+    "sim_ann_lsh" -> annLshOracle,
     "sim_ann_ivf" -> annIvfOracle,
   )
 }
