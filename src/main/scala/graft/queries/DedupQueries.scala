@@ -336,6 +336,107 @@ walk(node, comp) AS (
 SELECT node AS vec_id, min(comp) AS cluster FROM walk GROUP BY node ORDER BY vec_id
 """
 
+  /** Scale-safe embedding near-dup clustering: LSH bucket candidates →
+    * exact cosine verify → CC. This is the graded 100 TB path for the
+    * problem [[dedupEmbeddingClusters]] solves with an all-pairs join.
+    *
+    * Candidate generation is the md5-hyperplane LSH shared with
+    * [[SimilarityQueries.annLsh]], with bits-per-table ADAPTIVE to the
+    * corpus: the smallest b with 64·2^b >= N (integer-exact, so the
+    * oracle derives the same b from count(*)). Buckets thus number
+    * ~N/64 per table and expected occupancy stays bounded as N grows —
+    * candidates are O(N · occupancy · tables), linear in N, with every
+    * join an equi-join (no cartesian anywhere in the plan). Missed
+    * pairs are the LSH recall trade (the exact query remains the
+    * correctness baseline); found pairs are verified with the exact
+    * dot product before clustering, so precision is 1.0.
+    */
+  /** Verified near-dup pairs (a < b, exact cosine >= 0.4) from LSH
+    * bucket candidates — the linear-in-N stage of [[dedupEmbeddingAnn]].
+    */
+  private[queries] def embeddingAnnPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = SimilarityQueries.normalized(spark, sfDir).localCheckpoint()
+    val nVecs = n.count()
+    val bits = (1 to 30).find(b => (64L << b) >= nVecs).getOrElse(30)
+    val bucketed = SimilarityQueries.lshBuckets(n, nTables = 12, bitsPerTable = bits)
+    val cand = bucketed.as("x").join(bucketed.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .dropDuplicates()
+    cand
+      .join(n.toDF("a", "ua"), "a")
+      .join(n.toDF("b", "ub"), "b")
+      .where(graft.functions.VectorFunctions.dot(col("ua"), col("ub")) >= 0.4)
+      .select(col("a"), col("b"))
+  }
+
+  def dedupEmbeddingAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val verified = embeddingAnnPairs(spark, sfDir)
+      .select(col("b").as("src"), col("a").as("dst"))
+    val selfPairs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("src"), col("vec_id").as("dst"))
+    val res = ConnectedComponents.runAuto(verified.union(selfPairs), maxIterations = 20)
+    require(res.converged, "embedding ANN CC did not converge")
+    res.assignments.toDF("vec_id", "cluster").orderBy("vec_id")
+  }
+
+  val dedupEmbeddingAnnOracle: String = """
+WITH RECURSIVE n AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::double) AS v,
+         sqrt(list_sum(list_transform(embedding, x -> (x::double) * (x::double)))) AS nrm
+  FROM embeddings
+),
+u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
+nbits AS (
+  SELECT min(b) AS b FROM unnest(range(1, 31)) AS t(b)
+  WHERE 64 * (1::bigint << b) >= (SELECT count(*) FROM embeddings)
+),
+comps AS (
+  SELECT t, h, i,
+         cast('0x' || substr(md5(t || ':' || h || ':' || i), 1, 8) AS bigint)
+           / 2147483648.0 - 1.0 AS w
+  FROM unnest(range(0, 12)) AS tt(t),
+       unnest(range(0, 30)) AS hh(h),
+       unnest(range(0, 64)) AS ii(i)
+  WHERE h < (SELECT b FROM nbits)
+),
+planes AS (
+  SELECT t, h, list(w ORDER BY i) AS w FROM comps GROUP BY t, h
+),
+dots AS (
+  SELECT u.vec_id, p.t, p.h,
+         list_sum(list_transform(range(1, len(u.u) + 1), i -> u.u[i] * p.w[i])) AS d
+  FROM u, planes p
+),
+buckets AS (
+  SELECT vec_id,
+         cast(sum(CASE WHEN d >= 0 THEN 1::bigint << h ELSE 0 END) AS bigint) * 100 + t AS bucket
+  FROM dots GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM buckets x JOIN buckets y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+near AS (
+  SELECT a, b FROM cand
+  JOIN u ua ON cand.a = ua.vec_id
+  JOIN u ub ON cand.b = ub.vec_id
+  WHERE list_sum(list_transform(range(1, len(ua.u) + 1), i -> ua.u[i] * ub.u[i])) >= 0.4
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM near
+  UNION
+  SELECT b AS src, a AS dst FROM near
+),
+walk(node, comp) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node AS vec_id, min(comp) AS cluster FROM walk GROUP BY node ORDER BY vec_id
+"""
+
   // ---------------------------------------------------------------
   // MLlib interop: the same near-dup problem through
   // org.apache.spark.ml.feature.MinHashLSH (OR-amplified hash tables +
@@ -384,6 +485,7 @@ SELECT node AS vec_id, min(comp) AS cluster FROM walk GROUP BY node ORDER BY vec
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (ngramJaccardPairs _),
     "dedup_embedding_clusters" -> (dedupEmbeddingClusters _),
+    "dedup_embedding_ann" -> (dedupEmbeddingAnn _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -392,5 +494,6 @@ SELECT node AS vec_id, min(comp) AS cluster FROM walk GROUP BY node ORDER BY vec
     "dedup_simhash" -> dedupSimhashOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_embedding_clusters" -> dedupEmbeddingOracle,
+    "dedup_embedding_ann" -> dedupEmbeddingAnnOracle,
   )
 }

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries {
 
   /** embedding normalized to unit length once, as double array. */
-  private def normalized(spark: SparkSession, sfDir: String): DataFrame =
+  private[queries] def normalized(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"),
         transform(col("embedding"), (x: Column) => x.cast("double")).as("v"))
@@ -133,14 +133,16 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
     v / 2147483648.0 - 1.0
   }
 
-  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (vec_id, bucket) rows over normalized vectors `n`: `nTables`
+    * independent tables of `bitsPerTable` md5-derived hyperplane sign
+    * bits each; key = bits*100 + table. Shared by [[annLsh]] and the
+    * graded ANN dedup ([[DedupQueries.dedupEmbeddingAnn]]).
+    */
+  private[queries] def lshBuckets(n: DataFrame, nTables: Int,
+                                  bitsPerTable: Int): DataFrame = {
     val dim = 64
-    val nTables = 12
-    val bitsPerTable = 5
     val planes: Array[Array[Array[Double]]] =
       Array.tabulate(nTables, bitsPerTable, dim)(planeComponent)
-    val n = normalized(spark, sfDir)
-    // one (table, bucket) key per table, exploded to rows
     val keys = (0 until nTables).map { t =>
       val bits = (0 until bitsPerTable).map { h =>
         val plane = array(planes(t)(h).toIndexedSeq.map(lit): _*)
@@ -148,13 +150,18 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
       }.reduce(_ + _)
       bits * 100 + t // (bucket << tableBits) | table, readable form
     }
+    n.select(col("vec_id"),
+      explode(array(keys.map(_.as("k")): _*)).as("bucket"))
+      .select(col("vec_id"), col("bucket"))
+  }
+
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = normalized(spark, sfDir)
     // Bucket join on bare ids — the 64-double vectors are joined back
     // exactly once per deduped candidate, not carried through the
     // 12-table exploded join.
     val nCk = n.localCheckpoint()
-    val bucketed = nCk.select(col("vec_id"), col("u"),
-      explode(array(keys.map(_.as("k")): _*)).as("bucket"))
-      .select(col("vec_id"), col("bucket"))
+    val bucketed = lshBuckets(nCk, nTables = 12, bitsPerTable = 5)
     val q = bucketed.toDF("query_id", "bucket").where(col("query_id") % 50 === 0)
     val c = bucketed.toDF("neighbor_id", "bucket")
     val w = Window.partitionBy(col("query_id"))
