@@ -4,6 +4,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Mirror file for the JSON result line. Resolved against an explicit
+    // env var, falling back to the JVM's working directory (the sbt build
+    // root when run via `sbt run`); deleted up front so a crashed run
+    // can't leave a stale mirror for a line-parser fallback to pick up.
+    val benchOut = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        sys.props("user.dir") + "/bench.json"))
+    java.nio.file.Files.deleteIfExists(benchOut)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -33,11 +41,10 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
-    // sbt wraps stdout in "[info] " prefixes, which can defeat a
-    // line-oriented JSON parser — mirror the line to a file the driver
-    // can read directly.
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
-      (json + "\n").getBytes("UTF-8"))
+    // Belt and braces: the build routes forked stdout through verbatim
+    // (run / outputStrategy := StdoutOutput), and the line is also
+    // mirrored to a file the driver can read directly.
+    java.nio.file.Files.write(benchOut, (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }
