@@ -353,13 +353,35 @@ SELECT node AS vec_id, min(comp) AS cluster FROM walk GROUP BY node ORDER BY vec
     */
   /** Verified near-dup pairs (a < b, exact cosine >= 0.4) from LSH
     * bucket candidates — the linear-in-N stage of [[dedupEmbeddingAnn]].
+    *
+    * Hot buckets (> AnnMaxBucket vectors) are dropped before the
+    * self-join, mirroring [[minhashPairs]]'s guard: adaptive bits bound
+    * EXPECTED occupancy at ~64, but a degenerate corpus (many
+    * near-identical embeddings) can still pile one bucket high enough
+    * to go quadratic. The cap is 4x the expected occupancy, so on
+    * non-degenerate data it drops nothing (max observed occupancy on
+    * the testdata is 135 at sf0.1).
     */
+  private val AnnMaxBucket = 256
+
   private[queries] def embeddingAnnPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val n = SimilarityQueries.normalized(spark, sfDir).localCheckpoint()
     val nVecs = n.count()
-    val bits = (1 to 30).find(b => (64L << b) >= nVecs).getOrElse(30)
-    val bucketed = SimilarityQueries.lshBuckets(n, nTables = 12, bitsPerTable = bits)
-    val cand = bucketed.as("x").join(bucketed.as("y"),
+    val bits = (1 to 30).find(b => (64L << b) >= nVecs)
+    // Fail loudly past 2^36 vectors: the oracle's nbits CTE goes NULL
+    // there, so a silent clamp to b=30 would diverge from it.
+    require(bits.isDefined,
+      s"adaptive LSH bits: no b in [1,30] with 64*2^b >= $nVecs vectors")
+    // Checkpointed: feeds the hot-bucket count and both self-join sides.
+    val bucketed = SimilarityQueries.lshBuckets(n, nTables = 12,
+        bitsPerTable = bits.get)
+      .localCheckpoint()
+    val cold = bucketed.join(
+      broadcast(bucketed.groupBy("bucket").count()
+          .where(col("count") <= AnnMaxBucket))
+        .select("bucket"),
+      "bucket")
+    val cand = cold.as("x").join(cold.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .dropDuplicates()
@@ -380,7 +402,7 @@ SELECT node AS vec_id, min(comp) AS cluster FROM walk GROUP BY node ORDER BY vec
     res.assignments.toDF("vec_id", "cluster").orderBy("vec_id")
   }
 
-  val dedupEmbeddingAnnOracle: String = """
+  val dedupEmbeddingAnnOracle: String = s"""
 WITH RECURSIVE n AS (
   SELECT vec_id,
          list_transform(embedding, x -> x::double) AS v,
@@ -414,9 +436,13 @@ buckets AS (
          cast(sum(CASE WHEN d >= 0 THEN 1::bigint << h ELSE 0 END) AS bigint) * 100 + t AS bucket
   FROM dots GROUP BY vec_id, t
 ),
+cold AS (
+  SELECT bucket FROM buckets GROUP BY bucket HAVING count(*) <= $AnnMaxBucket
+),
 cand AS (
   SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
   FROM buckets x JOIN buckets y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  WHERE x.bucket IN (SELECT bucket FROM cold)
 ),
 near AS (
   SELECT a, b FROM cand
