@@ -111,27 +111,100 @@ object ConnectedComponents {
     if (e.count() > smallGraphThreshold) run(e, maxIterations)
     else {
       import spark.implicits._
-      val parent = new LongLongMap(1 << 16)
-      // iterative find + full path compression (recursion would blow the
-      // stack on adversarial long chains at the 4M-edge default)
-      def find(x: Long): Long = {
-        var r = x
-        var p = parent.getOrPut(r, r)
-        while (p != r) { r = p; p = parent.getOrPut(r, r) }
-        var c = x
-        while (parent(c) != r) { val nxt = parent(c); parent.put(c, r); c = nxt }
-        r
-      }
-      e.as[(Long, Long)].collect().foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
-      }
-      val labeled = Array.newBuilder[(Long, Long)]
-      parent.foreachKey(n => labeled += ((n, find(n))))
-      CCResult(spark.createDataset(labeled.result().toIndexedSeq)
+      val uf = new LocalUnionFind(1 << 16)
+      e.as[(Long, Long)].collect().foreach { case (a, b) => uf.union(a, b) }
+      CCResult(spark.createDataset(uf.iterator.toIndexedSeq)
                  .toDF("node", "component"),
                converged = true, iterations = 0)
     }
+  }
+
+  /** Two-phase CC — the 100 TB front door over [[run]].
+    *
+    * Phase 1 contracts the graph with a partition-local union-find: one
+    * `mapPartitions` pass, zero shuffles. Each task union-finds the
+    * edges it already holds and emits `(node, rep)` where `rep` is the
+    * min node of the node's task-local component — so every edge
+    * collapses inside its task, and all surviving global connectivity
+    * lives in nodes that appear in more than one task with different
+    * reps. Phase 2 groups the mapping by node (one node's reps form a
+    * clique, star-expanded like any other clique) and solves the rep
+    * graph — O(tasks x components-per-task) nodes, typically orders of
+    * magnitude smaller than the input — with [[runAuto]]: driver
+    * union-find when tiny, otherwise the alternating fixpoint, so the
+    * reference convergence contract still governs the pairs that
+    * remain. Phase 3 joins rep labels back through the mapping (the
+    * rep side is small — AQE broadcasts it).
+    *
+    * Exactness: rep(n) <= n and rep(n) is connected to n, so a
+    * component's minimum rep IS its minimum node (the global min node
+    * is its own rep in every task where it appears) — labels are
+    * bit-identical to [[run]]'s under any partitioning (CCPropertySpec).
+    *
+    * Memory: the task-local map costs 16 bytes/slot over the task's
+    * DISTINCT nodes. With 128 MB input splits (~8M edges of two
+    * bigints) the worst case — every endpoint distinct — is ~256 MB
+    * transient; real graphs sit far below because contraction exists
+    * precisely when nodes repeat. Size
+    * `spark.sql.files.maxPartitionBytes` down if a corpus approaches
+    * the worst case.
+    *
+    * `iterations` reports the inner solve's fixpoint rounds (0 on the
+    * driver path); `converged` is the inner solve's flag.
+    */
+  def runContracted(edges: DataFrame, maxIterations: Int = 20,
+                    smallGraphThreshold: Long = 4L << 20): CCResult = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val mapping = edges.select(
+        col("src").cast("bigint"), col("dst").cast("bigint"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val uf = new LocalUnionFind(1 << 12)
+        it.foreach { case (a, b) => uf.union(a, b) }
+        uf.iterator
+      }
+      .toDF("node", "rep")
+    // One row per node, all reps it received across tasks. Checkpointed:
+    // it feeds the rep-clique expansion AND the final label join.
+    val grouped = mapping.groupBy("node")
+      .agg(collect_set(col("rep")).as("nodes"))
+      .localCheckpoint()
+    val inner = runAuto(EdgeBuilder.starEdges(grouped), maxIterations,
+      smallGraphThreshold)
+    val labels = grouped
+      .select(col("node"), array_min(col("nodes")).as("rep"))
+      .join(inner.assignments.toDF("rep", "component"), "rep")
+      .select(col("node"), col("component"))
+    CCResult(labels, inner.converged, inner.iterations)
+  }
+
+  /** Mutable long-keyed union-find (union-by-min roots + full path
+    * compression; iterative find so adversarial chains can't blow the
+    * stack) over [[LongLongMap]] — the working set of [[runAuto]]'s
+    * driver path and of each [[runContracted]] task.
+    */
+  private[cc] final class LocalUnionFind(initialCapacity: Int) {
+    private val parent = new LongLongMap(initialCapacity)
+    def find(x: Long): Long = {
+      var r = x
+      var p = parent.getOrPut(r, r)
+      while (p != r) { r = p; p = parent.getOrPut(r, r) }
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent.put(c, r); c = nxt }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    /** (node, root) for every node ever seen. Path compression during
+      * iteration only rewrites existing slots — no rehash, so iterating
+      * while compressing is safe.
+      */
+    def iterator: Iterator[(Long, Long)] =
+      parent.keysIterator.map(n => (n, find(n)))
   }
 
   /** Minimal open-addressing long→long map (linear probe, power-of-two
@@ -187,10 +260,10 @@ object ConnectedComponents {
 
     def apply(k: Long): Long = vals(idx(k))
 
-    def foreachKey(f: Long => Unit): Unit = {
-      var i = 0
-      while (i < keys.length) { if (keys(i) != Empty) f(keys(i)); i += 1 }
-    }
+    /** Iterator over the key set as of the call; safe against value
+      * rewrites (path compression) but not against growth.
+      */
+    def keysIterator: Iterator[Long] = keys.iterator.filter(_ != Empty)
   }
 
   /** Reference `run(cliques)` equivalent: cliques (array column) → CC. */

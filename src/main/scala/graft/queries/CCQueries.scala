@@ -20,7 +20,13 @@ object CCQueries {
 
   private def copurchaseAssignments(spark: SparkSession, sfDir: String): DataFrame =
     ccMemo.computeIfAbsent((spark, sfDir), { case (s, d) =>
-      val res = ConnectedComponents.run(copurchaseEdges(s, d), maxIterations = 20)
+      // Two-phase scale path: partition-local union-find contraction,
+      // then the alternating fixpoint (or driver union-find) on the
+      // contracted rep graph. Labels are bit-identical to run()'s —
+      // CCPropertySpec — and cc_graphx cross-checks the same oracle
+      // through Pregel.
+      val res = ConnectedComponents.runContracted(copurchaseEdges(s, d),
+        maxIterations = 20)
       require(res.converged, s"CC did not converge in ${res.iterations} iterations")
       res.assignments
     })

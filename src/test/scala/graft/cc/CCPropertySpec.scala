@@ -106,6 +106,46 @@ class CCPropertySpec extends SparkSpec {
     assert(auto.assignments.as[(Long, Long)].collect().toMap === unionFind(edges))
   }
 
+  test("runContracted matches the fixpoint under every partitioning") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(4321)
+    for (trial <- 1 to 4) {
+      val edges = randomEdges(rnd, 20 + rnd.nextInt(150), 5 + trial * 10)
+      val oracle = unionFind(edges)
+      // Partitioning changes which components phase 1 sees locally —
+      // never the labels.
+      for (parts <- Seq(1, 3, 16)) {
+        val df = edges.toDF("src", "dst").repartition(parts)
+        val res = ConnectedComponents.runContracted(df, maxIterations = 50)
+        assert(res.converged, s"trial $trial parts=$parts did not converge")
+        assert(res.assignments.as[(Long, Long)].collect().toMap === oracle,
+          s"trial $trial parts=$parts mismatch")
+      }
+    }
+  }
+
+  test("runContracted with the distributed inner fixpoint forced") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(888)
+    val edges = randomEdges(rnd, 250, 90)
+    val res = ConnectedComponents.runContracted(
+      edges.toDF("src", "dst").repartition(8),
+      maxIterations = 50, smallGraphThreshold = 0)
+    assert(res.converged && res.iterations > 0) // inner fixpoint ran
+    assert(res.assignments.as[(Long, Long)].collect().toMap === unionFind(edges))
+  }
+
+  test("runContracted on an empty edge set yields an empty assignment") {
+    val s = spark
+    import s.implicits._
+    val res = ConnectedComponents.runContracted(
+      Seq.empty[(Long, Long)].toDF("src", "dst"))
+    assert(res.converged)
+    assert(res.assignments.count() === 0)
+  }
+
   test("agrees with GraphX connectedComponents (Pregel) on a fixed random graph") {
     val s = spark
     import s.implicits._
