@@ -24,7 +24,8 @@ object SparkEntry {
       "cc_components" -> (CCQueries.ccCopurchaseComponents _),
       "cc_graphx" -> (CCQueries.ccGraphx _),
     ) ++ RelationalQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ TextQueries.all ++
+      SimilarityQueries.all ++ TextQueries.all ++ PipelineQueries.all ++
+      IoQueries.all ++
       graft.streaming.StreamingQueries.all ++
       graft.multimodal.MultimodalQueries.all
 
@@ -33,7 +34,8 @@ object SparkEntry {
     "cc_components" -> CCQueries.copurchaseComponentsOracle,
     "cc_graphx" -> CCQueries.copurchaseOracle,
   ) ++ RelationalQueries.oracles ++ DedupQueries.oracles ++
-    SimilarityQueries.oracles ++ TextQueries.oracles ++
+    SimilarityQueries.oracles ++ TextQueries.oracles ++ PipelineQueries.oracles ++
+    IoQueries.oracles ++
     graft.streaming.StreamingQueries.oracles ++
     graft.multimodal.MultimodalQueries.oracles
 }

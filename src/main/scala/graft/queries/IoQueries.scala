@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink round-trips beyond parquet (reference S-family: the
+  * reference reads and writes plain text — CCDriver.scala:48,74; these
+  * queries exercise the same read→write→read contract through Spark's
+  * JSON-lines and CSV codecs). Each query writes `documents` out in the
+  * target format, reads it back, and aggregates — so the graded hash
+  * proves the round-trip lossless, not just that the files appeared.
+  *
+  * The staging dir lives under java.io.tmpdir per (sf, format);
+  * `mode(Overwrite)` keeps reruns idempotent. At scale this is the
+  * ordinary pattern for landing-zone interchange: the write is one
+  * narrow pass, the read re-parallelizes by file split.
+  */
+object IoQueries {
+
+  private def stageDir(sfDir: String, fmt: String): String =
+    java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_io",
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_"), fmt).toString
+
+  private[queries] def aggregated(rt: DataFrame): DataFrame =
+    rt.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("total_chars"),
+           min(md5(col("text"))).as("min_text_md5"))
+      .orderBy("lang")
+
+  /** JSON-lines round-trip (schema inferred on read-back — the
+    * interchange case where the consumer has no schema registry).
+    */
+  def jsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageDir(sfDir, "json")
+    Tables.documents(spark, sfDir).write.mode("overwrite").json(dir)
+    aggregated(spark.read.json(dir))
+  }
+
+  /** CSV round-trip with an explicit schema (header + default quoting;
+    * the corpus text is comma/quote-free, so default options are
+    * lossless — a corpus with embedded delimiters would pin
+    * quote/escape options instead).
+    */
+  def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = stageDir(sfDir, "csv")
+    docs.write.mode("overwrite").option("header", "true").csv(dir)
+    aggregated(spark.read.schema(docs.schema).option("header", "true").csv(dir))
+  }
+
+  private val oracle = """
+SELECT lang, count(*) AS n_docs,
+       cast(sum(n_chars) AS bigint) AS total_chars,
+       min(md5(text)) AS min_text_md5
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_json_roundtrip" -> (jsonRoundtrip _),
+    "io_csv_roundtrip" -> (csvRoundtrip _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "io_json_roundtrip" -> oracle,
+    "io_csv_roundtrip" -> oracle,
+  )
+}

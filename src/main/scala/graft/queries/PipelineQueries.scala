@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation pipeline over `documents`: rule-based quality
+  * filtering, blocklist/PII-pattern redaction, deterministic weighted
+  * source sampling, best-document-per-duplicate-cluster merge, and
+  * fixed-size token chunking. These are the stages that turn a raw
+  * crawl into training data; each is a narrow per-row transform or a
+  * single shuffle, so every one of them scales linearly.
+  *
+  * Determinism rules (the oracle hash-compares): every threshold is an
+  * integer cross-multiplication (no float boundary), every "random"
+  * draw is md5-derived (identical hex in both engines), and the only
+  * doubles are never emitted.
+  */
+object PipelineQueries {
+
+  private val EnStopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  // ---------------------------------------------------------------
+  // Quality filter: 4 integer-exact rules, score = sum, keep >= 3.
+  // ---------------------------------------------------------------
+
+  /** Rule-based quality scoring: length band, mean-token-length band,
+    * stopword floor, type-token-ratio floor — each an integer
+    * cross-multiplied predicate, summed into a 0-4 score with a keep
+    * flag at >= 3. One pass over the tokens, no shuffle at all (the
+    * orderBy exists only for the deterministic gate output).
+    */
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val sw = array(EnStopwords.map(lit): _*)
+    val m = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        size(col("w")).as("n_tokens"),
+        size(array_distinct(col("w"))).as("n_types"),
+        aggregate(col("w"), lit(0L),
+          (acc: Column, x: Column) => acc + length(x)).as("sum_len"),
+        size(filter(col("w"),
+          (x: Column) => array_contains(sw, x))).as("sw_hits"))
+    val score = col("r_len") + col("r_wordlen") + col("r_stopword") + col("r_ttr")
+    m.select(col("doc_id"), col("n_tokens"),
+        col("n_tokens").between(20, 400).cast("int").as("r_len"),
+        (col("sum_len") >= lit(2) * col("n_tokens") &&
+         col("sum_len") <= lit(8) * col("n_tokens")).cast("int").as("r_wordlen"),
+        (col("sw_hits") * 50 >= col("n_tokens")).cast("int").as("r_stopword"),
+        (col("n_types") * 5 >= col("n_tokens")).cast("int").as("r_ttr"))
+      .withColumn("quality_score", score)
+      .withColumn("keep", (score >= 3).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val qualityFilterOracle: String = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+m AS (
+  SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_types,
+         list_sum(list_transform(w, x -> length(x))) AS sum_len,
+         len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS sw_hits
+  FROM t),
+r AS (
+  SELECT doc_id, n_tokens,
+    CASE WHEN n_tokens BETWEEN 20 AND 400 THEN 1 ELSE 0 END AS r_len,
+    CASE WHEN sum_len >= 2 * n_tokens AND sum_len <= 8 * n_tokens THEN 1 ELSE 0 END AS r_wordlen,
+    CASE WHEN sw_hits * 50 >= n_tokens THEN 1 ELSE 0 END AS r_stopword,
+    CASE WHEN n_types * 5 >= n_tokens THEN 1 ELSE 0 END AS r_ttr
+  FROM m)
+SELECT doc_id, n_tokens, r_len, r_wordlen, r_stopword, r_ttr,
+       (r_len + r_wordlen + r_stopword + r_ttr) AS quality_score,
+       CASE WHEN r_len + r_wordlen + r_stopword + r_ttr >= 3 THEN 1 ELSE 0 END AS keep
+FROM r ORDER BY doc_id
+"""
+
+  // ---------------------------------------------------------------
+  // Blocklist / PII-pattern redaction.
+  // ---------------------------------------------------------------
+
+  /** Redact blocklisted terms and digit runs (the corpus carries no real
+    * PII, so the digit-run alternative stands in for phone/ID patterns;
+    * the machinery — one global regexp_replace per row — is identical).
+    * Java and RE2 agree on this regex subset (word boundaries,
+    * alternation, character classes).
+    */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val pat = "\\b(customer|query|value)\\b|[0-9]+"
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '${pat.replace("\\", "\\\\")}', 0)")).as("n_hits"),
+        md5(regexp_replace(col("text"), pat, "[MASK]")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  val piiRedactOracle: String = """
+SELECT doc_id,
+  len(regexp_extract_all(text, '\b(customer|query|value)\b|[0-9]+')) AS n_hits,
+  md5(regexp_replace(text, '\b(customer|query|value)\b|[0-9]+', '[MASK]', 'g')) AS redacted_md5
+FROM documents ORDER BY doc_id
+"""
+
+  // ---------------------------------------------------------------
+  // Deterministic weighted source mixing.
+  // ---------------------------------------------------------------
+
+  /** Weighted dataset mixing: each source gets a sampling rate from its
+    * index (100/75/50/25 %), and a document survives iff its md5-derived
+    * uniform bucket falls under the rate. Pure per-row arithmetic —
+    * deterministic, re-runnable, and (unlike `TABLESAMPLE`) stable
+    * across partitionings and retries, which is what a reproducible
+    * training-mix pipeline needs.
+    */
+  def sampleMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val rate = element_at(
+      array(lit(100), lit(75), lit(50), lit(25)),
+      (substring(col("source"), 4, 10).cast("int") % 4) + 1)
+    val bucket = conv(substring(
+        md5(concat(col("source"), lit(":"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("bigint") % 100
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+              rate.as("rate_pct"), bucket.as("bucket"))
+      .where(col("bucket") < col("rate_pct"))
+      .orderBy("doc_id")
+  }
+
+  val sampleMixOracle: String = """
+SELECT doc_id, source,
+  ([100, 75, 50, 25])[(substr(source, 4)::int % 4) + 1] AS rate_pct,
+  cast('0x' || substr(md5(source || ':' || doc_id), 1, 8) AS bigint) % 100 AS bucket
+FROM documents
+WHERE cast('0x' || substr(md5(source || ':' || doc_id), 1, 8) AS bigint) % 100
+      < ([100, 75, 50, 25])[(substr(source, 4)::int % 4) + 1]
+ORDER BY doc_id
+"""
+
+  // ---------------------------------------------------------------
+  // Best-document-per-cluster merge over the MinHash near-dup clusters.
+  // ---------------------------------------------------------------
+
+  /** Dedup MERGE step: within each [[DedupQueries.dedupMinhashClusters]]
+    * cluster keep the best document (longest, doc_id tie-break) and
+    * flag the rest for drop. The ranking is one window over the
+    * cluster id — the same shuffle the clustering already did — so the
+    * merge adds a single stage to the near-dup pipeline.
+    */
+  def dedupMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val clusters = DedupQueries.dedupMinhashClusters(spark, sfDir)
+    val w = Window.partitionBy(col("cluster"))
+    val rk = row_number().over(
+      w.orderBy(col("n_chars").desc, col("doc_id").asc))
+    clusters
+      .join(Tables.documents(spark, sfDir).select("doc_id", "n_chars"), "doc_id")
+      .select(col("doc_id"), col("cluster"),
+        count(lit(1)).over(w).as("cluster_size"),
+        (rk === 1).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val dedupMergeOracle: String = {
+    // The cluster assignment is exactly the minhash oracle, nested as a
+    // derived table (its ORDER BY is redundant inside the subquery).
+    val clusters = DedupQueries.dedupMinhashOracle
+    s"""
+WITH ranked AS (
+  SELECT c.doc_id, c.cluster, d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster ORDER BY d.n_chars DESC, c.doc_id) AS rk,
+         count(*) OVER (PARTITION BY c.cluster) AS cluster_size
+  FROM ($clusters) c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT doc_id, cluster, cluster_size,
+       CASE WHEN rk = 1 THEN 1 ELSE 0 END AS keep
+FROM ranked ORDER BY doc_id
+"""
+  }
+
+  // ---------------------------------------------------------------
+  // Fixed-size token chunking.
+  // ---------------------------------------------------------------
+
+  private val ChunkTokens = 64
+
+  /** Split every document into consecutive `ChunkTokens`-token chunks
+    * (last chunk ragged): the standard pre-tokenization packing step.
+    * `sequence` + `slice` keep it one codegen'd projection — the row
+    * explosion is bounded by n_tokens/64, and no shuffle happens until
+    * the gate's orderBy.
+    */
+  def tokenChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunk = slice(col("w"), (col("chunk_id") * ChunkTokens + 1).cast("int"),
+      lit(ChunkTokens))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("chunk_id",
+        explode(expr(s"sequence(CAST(0 AS BIGINT), (size(w) + ${ChunkTokens - 1}) div $ChunkTokens - 1)")))
+      .select(col("doc_id"), col("chunk_id"),
+        size(chunk).as("n_chunk_tokens"),
+        md5(array_join(chunk, " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val tokenChunksOracle: String = s"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c AS (SELECT doc_id, w,
+             unnest(range(0, (len(w) + ${ChunkTokens - 1}) // $ChunkTokens)) AS chunk_id
+      FROM t)
+SELECT doc_id, chunk_id,
+  len(list_slice(w, chunk_id * $ChunkTokens + 1, chunk_id * $ChunkTokens + $ChunkTokens)) AS n_chunk_tokens,
+  md5(array_to_string(list_slice(w, chunk_id * $ChunkTokens + 1, chunk_id * $ChunkTokens + $ChunkTokens), ' ')) AS chunk_md5
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_quality_filter" -> (qualityFilter _),
+    "pipe_pii_redact" -> (piiRedact _),
+    "pipe_sample_mix" -> (sampleMix _),
+    "pipe_dedup_merge" -> (dedupMerge _),
+    "pipe_token_chunks" -> (tokenChunks _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "pipe_quality_filter" -> qualityFilterOracle,
+    "pipe_pii_redact" -> piiRedactOracle,
+    "pipe_sample_mix" -> sampleMixOracle,
+    "pipe_dedup_merge" -> dedupMergeOracle,
+    "pipe_token_chunks" -> tokenChunksOracle,
+  )
+}

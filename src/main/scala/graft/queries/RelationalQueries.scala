@@ -284,13 +284,25 @@ ORDER BY l_suppkey
 
   /** Range self-join: event pairs of the same user within 60 seconds
     * (strictly ordered by (ts, event_id) to avoid double counting).
+    *
+    * Joined on (user_id, 60-second time bucket), not user_id alone: the
+    * probe side explodes into its own bucket and the next one (any
+    * partner ≤60s ahead lives in exactly one of the two), the range
+    * predicate stays as the post-filter. A hot user then costs
+    * O(events-per-minute²) per bucket instead of O(total-events²) —
+    * the difference between a skewed key and a quadratic blowup at
+    * 100 TB. Each qualifying pair matches exactly one probe bucket, so
+    * no dedup pass is needed.
     */
   def q12EventBursts(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
-    val a = e.as("a")
+      .withColumn("bkt", expr("unix_micros(ts) div 60000000"))
+    val a = e.withColumn("probe_bkt",
+      explode(array(col("bkt"), col("bkt") + 1))).as("a")
     val b = e.as("b")
     a.join(b,
         col("a.user_id") === col("b.user_id") &&
+        col("b.bkt") === col("a.probe_bkt") &&
         col("b.ts") <= col("a.ts") + expr("INTERVAL 60 SECONDS") &&
         (col("b.ts") > col("a.ts") ||
          (col("b.ts") === col("a.ts") && col("b.event_id") > col("a.event_id"))))
@@ -580,7 +592,46 @@ SELECT user_id,
 FROM events GROUP BY user_id ORDER BY user_id
 """
 
+  /** Extended analytic-window suite: ntile, percent_rank, cume_dist,
+    * lead/lag with defaults, and first_value over one window spec.
+    * The ORDER BY is total (orderkey+linenumber tie-breaks), so every
+    * rank/bucket/offset value is deterministic; the two rational ranks
+    * are round(6)ed identically in both engines (exact int ratios →
+    * identical doubles, boundary-free).
+    */
+  def q24WindowSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_suppkey"))
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_suppkey") <= 20)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        lead(col("l_quantity"), 1, -1).over(w).as("next_qty"),
+        lag(col("l_quantity"), 1, -1).over(w).as("prev_qty"),
+        first(col("l_quantity")).over(w).as("min_qty"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("l_suppkey", "l_quantity", "l_orderkey", "l_linenumber")
+  }
+
+  val q24Oracle: String = """
+SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+  ntile(4) OVER w AS quartile,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  lead(l_quantity, 1, -1) OVER w AS next_qty,
+  lag(l_quantity, 1, -1) OVER w AS prev_qty,
+  first_value(l_quantity) OVER w AS min_qty,
+  round(cume_dist() OVER w, 6) AS cume
+FROM lineitem
+WHERE l_suppkey <= 20
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_quantity, l_orderkey, l_linenumber)
+ORDER BY l_suppkey, l_quantity, l_orderkey, l_linenumber
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_window_suite" -> (q24WindowSuite _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
     "q3_top_orders" -> (q3TopOrders _),
@@ -607,6 +658,7 @@ FROM events GROUP BY user_id ORDER BY user_id
   )
 
   val oracles: Map[String, String] = Map(
+    "q24_window_suite" -> q24Oracle,
     "q1_pricing_summary" -> q1Oracle,
     "q2_revenue_by_nation" -> q2Oracle,
     "q3_top_orders" -> q3Oracle,

@@ -1,0 +1,37 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** The round-trip queries must agree exactly with the same aggregation
+  * computed straight off the parquet source — any codec lossiness
+  * (type coercion, quoting, null handling) shows up as a mismatch.
+  */
+class IoQueriesSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def direct(): Seq[String] =
+    IoQueries.aggregated(Tables.documents(spark, sfDir))
+      .collect().map(_.toString).toSeq
+
+  test("json roundtrip aggregation equals the parquet-direct one") {
+    assert(IoQueries.jsonRoundtrip(spark, sfDir).collect().map(_.toString).toSeq
+      === direct())
+  }
+
+  test("csv roundtrip aggregation equals the parquet-direct one") {
+    assert(IoQueries.csvRoundtrip(spark, sfDir).collect().map(_.toString).toSeq
+      === direct())
+  }
+
+  test("csv roundtrip preserves every row verbatim") {
+    val s = spark
+    val docs = Tables.documents(s, sfDir)
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_io_spec").toString
+    docs.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = s.read.schema(docs.schema).option("header", "true").csv(dir)
+    assert(back.count() === docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+}
