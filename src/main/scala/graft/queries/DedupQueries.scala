@@ -185,7 +185,10 @@ SELECT node AS doc_id, min(comp) AS cluster FROM walk GROUP BY node ORDER BY doc
   // SimHash: 32-bit fingerprint from per-token md5-derived hashes.
   // ---------------------------------------------------------------
 
-  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (doc_id, simhash) fingerprints — shared by [[dedupSimhash]] and
+    * [[dedupSimhashClusters]].
+    */
+  private def simhashFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = docTokens(spark, sfDir)
       .select(col("doc_id"), explode(col("tokens")).as("token"))
       .withColumn("h", conv(substring(md5(col("token")), 1, 8), 16, 10).cast("bigint"))
@@ -196,12 +199,100 @@ SELECT node AS doc_id, min(comp) AS cluster FROM walk GROUP BY node ORDER BY doc
     val perDoc = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val fp = (0 until 32).map(b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    val withFp = perDoc.select(col("doc_id"), fp.as("simhash"))
+    perDoc.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("simhash"))
-    withFp.select(col("doc_id"), col("simhash"),
-                  count(lit(1)).over(w).as("n_same_fp"))
+    simhashFingerprints(spark, sfDir)
+      .select(col("doc_id"), col("simhash"),
+              count(lit(1)).over(w).as("n_same_fp"))
       .orderBy("doc_id")
   }
+
+  /** SimHash near-dup clustering: the fingerprints banded into two
+    * 16-bit halves (pigeonhole: any pair at hamming distance <= 1
+    * shares at least one untouched half, so band-join recall is exact
+    * for the verify radius), hot bands capped at [[SimhashMaxBand]]
+    * docs (same quadratic-blowup guard as the MinHash path; the cap is
+    * wider because 16-bit bands on a self-similar corpus carry much
+    * higher natural occupancy than 128-bit minhash bands — 50 was
+    * measured to drop whole duplicate groups on the testdata),
+    * candidates verified with the exact popcount(xor) <= 1, clusters
+    * via our CC. Candidate cost is O(N · band occupancy), linear in N
+    * under the cap.
+    */
+  private val SimhashMaxBand = 256
+
+  def dedupSimhashClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = simhashFingerprints(spark, sfDir).localCheckpoint()
+    val bands = fp.select(col("doc_id"), col("simhash"),
+        explode(array(
+          (lit(0L) * 65536 + shiftright(col("simhash"), 0).bitwiseAND(lit(65535L))),
+          (lit(1L) * 65536 + shiftright(col("simhash"), 16).bitwiseAND(lit(65535L)))
+        )).as("band"))
+    val cold = bands.join(
+      broadcast(bands.groupBy("band").count().where(col("count") <= SimhashMaxBand))
+        .select("band"),
+      "band")
+    val verified = cold.as("x").join(cold.as("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+              col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .dropDuplicates("a", "b")
+      .where(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 1)
+      .select(col("a"), col("b"))
+    val selfPairs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("src"), col("doc_id").as("dst"))
+    val res = ConnectedComponents.runAuto(
+      verified.select(col("b").as("src"), col("a").as("dst")).union(selfPairs),
+      maxIterations = 20)
+    require(res.converged, "simhash CC did not converge")
+    res.assignments.toDF("doc_id", "cluster").orderBy("doc_id")
+  }
+
+  val dedupSimhashClustersOracle: String = s"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, cast('0x' || substr(md5(token), 1, 8) AS bigint) AS h FROM toks
+),
+bitsums AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed, unnest(range(0, 32)) AS u(b)
+  GROUP BY doc_id, b
+),
+fp AS (
+  SELECT doc_id,
+         cast(sum(CASE WHEN s > 0 THEN (1::bigint << b) ELSE 0 END) AS bigint) AS simhash
+  FROM bitsums GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash, k * 65536 + ((simhash >> (k * 16)) & 65535) AS band
+  FROM fp, unnest(range(0, 2)) AS u(k)
+),
+cold AS (SELECT band FROM bands GROUP BY band HAVING count(*) <= $SimhashMaxBand),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb
+  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
+  WHERE x.band IN (SELECT band FROM cold)
+),
+verified AS (SELECT a, b FROM cand WHERE bit_count(xor(sa, sb)) <= 1),
+edges AS (
+  SELECT a AS src, b AS dst FROM verified
+  UNION
+  SELECT b AS src, a AS dst FROM verified
+),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node AS doc_id, min(comp) AS cluster FROM walk GROUP BY node ORDER BY doc_id
+"""
 
   val dedupSimhashOracle: String = """
 WITH toks AS (
@@ -539,6 +630,7 @@ SELECT node AS vec_id, min(comp) AS cluster FROM walk GROUP BY node ORDER BY vec
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_clusters" -> (dedupMinhashClusters _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_simhash_clusters" -> (dedupSimhashClusters _),
     "dedup_ngram_jaccard" -> (ngramJaccardPairs _),
     "dedup_embedding_clusters" -> (dedupEmbeddingClusters _),
     "dedup_embedding_ann" -> (dedupEmbeddingAnn _),
@@ -548,6 +640,7 @@ SELECT node AS vec_id, min(comp) AS cluster FROM walk GROUP BY node ORDER BY vec
     "dedup_exact" -> dedupExactOracle,
     "dedup_minhash_clusters" -> dedupMinhashOracle,
     "dedup_simhash" -> dedupSimhashOracle,
+    "dedup_simhash_clusters" -> dedupSimhashClustersOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_embedding_clusters" -> dedupEmbeddingOracle,
     "dedup_embedding_ann" -> dedupEmbeddingAnnOracle,

@@ -139,13 +139,59 @@ GROUP BY user_id, sid
 ORDER BY user_id, session_start_us
 """
 
+  /** Arbitrary stateful processing via `flatMapGroupsWithState`: a
+    * hand-rolled per-user accumulator (event count + latest event time
+    * in µs) — the escape hatch for state machines the built-in
+    * aggregates can't express. Update mode emits the running state each
+    * micro-batch; both emitted values are monotone, so the post-sink
+    * `max` collapse yields the final state regardless of how the
+    * replay was batched (robust to maxFilesPerTrigger splits). At
+    * scale the state store bounds memory per user and a timeout
+    * (`GroupStateTimeout`) would expire idle users.
+    */
+  def statefulUserAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val updates = runToCompletion(spark, { sub =>
+      import sub.implicits._
+      eventsStream(sub, sfDir)
+        .select(col("user_id"),
+                unix_micros(col("ts")).as("ts_us"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(
+          OutputMode.Update, GroupStateTimeout.NoTimeout)(
+          (uid: Long, rows: Iterator[(Long, Long)],
+           state: GroupState[(Long, Long)]) => {
+            var (n, last) = state.getOption.getOrElse((0L, Long.MinValue))
+            rows.foreach { case (_, us) =>
+              n += 1
+              if (us > last) last = us
+            }
+            state.update((n, last))
+            Iterator.single((uid, n, last))
+          })
+        .toDF("user_id", "n_events", "last_event_us")
+    }, "update")
+    updates.groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"),
+           max(col("last_event_us")).as("last_event_us"))
+      .orderBy("user_id")
+  }
+
+  val statefulUserAggOracle: String = """
+SELECT user_id, count(*) AS n_events, epoch_us(max(ts)) AS last_event_us
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed_counts" -> (windowedCounts _),
     "stream_sessions" -> (sessions _),
+    "stream_stateful_agg" -> (statefulUserAgg _),
   )
 
   val oracles: Map[String, String] = Map(
     "stream_windowed_counts" -> windowedCountsOracle,
     "stream_sessions" -> sessionsOracle,
+    "stream_stateful_agg" -> statefulUserAggOracle,
   )
 }

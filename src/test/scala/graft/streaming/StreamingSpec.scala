@@ -44,6 +44,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("stateful flatMapGroupsWithState agg equals the batch aggregation") {
+    val streamed = StreamingQueries.statefulUserAgg(spark, sfDir).collect()
+    val batch = graft.queries.Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           max(unix_micros(col("ts"))).as("last_event_us"))
+      .orderBy("user_id")
+      .collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("append mode: watermark gates window emission and drops late data") {
     val s = spark
     import s.implicits._
