@@ -18,7 +18,12 @@ object CCQueries {
   private val ccMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def copurchaseAssignments(spark: SparkSession, sfDir: String): DataFrame =
+  private def copurchaseAssignments(spark: SparkSession, sfDir: String): DataFrame = {
+    // Bounded: a long-lived service cycling many (session, sf) pairs
+    // must not pin checkpointed DataFrames forever. Harness runs touch
+    // <= 3 sf dirs, so the clear never fires there; worst case under a
+    // race is a recompute, never a wrong result.
+    if (ccMemo.size > 4) ccMemo.clear()
     ccMemo.computeIfAbsent((spark, sfDir), { case (s, d) =>
       // Two-phase scale path: partition-local union-find contraction,
       // then the alternating fixpoint (or driver union-find) on the
@@ -30,6 +35,7 @@ object CCQueries {
       require(res.converged, s"CC did not converge in ${res.iterations} iterations")
       res.assignments
     })
+  }
 
   /** Co-purchase graph: two parts are connected iff they appear in the
     * same order. Self-pairs for every part seen in lineitem, so isolated

@@ -120,7 +120,10 @@ ORDER BY doc_id
   private val minhashMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def dedupMinhashClusters(spark: SparkSession, sfDir: String): DataFrame =
+  def dedupMinhashClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    // Bounded like CCQueries.ccMemo: never fires in harness runs,
+    // prevents unbounded growth in a long-lived service.
+    if (minhashMemo.size > 4) minhashMemo.clear()
     minhashMemo.computeIfAbsent((spark, sfDir), { case (s, d) =>
       val pairs = minhashPairs(s, d)
         .select(col("b").as("src"), col("a").as("dst"))
@@ -130,6 +133,7 @@ ORDER BY doc_id
       require(res.converged, "minhash CC did not converge")
       res.assignments.toDF("doc_id", "cluster")
     }).orderBy("doc_id")
+  }
 
   val dedupMinhashOracle: String = s"""
 WITH RECURSIVE toks AS (

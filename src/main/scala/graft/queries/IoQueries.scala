@@ -50,6 +50,33 @@ object IoQueries {
     aggregated(spark.read.schema(docs.schema).option("header", "true").csv(dir))
   }
 
+  /** Hive-style partitioned layout + partition pruning: write
+    * `documents` partitioned by `lang`, read it back filtered to two
+    * languages. The filter prunes at the DIRECTORY level — the scan
+    * never opens the other partitions' files (visible as
+    * `PartitionFilters` in the physical plan), which at 100 TB is the
+    * difference between reading 2 partitions and reading the corpus.
+    * `source` survives the round-trip as a regular column; `lang`
+    * comes back from the directory name.
+    */
+  def partitionedPruning(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageDir(sfDir, "partitioned")
+    Tables.documents(spark, sfDir)
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    spark.read.parquet(dir)
+      .where(col("lang").isin("en", "zh"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang", "source")
+  }
+
+  private val partitionedOracle = """
+SELECT lang, source, count(*) AS n_docs,
+       cast(sum(n_chars) AS bigint) AS total_chars
+FROM documents WHERE lang IN ('en', 'zh')
+GROUP BY lang, source ORDER BY lang, source
+"""
+
   private val oracle = """
 SELECT lang, count(*) AS n_docs,
        cast(sum(n_chars) AS bigint) AS total_chars,
@@ -60,10 +87,12 @@ FROM documents GROUP BY lang ORDER BY lang
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "io_json_roundtrip" -> (jsonRoundtrip _),
     "io_csv_roundtrip" -> (csvRoundtrip _),
+    "io_partitioned_pruning" -> (partitionedPruning _),
   )
 
   val oracles: Map[String, String] = Map(
     "io_json_roundtrip" -> oracle,
     "io_csv_roundtrip" -> oracle,
+    "io_partitioned_pruning" -> partitionedOracle,
   )
 }

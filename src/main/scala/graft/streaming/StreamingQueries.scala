@@ -183,15 +183,64 @@ SELECT user_id, count(*) AS n_events, epoch_us(max(ts)) AS last_event_us
 FROM events GROUP BY user_id ORDER BY user_id
 """
 
+  /** Streaming ETL to a real file sink: stateless filter+project,
+    * append mode into parquet with a checkpoint — the production
+    * landing-zone shape (exactly-once via sink manifest + checkpoint),
+    * unlike the harness-only memory sink the other queries use. Sink
+    * and checkpoint are wiped up front, so the graded result is one
+    * deterministic full replay; an unbounded deployment keeps them and
+    * restarts resume from the checkpoint instead. The verification
+    * aggregate runs BATCH over the sink's parquet — proving the files
+    * themselves, not the in-flight stream, carry the data.
+    */
+  def fileSinkEtl(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_stream_sink",
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+    def wipe(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    val sink = base.resolve("data"); val ck = base.resolve("checkpoint")
+    wipe(sink); wipe(ck)
+    val sub = spark.newSession()
+    sub.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = eventsStream(sub, sfDir)
+      .where(col("event_type").isin("click", "view", "error"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .writeStream.format("parquet")
+      .option("path", sink.toString)
+      .option("checkpointLocation", ck.toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(sink.toString)
+      .groupBy(col("event_type"),
+               datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).as("day0"))
+      .agg(count(lit(1)).as("n"),
+           countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type", "day0")
+  }
+
+  val fileSinkEtlOracle: String = """
+SELECT event_type, (ts::date - DATE '1970-01-01') AS day0,
+       count(*) AS n, count(DISTINCT user_id) AS n_users
+FROM events WHERE event_type IN ('click', 'view', 'error')
+GROUP BY 1, 2 ORDER BY event_type, day0
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed_counts" -> (windowedCounts _),
     "stream_sessions" -> (sessions _),
     "stream_stateful_agg" -> (statefulUserAgg _),
+    "stream_file_sink" -> (fileSinkEtl _),
   )
 
   val oracles: Map[String, String] = Map(
     "stream_windowed_counts" -> windowedCountsOracle,
     "stream_sessions" -> sessionsOracle,
     "stream_stateful_agg" -> statefulUserAggOracle,
+    "stream_file_sink" -> fileSinkEtlOracle,
   )
 }

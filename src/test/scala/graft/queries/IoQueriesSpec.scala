@@ -24,6 +24,23 @@ class IoQueriesSpec extends SparkSpec {
       === direct())
   }
 
+  test("partitioned roundtrip equals parquet-direct and prunes partitions") {
+    import org.apache.spark.sql.functions._
+    val result = IoQueries.partitionedPruning(spark, sfDir)
+    val direct = Tables.documents(spark, sfDir)
+      .where(col("lang").isin("en", "zh"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang", "source")
+    assert(result.collect().map(_.toString).toSeq
+      === direct.collect().map(_.toString).toSeq)
+    // the lang filter must reach the scan as a partition filter, not a
+    // post-scan predicate over all partitions
+    val plan = result.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters:"))
+    assert(pf.exists(_.contains("lang")), s"no lang partition filter in:\n$plan")
+  }
+
   test("csv roundtrip preserves every row verbatim") {
     val s = spark
     val docs = Tables.documents(s, sfDir)

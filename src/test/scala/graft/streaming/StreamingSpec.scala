@@ -55,6 +55,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("file-sink ETL equals the batch filter+aggregate") {
+    val streamed = StreamingQueries.fileSinkEtl(spark, sfDir).collect()
+    val batch = graft.queries.Tables.events(spark, sfDir)
+      .where(col("event_type").isin("click", "view", "error"))
+      .groupBy(col("event_type"),
+               datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).as("day0"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type", "day0")
+      .collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("append mode: watermark gates window emission and drops late data") {
     val s = spark
     import s.implicits._
