@@ -210,12 +210,123 @@ SELECT doc_id, chunk_id,
 FROM c ORDER BY doc_id, chunk_id
 """
 
+  // ---------------------------------------------------------------
+  // Sequence packing: greedy per-source accumulation into 512-token
+  // training sequences.
+  // ---------------------------------------------------------------
+
+  private val SeqTokens = 512
+
+  /** Assign each document to the training sequence its tokens start
+    * in: running token total per source (deterministic doc_id order),
+    * sequence id = floor((cum - n)/512). One window over the same
+    * (source) partitioning the corpus already shuffles by for mixing —
+    * documents longer than a sequence simply span into the next, the
+    * standard greedy packing. At scale the window is per-source and
+    * streams; no global sort exists outside the gate's orderBy.
+    */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+              size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        ((col("cum") - col("n_tokens")) / SeqTokens).cast("bigint").as("seq_id"))
+      .orderBy("doc_id")
+  }
+
+  val packSequencesOracle: String = s"""
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT doc_id, source, n_tokens,
+       cast((cum - n_tokens) // $SeqTokens AS bigint) AS seq_id
+FROM c ORDER BY doc_id
+"""
+
+  // ---------------------------------------------------------------
+  // Vocabulary induction: global token frequencies, top-K by count.
+  // ---------------------------------------------------------------
+
+  /** Top-100 corpus vocabulary with counts and deterministic ranks
+    * (count desc, token asc). The frequency table is a single
+    * map-side-combined aggregation; the rank window runs over the
+    * VOCABULARY (orders of magnitude smaller than the corpus), so the
+    * single-partition window is not a scale hazard.
+    */
+  def vocabTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy(col("n").desc, col("token"))
+    Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 100)
+      .orderBy("rank")
+  }
+
+  val vocabTopKOracle: String = """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY token)
+SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank
+FROM cnt ORDER BY rank LIMIT 100
+"""
+
+  // ---------------------------------------------------------------
+  // Benchmark decontamination: flag training docs sharing an n-gram
+  // window with the held-out set.
+  // ---------------------------------------------------------------
+
+  /** Decontamination pass: `src0` plays the held-out benchmark; every
+    * other document is flagged with its count of distinct shared
+    * 4-gram windows (window size is a parameter — real corpora use
+    * 8-13-token windows; 4 matches this tiny-vocabulary testdata).
+    * The benchmark gram set is small by nature, so it broadcasts and
+    * the flagging join never shuffles the training corpus.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams4 = array_distinct(transform(
+      sequence(lit(1), size(col("w")) - 3),
+      (i: Column) => md5(concat_ws(" ", slice(col("w"), i, lit(4))))))
+    val g = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 4)
+      .select(col("doc_id"), col("source"), explode(grams4).as("g4"))
+    val evalGrams = g.where(col("source") === "src0").select("g4").distinct()
+    g.where(col("source") =!= "src0")
+      .join(broadcast(evalGrams), "g4")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g4")).as("n_shared_4grams"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateOracle: String = """
+WITH g AS (
+  SELECT doc_id, source, unnest(list_distinct([ md5(array_to_string(w[i:i+3], ' '))
+           for i in range(1, len(w) - 2) ])) AS g4
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 4),
+eval_g AS (SELECT DISTINCT g4 FROM g WHERE source = 'src0'),
+train AS (SELECT doc_id, g4 FROM g WHERE source <> 'src0')
+SELECT t.doc_id, count(DISTINCT t.g4) AS n_shared_4grams
+FROM train t JOIN eval_g e ON t.g4 = e.g4
+GROUP BY t.doc_id ORDER BY doc_id
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_quality_filter" -> (qualityFilter _),
     "pipe_pii_redact" -> (piiRedact _),
     "pipe_sample_mix" -> (sampleMix _),
     "pipe_dedup_merge" -> (dedupMerge _),
     "pipe_token_chunks" -> (tokenChunks _),
+    "pipe_pack_sequences" -> (packSequences _),
+    "pipe_vocab_topk" -> (vocabTopK _),
+    "pipe_decontaminate" -> (decontaminate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -224,5 +335,8 @@ FROM c ORDER BY doc_id, chunk_id
     "pipe_sample_mix" -> sampleMixOracle,
     "pipe_dedup_merge" -> dedupMergeOracle,
     "pipe_token_chunks" -> tokenChunksOracle,
+    "pipe_pack_sequences" -> packSequencesOracle,
+    "pipe_vocab_topk" -> vocabTopKOracle,
+    "pipe_decontaminate" -> decontaminateOracle,
   )
 }

@@ -69,6 +69,42 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing: per-source ids contiguous from 0, capacity respected") {
+    val rows = PipelineQueries.packSequences(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      var cum = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("seq_id") === cum / 512, s"$src doc ${r.getAs[Long]("doc_id")}")
+        cum += r.getAs[Int]("n_tokens")
+      }
+      val ids = sorted.map(_.getAs[Long]("seq_id"))
+      assert(ids.head === 0L && ids.toSet === (0L to ids.max).toSet, s"$src gap")
+    }
+  }
+
+  test("vocab top-k: ranks are dense and counts non-increasing") {
+    val rows = PipelineQueries.vocabTopK(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq === (1 to rows.length))
+    val counts = rows.map(_.getAs[Long]("n"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    assert(counts.sum === Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " "))).count())
+  }
+
+  test("decontamination: flagged docs are never from the eval source") {
+    val flagged = PipelineQueries.decontaminate(spark, sfDir).collect()
+    assert(flagged.nonEmpty, "no contamination found — check the gram window")
+    val srcOf = Tables.documents(spark, sfDir).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    flagged.foreach { r =>
+      assert(srcOf(r.getAs[Long]("doc_id")) != "src0")
+      assert(r.getAs[Long]("n_shared_4grams") > 0)
+    }
+  }
+
   test("token chunks partition each document's tokens exactly") {
     val s = spark
     val chunks = PipelineQueries.tokenChunks(s, sfDir).collect()
