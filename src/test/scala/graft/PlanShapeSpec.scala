@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+
+/** 100 TB plan-shape regression guard: no graded query may compile to a
+  * cartesian product or broadcast-nested-loop join, except the three
+  * documented quadratic correctness baselines (each of which has a
+  * graded linear-in-N counterpart: LSH/IVF candidates into the same
+  * verify tail). A refactor that silently degrades a join to NLJ fails
+  * here, not at 100 TB.
+  *
+  * The io_ and stream_ query families execute side effects (file
+  * writes, streaming replay) at construction time, so they are
+  * exercised by their own specs and the DuckDB gate instead;
+  * everything else is planned without execution.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // sim_cosine_pairs / sim_topk_bruteforce: documented quadratic
+  // correctness baselines. dedup_embedding_clusters: same baseline
+  // shape, but its join executes during construction (the CC tail's
+  // driver path collects), so the returned plan can't show it either
+  // way. sim_ann_ivf: its two nested-loop joins broadcast the
+  // FIXED-SIZE centroid table (nlist is independent of N), so they are
+  // linear in N — the exemption is justified, not a smell.
+  private val quadraticBaselines = Set(
+    "sim_cosine_pairs", "sim_topk_bruteforce", "dedup_embedding_clusters",
+    "sim_ann_ivf")
+
+  private val sideEffecting = (n: String) =>
+    n.startsWith("io_") || n.startsWith("stream_")
+
+  private def offenders(plan: SparkPlan): Seq[String] = {
+    val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+    plan.collect {
+      case p if bad.exists(p.nodeName.contains) => p.nodeName
+    }
+  }
+
+  test("no graded query plans a cartesian or nested-loop join") {
+    val checked = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(quadraticBaselines)
+      .filterNot(sideEffecting)
+    assert(checked.size >= 40, s"guard lost coverage: only $checked")
+    val failures = checked.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      // sparkPlan, not executedPlan: AQE wraps the executed plan in an
+      // AdaptiveSparkPlanExec whose collect() sees no children, which
+      // would make this guard vacuously green.
+      val found = offenders(df.queryExecution.sparkPlan)
+      if (found.nonEmpty) Some(s"$name -> ${found.mkString(",")}") else None
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("the quadratic baselines really are the only nested-loop plans") {
+    // inverse guard: if one of them stops being quadratic, promote it
+    // out of the exemption list instead of carrying a stale exemption.
+    // Only the two whose join is visible in the returned plan qualify
+    // (see the exemption comment for the other two).
+    Seq("sim_cosine_pairs", "sim_topk_bruteforce").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      assert(offenders(df.queryExecution.sparkPlan).nonEmpty,
+        s"$name no longer plans a nested-loop join — drop its exemption")
+    }
+  }
+}
