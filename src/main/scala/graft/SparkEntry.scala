@@ -25,7 +25,7 @@ object SparkEntry {
       "cc_graphx" -> (CCQueries.ccGraphx _),
     ) ++ RelationalQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ TextQueries.all ++ PipelineQueries.all ++
-      IoQueries.all ++
+      IoQueries.all ++ GraphQueries.all ++
       graft.streaming.StreamingQueries.all ++
       graft.multimodal.MultimodalQueries.all
 
@@ -35,7 +35,7 @@ object SparkEntry {
     "cc_graphx" -> CCQueries.copurchaseOracle,
   ) ++ RelationalQueries.oracles ++ DedupQueries.oracles ++
     SimilarityQueries.oracles ++ TextQueries.oracles ++ PipelineQueries.oracles ++
-    IoQueries.oracles ++
+    IoQueries.oracles ++ GraphQueries.oracles ++
     graft.streaming.StreamingQueries.oracles ++
     graft.multimodal.MultimodalQueries.oracles
 }

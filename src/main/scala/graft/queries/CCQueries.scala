@@ -18,7 +18,7 @@ object CCQueries {
   private val ccMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def copurchaseAssignments(spark: SparkSession, sfDir: String): DataFrame = {
+  private[queries] def copurchaseAssignments(spark: SparkSession, sfDir: String): DataFrame = {
     // Bounded: a long-lived service cycling many (session, sf) pairs
     // must not pin checkpointed DataFrames forever. Harness runs touch
     // <= 3 sf dirs, so the clear never fires there; worst case under a

@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cc.{ConnectedComponents, EdgeBuilder}
+
+/** Graph analytics beyond connected components, over the same
+  * co-purchase graph the CC queries use (two parts are adjacent iff they
+  * appear in the same order). The reference is a graph library
+  * (/root/reference README.md:2); these queries extend its surface the
+  * way its own users would — degree structure, triangle structure,
+  * component statistics, and incremental label maintenance.
+  *
+  * All four are DuckDB-oracle-exact (no floating point, no sampling).
+  */
+object GraphQueries {
+
+  /** Distinct undirected co-purchase edges, canonically oriented
+    * `(u < v)`. All-pairs per order — required here, unlike CC, because
+    * degree/triangle semantics are about actual adjacency, for which the
+    * star expansion is NOT equivalent. Order sizes bound k, so the O(k²)
+    * expansion is bounded per row; a corpus with unbounded cliques would
+    * cap k upstream (the same knob SCALE.md documents for minhash
+    * buckets).
+    */
+  private def undirectedEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val cliques = Tables.lineitem(spark, sfDir)
+      .groupBy("l_orderkey")
+      .agg(collect_set(col("l_partkey")).as("nodes"))
+    EdgeBuilder.cliqueEdges(cliques)
+      .where(col("src") =!= col("dst"))
+      .select(col("dst").as("u"), col("src").as("v")) // src>=dst ⇒ u<v
+      .distinct()
+  }
+
+  private def allNodes(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").cast("bigint").as("node")).distinct()
+
+  /** Degree histogram: how many nodes have each degree. Isolated parts
+    * (only ever bought alone) surface as degree 0 — same
+    * singleton-visibility contract as the CC path
+    * (reference ConnectedComponent.scala:193-197).
+    *
+    * One shuffle for the distinct-edge set, one for the per-node count,
+    * one tiny one for the histogram; the node-side left join is
+    * broadcast-able at any scale where the degree table fits the
+    * histogram's purpose.
+    */
+  def degreeHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = undirectedEdges(spark, sfDir)
+    val sym = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+    val deg = sym.groupBy("node").agg(count(lit(1)).as("degree"))
+    allNodes(spark, sfDir)
+      .join(deg, Seq("node"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
+  /** Top-20 nodes by triangle participation, via degree-ordered
+    * orientation (Latapy / Schank-Wagner): orient every undirected edge
+    * from its lower-(degree, id) endpoint to the higher, enumerate
+    * wedges at the low vertex, close them against the oriented edge
+    * set. Fanout per vertex is bounded by its oriented out-degree
+    * (≤ O(√m) on any graph), so the wedge join is O(m^{3/2}) worst
+    * case instead of the naive Σdeg² — the difference between a hub
+    * part with 10⁶ co-purchases costing 10¹² wedges and costing ~m.
+    * Triangle SETS are orientation-invariant, so the oracle enumerates
+    * the same triangles with the naive `a<b<c` formulation.
+    */
+  def triangleTop(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = undirectedEdges(spark, sfDir).localCheckpoint()
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // Orient by (deg, id): src is the smaller endpoint under that order.
+    val withDeg = e
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    val oriented = withDeg.select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst"), col("dv").as("ddeg")))
+        .otherwise(
+          struct(col("v").as("src"), col("u").as("dst"), col("du").as("ddeg")))
+        .as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.ddeg"))
+      .localCheckpoint()
+    val e1 = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("db"))
+    val e2 = oriented.select(col("src"), col("dst").as("c"), col("ddeg").as("dc"))
+    val wedges = e1.join(e2, "src")
+      .where(col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c")))
+    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+    val tris = wedges.join(closing, Seq("b", "c"), "left_semi")
+      .select(col("src").as("a"), col("b"), col("c"))
+    val perNode = tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    perNode.orderBy(col("n_tri").desc, col("node")).limit(20)
+  }
+
+  /** Component-size histogram — the "how fragmented is this corpus"
+    * question a dedup pipeline asks of its cluster assignments before
+    * choosing merge policy. The full co-purchase graph collapses into
+    * one giant component at every sf (a 1-row histogram proves
+    * nothing), so this runs on the high-quantity subgraph
+    * (`l_quantity >= 45`), which fragments into hundreds of components
+    * of varied size — the filter reaches the parquet scan as a pushed
+    * predicate before any graph work happens.
+    */
+  def ccSizeHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val cliques = Tables.lineitem(spark, sfDir)
+      .where(col("l_quantity") >= 45)
+      .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("nodes"))
+    ConnectedComponents.runContracted(EdgeBuilder.starEdges(cliques))
+      .assignments
+      .groupBy("component").agg(count(lit(1)).as("comp_size"))
+      .groupBy("comp_size").agg(count(lit(1)).as("n_components"))
+      .orderBy("comp_size")
+  }
+
+  /** Incremental CC maintenance: labels for the FULL graph computed as
+    * base labels (orders with `l_orderkey % 10 != 7`) + a delta pass
+    * over the remaining orders, WITHOUT re-solving the base graph.
+    *
+    * The delta's endpoints are contracted through the base labels, the
+    * fixpoint runs only on the resulting label-level graph (# distinct
+    * touched labels + new nodes — orders of magnitude smaller than the
+    * graph), and the result is composed back through the base
+    * assignment. Because base labels are the minima of their base
+    * components, the label-graph minimum IS the merged component's
+    * global minimum — so the output is bit-identical to a from-scratch
+    * run, which is exactly what the oracle checks (it re-solves the
+    * whole graph recursively). This is the 100 TB daily-ingest shape:
+    * yesterday's labels are data, only the delta is computed.
+    *
+    * Runs on the high-quantity subgraph (hundreds of components, see
+    * [[ccSizeHist]]) so delta merges actually RELABEL components — on
+    * the full one-giant-component graph every node would share one
+    * label and a composition bug could hide.
+    */
+  def ccIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).where(col("l_quantity") >= 45)
+    def cliquesWhere(p: org.apache.spark.sql.Column): DataFrame = li.where(p)
+      .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("nodes"))
+    val base = ConnectedComponents.runContracted(
+        EdgeBuilder.starEdges(cliquesWhere(col("l_orderkey") % 10 =!= 7)))
+      .assignments.localCheckpoint()
+    val delta = EdgeBuilder.starEdges(cliquesWhere(col("l_orderkey") % 10 === 7))
+    // Contract delta endpoints through base labels; unseen nodes map to
+    // themselves. The base side of these joins is the full assignment —
+    // at scale it is the big side, so the delta (small side) broadcasts.
+    val srcLbl = base.toDF("src", "src_lbl")
+    val dstLbl = base.toDF("dst", "dst_lbl")
+    val labelEdges = delta
+      .join(srcLbl, Seq("src"), "left")
+      .join(dstLbl, Seq("dst"), "left")
+      .select(coalesce(col("src_lbl"), col("src")).as("src"),
+              coalesce(col("dst_lbl"), col("dst")).as("dst"))
+    val inner = ConnectedComponents.runAuto(labelEdges)
+    val relabel = inner.assignments.toDF("component", "new_component")
+    val rebased = base
+      .join(relabel, Seq("component"), "left")
+      .select(col("node"),
+              coalesce(col("new_component"), col("component")).as("component"))
+    // Nodes introduced by the delta (never seen in base): their ids
+    // appear verbatim in the label graph, so the inner solve labels
+    // them directly.
+    val deltaOnly = delta.select(col("src").as("node"))
+      .unionAll(delta.select(col("dst").as("node")))
+      .distinct()
+      .join(base.select("node"), Seq("node"), "left_anti")
+      .join(inner.assignments.toDF("node", "component"), Seq("node"), "left")
+    rebased.unionAll(deltaOnly).orderBy("node")
+  }
+
+  private val edgesCte = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+nodes AS (SELECT DISTINCT l_partkey AS node FROM li)
+"""
+
+  private val degreeHistOracle: String = edgesCte + """
+, sym AS (SELECT u AS node FROM e UNION ALL SELECT v FROM e),
+deg AS (SELECT node, count(*) AS degree FROM sym GROUP BY node)
+SELECT coalesce(d.degree, 0) AS degree, count(*) AS n_nodes
+FROM nodes n LEFT JOIN deg d ON n.node = d.node
+GROUP BY 1 ORDER BY 1
+"""
+
+  private val triangleTopOracle: String = edgesCte + """
+, tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+pernode AS (
+  SELECT node, count(*) AS n_tri FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT node, n_tri FROM pernode ORDER BY n_tri DESC, node LIMIT 20
+"""
+
+  private val ccSizeHistOracle: String = """
+WITH RECURSIVE li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45
+),
+edges AS (
+  SELECT b.l_partkey AS src, a.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  UNION
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+nodes AS (SELECT DISTINCT l_partkey AS node FROM li),
+walk(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+),
+assign AS (SELECT node, min(comp) AS component FROM walk GROUP BY node),
+sizes AS (SELECT component, count(*) AS comp_size FROM assign GROUP BY component)
+SELECT comp_size, count(*) AS n_components FROM sizes GROUP BY comp_size
+ORDER BY comp_size
+"""
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_degree_hist" -> (degreeHist _),
+    "graph_triangle_top" -> (triangleTop _),
+    "cc_size_hist" -> (ccSizeHist _),
+    "cc_incremental" -> (ccIncremental _),
+  )
+
+  // The incremental path must converge to the same labels as a
+  // from-scratch solve — so its oracle re-solves the whole (sparse)
+  // graph recursively.
+  private val ccIncrementalOracle: String = """
+WITH RECURSIVE li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45
+),
+edges AS (
+  SELECT b.l_partkey AS src, a.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  UNION
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+nodes AS (SELECT DISTINCT l_partkey AS node FROM li),
+walk(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
+"""
+
+  val oracles: Map[String, String] = Map(
+    "graph_degree_hist" -> degreeHistOracle,
+    "graph_triangle_top" -> triangleTopOracle,
+    "cc_size_hist" -> ccSizeHistOracle,
+    "cc_incremental" -> ccIncrementalOracle,
+  )
+}
