@@ -24,10 +24,23 @@ object Bench {
     spark.range(2000000).selectExpr("sum(id)").collect()
     spark.range(100000).selectExpr("id % 97 AS k", "id AS v")
       .groupBy("k").count().count()
+    // Touch every input table once (footer reads, Hadoop FS init, OS
+    // page cache) so those one-time costs aren't charged to whichever
+    // query happens to run first — in earlier rounds that randomly
+    // inflated one query by ~6s when Map ordering shifted. nanosAsLong:
+    // events.ts is TIMESTAMP(NANOS), unreadable otherwise (see Tables).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    java.nio.file.Files.list(java.nio.file.Paths.get(sfDir)).forEach { p =>
+      if (p.toString.endsWith(".parquet"))
+        spark.read.parquet(p.toString).count()
+    }
     // A failed query is recorded as -1 (visible in the JSON) and kept
     // out of the total — silently charging its elapsed time would make
     // a broken suite look fast.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    //
+    // Sorted by name: Map iteration order changes whenever a query is
+    // added, which made per-query times incomparable across rounds.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case t: Throwable =>
@@ -38,7 +51,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // Belt and braces: the build routes forked stdout through verbatim

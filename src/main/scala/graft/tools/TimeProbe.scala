@@ -1,0 +1,33 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Times named graded queries (count() action) after the same warmup the
+  * bench does — for iterating on one query's plan without paying a full
+  * bench run. Usage:
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *     runMain graft.tools.TimeProbe graph_triangle_top graph_degree_hist
+  */
+object TimeProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(2000000).selectExpr("sum(id)").collect()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    java.nio.file.Files.list(java.nio.file.Paths.get(sfDir)).forEach { p =>
+      if (p.toString.endsWith(".parquet")) spark.read.parquet(p.toString).count()
+    }
+    args.foreach { n =>
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(n)(spark, sfDir).count()
+      println(f"[time] $n ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    spark.stop()
+  }
+}
