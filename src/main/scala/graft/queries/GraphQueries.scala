@@ -197,6 +197,82 @@ object GraphQueries {
     rebased.unionAll(deltaOnly).orderBy("node")
   }
 
+  /** Top-20 nodes by PageRank (damping 0.85, 5 power iterations) over
+    * the directed-both-ways co-purchase graph.
+    *
+    * Ranks are FIXED-POINT INTEGERS (scale 10⁹): every operation is
+    * integer multiply / integer floor-divide, so Spark and the DuckDB
+    * oracle (the same recurrence unrolled as 5 CTE pairs) agree
+    * bit-for-bit — no float summation-order noise, which would defeat
+    * the hash gate. Precision: deg ≤ 10⁵ loses ≤ 10⁻⁴ relative rank
+    * per hop — invisible at a top-20 granularity. Overflow headroom:
+    * 85 × n × 10⁹ needs n < 10⁸ nodes per component mass; a bigger
+    * graph would drop Scale to 10⁶.
+    *
+    * Scale shape: one iteration = one broadcast-able join of ranks
+    * (n rows) into the contribution edge list (m rows, built ONCE and
+    * checkpointed) + one map-side-combined sum — the textbook
+    * distributed PageRank step. Iteration count is fixed (5), so the
+    * whole run is one lazy 5-deep plan, a single job; no driver data
+    * loop.
+    */
+  def pageRankTop(spark: SparkSession, sfDir: String): DataFrame = {
+    val scaleF = 1000000000L // 10⁹ fixed-point
+    val base = 150000000L // 0.15 × scale
+    val iters = 5
+    val e = undirectedEdges(spark, sfDir)
+    val dedges = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+    val deg = dedges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val contribEdges = dedges.join(deg, "src").localCheckpoint()
+    val nodes = allNodes(spark, sfDir)
+    var ranks = nodes.select(col("node"), lit(scaleF).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = contribEdges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("rank div deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("c"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"$base + (85 * coalesce(c, cast(0 AS bigint))) div 100")
+            .as("rank"))
+    }
+    ranks.orderBy(col("rank").desc, col("node")).limit(20)
+  }
+
+  /** k-hop reachability histogram: how many nodes are FIRST reached at
+    * hop 0..4 from the seed (the minimum part id) — the ego-network
+    * growth curve around a node. Hop bound fixed at 4 on both sides
+    * (the oracle's recursive walk carries the same cap), so the
+    * semantics are "the 4-hop neighborhood", not "BFS until frontier
+    * exhaustion" — no data-dependent iteration count, no driver loop.
+    *
+    * Each hop is frontier ⋈ edges + distinct; the frontier is lazily
+    * checkpointed so hop h isn't recomputed by hop h+1's lineage.
+    * The only driver-side value is the 1-scalar seed lookup.
+    */
+  def khopHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val hops = 4
+    val e = undirectedEdges(spark, sfDir)
+    val dedges = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(false)
+    val seed = allNodes(spark, sfDir).agg(min(col("node"))).head.getLong(0)
+    import spark.implicits._
+    var frontier = Seq(seed).toDF("node").localCheckpoint(false)
+    var layers = frontier.withColumn("d", lit(0))
+    for (h <- 1 to hops) {
+      frontier = frontier
+        .join(dedges, frontier("node") === dedges("src"))
+        .select(col("dst").as("node")).distinct()
+        .localCheckpoint(false)
+      layers = layers.unionAll(frontier.withColumn("d", lit(h)))
+    }
+    layers.groupBy("node").agg(min(col("d")).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("d")
+  }
+
   private val edgesCte = """
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 e AS (
@@ -257,9 +333,65 @@ SELECT comp_size, count(*) AS n_components FROM sizes GROUP BY comp_size
 ORDER BY comp_size
 """
 
+  /** The PageRank recurrence unrolled: 5 (contribution, rank) CTE pairs
+    * doing the same integer fixed-point arithmetic as [[pageRankTop]].
+    * Generated by the same loop bound so Spark and oracle can't drift.
+    */
+  private val pageRankOracle: String = {
+    val rounds = (1 to 5).map { i =>
+      s""",
+c$i AS (
+  SELECT d.dst AS node, cast(sum(r.rank // g.deg) AS bigint) AS c
+  FROM dedges d
+  JOIN r${i - 1} r ON r.node = d.src
+  JOIN deg g ON g.node = d.src
+  GROUP BY 1
+),
+r$i AS (
+  SELECT n.node,
+         cast(150000000 + (85 * coalesce(c.c, 0)) // 100 AS bigint) AS rank
+  FROM nodes n LEFT JOIN c$i c ON c.node = n.node
+)"""
+    }.mkString
+    edgesCte + """
+, dedges AS (SELECT u AS src, v AS dst FROM e
+             UNION ALL SELECT v AS src, u AS dst FROM e),
+deg AS (SELECT src AS node, count(*) AS deg FROM dedges GROUP BY 1),
+r0 AS (SELECT node, cast(1000000000 AS bigint) AS rank FROM nodes)
+""" + rounds + """
+SELECT node, rank FROM r5 ORDER BY rank DESC, node LIMIT 20
+"""
+  }
+
+  /** Recursive walk carrying the hop counter, capped at 4 hops exactly
+    * as the Spark side is; first-reach = min(d) per node.
+    */
+  private val khopOracle: String = """
+WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+dedges AS (SELECT u AS src, v AS dst FROM e
+           UNION ALL SELECT v AS src, u AS dst FROM e),
+nodes AS (SELECT DISTINCT l_partkey AS node FROM li),
+seed AS (SELECT min(node) AS node FROM nodes),
+walk(node, d) AS (
+  SELECT node, 0 FROM seed
+  UNION
+  SELECT de.dst, w.d + 1 FROM walk w JOIN dedges de ON de.src = w.node
+  WHERE w.d < 4
+),
+reach AS (SELECT node, min(d) AS d FROM walk GROUP BY node)
+SELECT d, count(*) AS n_nodes FROM reach GROUP BY d ORDER BY d
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_degree_hist" -> (degreeHist _),
     "graph_triangle_top" -> (triangleTop _),
+    "graph_pagerank_top" -> (pageRankTop _),
+    "graph_khop_hist" -> (khopHist _),
     "cc_size_hist" -> (ccSizeHist _),
     "cc_incremental" -> (ccIncremental _),
   )
@@ -292,6 +424,8 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
   val oracles: Map[String, String] = Map(
     "graph_degree_hist" -> degreeHistOracle,
     "graph_triangle_top" -> triangleTopOracle,
+    "graph_pagerank_top" -> pageRankOracle,
+    "graph_khop_hist" -> khopOracle,
     "cc_size_hist" -> ccSizeHistOracle,
     "cc_incremental" -> ccIncrementalOracle,
   )
