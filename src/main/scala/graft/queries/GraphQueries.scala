@@ -226,18 +226,30 @@ object GraphQueries {
     val deg = dedges.groupBy("src").agg(count(lit(1)).as("deg"))
     val contribEdges = dedges.join(deg, "src").localCheckpoint()
     val nodes = allNodes(spark, sfDir)
-    var ranks = nodes.select(col("node"), lit(scaleF).as("rank"))
-    for (_ <- 1 to iters) {
-      val contribs = contribEdges
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr("rank div deg").as("c"))
+    // State between iterations is the CONTRIBUTION table (nodes with
+    // in-edges only, ≤ |V| rows), not the full rank vector: rank(x) is
+    // recoverable as base + 85·c/100 with c=0 for absent nodes, so each
+    // iteration is ONE broadcast of the previous contributions
+    // left-joined into the (checkpointed, never reshuffled) edge list
+    // plus one map-side-combined sum — iteration 1 skips even that,
+    // since the initial rank is a constant.
+    val zero = "cast(0 AS bigint)"
+    var contribs = contribEdges
+      .select(col("dst").as("node"), expr(s"$scaleF div deg").as("c"))
+      .groupBy("node").agg(sum(col("c")).as("c"))
+    for (_ <- 2 to iters) {
+      contribs = contribEdges
+        .join(broadcast(contribs.withColumnRenamed("node", "src")),
+          Seq("src"), "left")
+        .select(col("dst").as("node"),
+          expr(s"($base + (85 * coalesce(c, $zero)) div 100) div deg")
+            .as("c"))
         .groupBy("node").agg(sum(col("c")).as("c"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          expr(s"$base + (85 * coalesce(c, cast(0 AS bigint))) div 100")
-            .as("rank"))
     }
-    ranks.orderBy(col("rank").desc, col("node")).limit(20)
+    nodes.join(broadcast(contribs), Seq("node"), "left")
+      .select(col("node"),
+        expr(s"$base + (85 * coalesce(c, $zero)) div 100").as("rank"))
+      .orderBy(col("rank").desc, col("node")).limit(20)
   }
 
   /** k-hop reachability histogram: how many nodes are FIRST reached at
@@ -247,9 +259,14 @@ object GraphQueries {
     * semantics are "the 4-hop neighborhood", not "BFS until frontier
     * exhaustion" — no data-dependent iteration count, no driver loop.
     *
-    * Each hop is frontier ⋈ edges + distinct; the frontier is lazily
-    * checkpointed so hop h isn't recomputed by hop h+1's lineage.
-    * The only driver-side value is the 1-scalar seed lookup.
+    * Each hop is a BROADCAST of the frontier (≤ |V| node ids — tiny
+    * next to the edge list) hash-joined into the edge table, so the
+    * edges are scanned but never shuffled; the only shuffles are the
+    * per-hop frontier `distinct`s and the final two aggregations. The
+    * frontier is lazily checkpointed so hop h isn't recomputed by hop
+    * h+1's lineage. The only driver-side value is the 1-scalar seed
+    * lookup. (An ego net whose frontier outgrows broadcast would drop
+    * the hint and degrade to a shuffled join of the same shape.)
     */
   def khopHist(spark: SparkSession, sfDir: String): DataFrame = {
     val hops = 4
@@ -262,8 +279,8 @@ object GraphQueries {
     var frontier = Seq(seed).toDF("node").localCheckpoint(false)
     var layers = frontier.withColumn("d", lit(0))
     for (h <- 1 to hops) {
-      frontier = frontier
-        .join(dedges, frontier("node") === dedges("src"))
+      frontier = dedges
+        .join(broadcast(frontier), dedges("src") === frontier("node"))
         .select(col("dst").as("node")).distinct()
         .localCheckpoint(false)
       layers = layers.unionAll(frontier.withColumn("d", lit(h)))
