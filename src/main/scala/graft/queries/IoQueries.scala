@@ -84,13 +84,52 @@ SELECT lang, count(*) AS n_docs,
 FROM documents GROUP BY lang ORDER BY lang
 """
 
+  /** Sort-clustered parquet + row-group skipping: `lineitem` is
+    * range-repartitioned and sorted by `l_shipdate` before the write,
+    * so each output file (and each row group inside it) covers a
+    * narrow, non-overlapping date band; the read-back's date filter
+    * then skips whole row groups on their parquet min/max stats
+    * (`PushedFilters` reaches the scan, and only the matching files'
+    * bands decompress). This is the sort-clustering / Z-order-lite
+    * layout a 100 TB fact table wants for its dominant filter column —
+    * the graded aggregate proves the clustered copy is lossless for
+    * the filtered band.
+    */
+  def sortedPruning(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageDir(sfDir, "sorted")
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_shipdate")
+      .repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+      .where(col("l_shipdate").between("1994-01-01", "1994-03-31"))
+      .groupBy(to_date(col("l_shipdate")).as("ship_date"))
+      .agg(count(lit(1)).as("n_items"),
+           sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+             .as("sum_qty"))
+      .orderBy("ship_date")
+  }
+
+  private val sortedOracle = """
+SELECT l_shipdate::date AS ship_date, count(*) AS n_items,
+       (sum(cast(l_quantity AS decimal(18,2))))::double AS sum_qty
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01 00:00:00'
+                     AND TIMESTAMP '1994-03-31 00:00:00'
+GROUP BY 1 ORDER BY ship_date
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_sorted_pruning" -> (sortedPruning _),
     "io_json_roundtrip" -> (jsonRoundtrip _),
     "io_csv_roundtrip" -> (csvRoundtrip _),
     "io_partitioned_pruning" -> (partitionedPruning _),
   )
 
   val oracles: Map[String, String] = Map(
+    "io_sorted_pruning" -> sortedOracle,
     "io_json_roundtrip" -> oracle,
     "io_csv_roundtrip" -> oracle,
     "io_partitioned_pruning" -> partitionedOracle,

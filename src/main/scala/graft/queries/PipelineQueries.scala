@@ -318,7 +318,47 @@ FROM train t JOIN eval_g e ON t.g4 = e.g4
 GROUP BY t.doc_id ORDER BY doc_id
 """
 
+  // ---------------------------------------------------------------
+  // Deterministic train/validation/test split.
+  // ---------------------------------------------------------------
+
+  /** Holdout assignment: each document lands in train (90 %) / val
+    * (5 %) / test (5 %) by its md5-derived uniform bucket — a pure
+    * per-row projection, so the split is identical under any
+    * repartitioning, retry, or incremental re-run (every property
+    * `TABLESAMPLE` or `randomSplit` lacks). Keyed on (source, doc_id) so adding a new
+    * source never reassigns existing documents — the invariant that
+    * keeps yesterday's eval set out of tomorrow's training run.
+    * Output is the per-source × split contingency table (the thing a
+    * pipeline asserts on before training).
+    */
+  def trainSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = conv(substring(
+        md5(concat(col("source"), lit("#"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("bigint") % 100
+    val split = when(bucket < 90, "train")
+      .when(bucket < 95, "val").otherwise("test")
+    Tables.documents(spark, sfDir)
+      .select(col("source"), split.as("split"))
+      .groupBy("source", "split").agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "split")
+  }
+
+  val trainSplitOracle: String = """
+WITH b AS (
+  SELECT source,
+         cast('0x' || substr(md5(source || '#' || doc_id), 1, 8) AS bigint) % 100
+           AS bucket
+  FROM documents)
+SELECT source,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM b GROUP BY 1, 2 ORDER BY source, split
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_train_split" -> (trainSplit _),
     "pipe_quality_filter" -> (qualityFilter _),
     "pipe_pii_redact" -> (piiRedact _),
     "pipe_sample_mix" -> (sampleMix _),
@@ -330,6 +370,7 @@ GROUP BY t.doc_id ORDER BY doc_id
   )
 
   val oracles: Map[String, String] = Map(
+    "pipe_train_split" -> trainSplitOracle,
     "pipe_quality_filter" -> qualityFilterOracle,
     "pipe_pii_redact" -> piiRedactOracle,
     "pipe_sample_mix" -> sampleMixOracle,
