@@ -36,8 +36,14 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: custom expressions + the
+  * range-join bucketing optimizer rule (the runtime-registration
+  * equivalents are `GraftFunctions.register(spark)` and
+  * `spark.experimental.extraOptimizations :+= RangeBucketJoin`).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.inject(ext)
+    ext.injectOptimizerRule(_ => graft.plans.RangeBucketJoin)
+  }
 }

@@ -106,6 +106,30 @@ class RangeBucketJoinSpec extends SparkSpec {
     }
   }
 
+  test("seeded random bands: exact parity with brute force (30 cases)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    withRule {
+      for (i <- 1 to 30) {
+        val n = 1 + rnd.nextInt(40)
+        val m = 1 + rnd.nextInt(40)
+        val span = 1 + rnd.nextInt(200)
+        val as = Seq.fill(n)(rnd.nextLong() % span)
+        val bs = Seq.fill(m)(rnd.nextLong() % span)
+        val lo = rnd.nextLong() % 20
+        val w = 1 + rnd.nextInt(30)
+        val hi = lo + w
+        val expected = (for { x <- as; y <- bs if y >= x + lo && y <= x + hi }
+          yield (x, y)).sorted
+        val joined = as.toDF("ta").join(bs.toDF("tb"),
+          col("tb") >= col("ta") + lit(lo) && col("tb") <= col("ta") + lit(hi))
+        assert(physical(joined).contains("__graft_rb"), s"case $i: no fire")
+        val got = joined.select("ta", "tb").as[(Long, Long)].collect().sorted
+        assert(got.toSeq == expected, s"case $i: n=$n m=$m lo=$lo hi=$hi")
+      }
+    }
+  }
+
   test("rule is a no-op when not registered (baseline sanity)") {
     import spark.implicits._
     val a = (0L to 5L).toDF("t").select(col("t").as("ta"))
