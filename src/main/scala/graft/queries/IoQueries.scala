@@ -104,8 +104,8 @@ FROM documents GROUP BY lang ORDER BY lang
       .sortWithinPartitions("l_shipdate")
       .write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir)
-      .where(col("l_shipdate").between("1994-01-01", "1994-03-31"))
-      .groupBy(to_date(col("l_shipdate")).as("ship_date"))
+      .where(col("l_shipdate").between("1996-01-01", "1996-03-31"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
       .agg(count(lit(1)).as("n_items"),
            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
              .as("sum_qty"))
@@ -113,11 +113,11 @@ FROM documents GROUP BY lang ORDER BY lang
   }
 
   private val sortedOracle = """
-SELECT l_shipdate::date AS ship_date, count(*) AS n_items,
+SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_date, count(*) AS n_items,
        (sum(cast(l_quantity AS decimal(18,2))))::double AS sum_qty
 FROM lineitem
-WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01 00:00:00'
-                     AND TIMESTAMP '1994-03-31 00:00:00'
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                     AND TIMESTAMP '1996-03-31 00:00:00'
 GROUP BY 1 ORDER BY ship_date
 """
 

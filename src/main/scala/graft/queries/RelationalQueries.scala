@@ -672,7 +672,91 @@ GROUP BY a.user_id
 ORDER BY a.user_id
 """
 
+  /** Calendar densification (gap-fill): one row per day of 1994-Q1,
+    * including days with NO orders (zero-filled), plus a running
+    * cumulative count. The day spine comes from `sequence()` exploded —
+    * generated, not scanned — and the fact side left-joins onto it;
+    * the spine is one literal-range expression per partition, so at
+    * scale the fill costs one broadcast-sized dimension, never a scan
+    * of the fact table's date domain. The time-series shape every
+    * metrics warehouse needs (dashboards can't tolerate missing days).
+    */
+  def q26GapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val spine = spark.range(1)
+      .select(explode(expr(
+        "sequence(DATE '1996-01-01', DATE '1996-03-31', INTERVAL 1 DAY)"))
+        .as("day"))
+    val daily = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate").between("1996-01-01", "1996-03-31"))
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    spine.join(daily, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n"), lit(0L)).as("n_orders"))
+      .withColumn("cum_orders",
+        sum(col("n_orders")).over(org.apache.spark.sql.expressions.Window
+          .orderBy("day").rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy("day")
+  }
+
+  // day emitted as 'yyyy-MM-dd' strings on both sides: parquet DATE
+  // (Spark) and DuckDB DATE reach pandas as different dtypes
+  // (object-date vs datetime64) and fail the driver's exact compare.
+  val q26Oracle: String = """
+WITH spine AS (
+  SELECT unnest(generate_series(DATE '1996-01-01', DATE '1996-03-31',
+                                INTERVAL 1 DAY))::date AS day),
+daily AS (
+  SELECT o_orderdate::date AS day, count(*) AS n
+  FROM orders
+  WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                        AND TIMESTAMP '1996-03-31 00:00:00'
+  GROUP BY 1)
+SELECT strftime(s.day, '%Y-%m-%d') AS day, coalesce(d.n, 0) AS n_orders,
+       cast(sum(coalesce(d.n, 0)) OVER (ORDER BY s.day
+         ROWS UNBOUNDED PRECEDING) AS bigint) AS cum_orders
+FROM spine s LEFT JOIN daily d ON d.day = s.day
+ORDER BY s.day
+"""
+
+  /** Full outer join of two aggregates keyed by nation: customer counts
+    * vs supplier counts, either side possibly absent (exercises the
+    * one outer-join flavor the suite lacked; null-extension semantics
+    * are the graded behavior, coalesced into sentinel -1 counts).
+    */
+  def q27FullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .where(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val s = Tables.supplier(spark, sfDir)
+      .where(col("s_acctbal") > 9000)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(s, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_cust"), lit(-1L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(-1L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  val q27Oracle: String = """
+WITH c AS (
+  SELECT c_nationkey AS nationkey, count(*) AS n_cust
+  FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+s AS (
+  SELECT s_nationkey AS nationkey, count(*) AS n_supp
+  FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+       coalesce(c.n_cust, -1) AS n_cust,
+       coalesce(s.n_supp, -1) AS n_supp
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+ORDER BY nationkey
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_gapfill" -> (q26GapFill _),
+    "q27_full_outer" -> (q27FullOuter _),
     "q25_range_join_rule" -> (q25RangeJoinRule _),
     "q24_window_suite" -> (q24WindowSuite _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -701,6 +785,8 @@ ORDER BY a.user_id
   )
 
   val oracles: Map[String, String] = Map(
+    "q26_gapfill" -> q26Oracle,
+    "q27_full_outer" -> q27Oracle,
     "q25_range_join_rule" -> q25Oracle,
     "q24_window_suite" -> q24Oracle,
     "q1_pricing_summary" -> q1Oracle,
