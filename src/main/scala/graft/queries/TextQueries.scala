@@ -135,14 +135,72 @@ FROM documents, unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS u(i)
 GROUP BY doc_id ORDER BY doc_id
 """
 
+  /** Intra-document repetition scoring (the Gopher-style repetition
+    * filters): per document, total/distinct bigram counts and the
+    * dominant bigram with its frequency — a corpus-cleaning signal for
+    * boilerplate / degenerate generation (a doc whose top bigram covers
+    * a large fraction of it is template or spam). All-integer outputs;
+    * dominance ratio left to the consumer (int ratios are exact, float
+    * fractions are not hash-comparable).
+    *
+    * One explode + one two-level aggregation; the per-doc argmax is
+    * `min(struct(-count, bigram))` — a single aggregate whose struct
+    * ordering IS the (count desc, bigram asc) total order, so the
+    * winner is deterministic without a second window pass.
+    * Embarrassingly parallel at any scale — state is one
+    * (doc, bigram) count shuffle.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val bigrams = transform(sequence(lit(1), size(w) - 1),
+      (i: Column) => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
+    val perBg = Tables.documents(spark, sfDir)
+      .where(size(w) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    perBg.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        min(struct((-col("c")).as("negc"), col("bg"))).as("_top"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+        (-col("_top.negc")).as("top_count"), col("_top.bg").as("top_bigram"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (repetition _),
     "text_stats" -> (textStats _),
     "text_langid" -> (langId _),
     "text_token_counts" -> (tokenCounts _),
     "text_fingerprint" -> (fingerprint _),
   )
 
+  // Same (count desc, bigram asc) winner, picked via a rank window —
+  // method differs from the Spark min(struct) but the total order is
+  // identical, so the values hash-match.
+  val repetitionOracle: String = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 2),
+bg AS (
+  SELECT doc_id,
+         unnest([ w[i] || ' ' || w[i+1] for i in range(1, len(w)) ]) AS bg
+  FROM t),
+cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+ranked AS (
+  SELECT doc_id, bg, c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg ASC) AS rn,
+         cast(sum(c) OVER (PARTITION BY doc_id) AS bigint) AS n_bigrams,
+         cast(count(*) OVER (PARTITION BY doc_id) AS bigint)
+           AS n_distinct_bigrams
+  FROM cnt)
+SELECT doc_id, n_bigrams, n_distinct_bigrams, c AS top_count,
+       bg AS top_bigram
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
   val oracles: Map[String, String] = Map(
+    "text_repetition" -> repetitionOracle,
     "text_stats" -> textStatsOracle,
     "text_langid" -> langIdOracle,
     "text_token_counts" -> tokenCountsOracle,
