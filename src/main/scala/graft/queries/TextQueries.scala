@@ -152,10 +152,14 @@ GROUP BY doc_id ORDER BY doc_id
     */
   def repetition(spark: SparkSession, sfDir: String): DataFrame = {
     val w = split(col("text"), " ")
-    val bigrams = transform(sequence(lit(1), size(w) - 1),
-      (i: Column) => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
+    // zip_with over (w, w shifted by one): single traversal, no
+    // per-element indexed lookups.
+    val bigrams = expr(
+      "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+        " (x, y) -> concat(x, ' ', y))")
     val perBg = Tables.documents(spark, sfDir)
-      .where(size(w) >= 2)
+      .select(col("doc_id"), w.as("w"))
+      .where(size(col("w")) >= 2)
       .select(col("doc_id"), explode(bigrams).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
     perBg.groupBy("doc_id")
