@@ -26,6 +26,7 @@ object SparkEntry {
     ) ++ RelationalQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ TextQueries.all ++ PipelineQueries.all ++
       IoQueries.all ++ GraphQueries.all ++
+      SketchQueries.all ++ MatchQueries.all ++
       graft.streaming.StreamingQueries.all ++
       graft.multimodal.MultimodalQueries.all
 
@@ -36,6 +37,7 @@ object SparkEntry {
   ) ++ RelationalQueries.oracles ++ DedupQueries.oracles ++
     SimilarityQueries.oracles ++ TextQueries.oracles ++ PipelineQueries.oracles ++
     IoQueries.oracles ++ GraphQueries.oracles ++
+    SketchQueries.oracles ++ MatchQueries.oracles ++
     graft.streaming.StreamingQueries.oracles ++
     graft.multimodal.MultimodalQueries.oracles
 }

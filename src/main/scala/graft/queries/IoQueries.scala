@@ -121,7 +121,107 @@ WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
 GROUP BY 1 ORDER BY ship_date
 """
 
+  /** Bucketed tables + co-located join: both sides are written
+    * `bucketBy(16, <join key>)` + `sortBy` into the session catalog, so
+    * the join consumes each bucket pair directly — NO Exchange (and
+    * with sorted buckets, no Sort) on either side of the sort-merge
+    * join. At 100 TB this is THE amortization for a fact table joined
+    * repeatedly on the same key: the shuffle is paid once at write
+    * time, then every subsequent join of any two co-bucketed tables is
+    * shuffle-free. The exchange-free plan is pinned by
+    * IoBucketedJoinSpec (broadcast disabled so the small side can't
+    * cheat); the graded hash proves the bucketed copies are lossless.
+    */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfx = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val liTbl = s"graft_li_$sfx"; val ordTbl = s"graft_ord_$sfx"
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .write.mode("overwrite")
+      .bucketBy(16, "l_orderkey").sortBy("l_orderkey").saveAsTable(liTbl)
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite")
+      .bucketBy(16, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordTbl)
+    spark.table(liTbl)
+      .join(spark.table(ordTbl), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+             .cast("double").as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val bucketedOracle = """
+SELECT o_orderpriority,
+       round(sum(cast(l_extendedprice AS decimal(18,2))), 2)::double
+         AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+  /** Bit-interleave (Morton / Z-order) of two 16-bit keys — the
+    * two-dimensional generalization of io_sorted_pruning's single-column
+    * clustering. Plain Column arithmetic, codegen'd.
+    */
+  private def morton16(a: org.apache.spark.sql.Column,
+                       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i)
+    }
+
+  /** Z-order clustered layout: lineitem rewritten range-partitioned +
+    * sorted by the Morton interleave of (ship-day, partkey), so file
+    * and row-group min/max bands are tight in BOTH dimensions at once —
+    * a filter on either column (or both, as here) skips most of the
+    * data, where single-column sort-clustering only serves its one
+    * column. This is the layout choice for a 100 TB fact table with two
+    * hot filter columns; the interleave is plain integer arithmetic in
+    * the write path, invisible to readers. The graded aggregate proves
+    * the clustered copy lossless under a two-dimensional band filter.
+    */
+  def zorderPruning(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageDir(sfDir, "zorder")
+    val day = datediff(col("l_shipdate"), lit("1992-01-01").cast("date"))
+      .cast("bigint").bitwiseAND(lit(65535L))
+    val pk = col("l_partkey").bitwiseAND(lit(65535L))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+        col("l_shipdate"))
+      .withColumn("__z", morton16(day, pk))
+      .repartitionByRange(8, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+      .where(col("l_shipdate").between("1996-01-01", "1996-02-29") &&
+             col("l_partkey").between(100, 500))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+               (col("l_partkey") - col("l_partkey") % 100).as("pk_bucket"))
+      .agg(count(lit(1)).as("n_items"),
+           sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+             .as("sum_qty"))
+      .orderBy("ship_month", "pk_bucket")
+  }
+
+  private val zorderOracle = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       (l_partkey - l_partkey % 100) AS pk_bucket,
+       count(*) AS n_items,
+       (sum(cast(l_quantity AS decimal(18,2))))::double AS sum_qty
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                     AND TIMESTAMP '1996-02-29 00:00:00'
+  AND l_partkey BETWEEN 100 AND 500
+GROUP BY 1, 2 ORDER BY ship_month, pk_bucket
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_bucketed_join" -> (bucketedJoin _),
+    "io_zorder_pruning" -> (zorderPruning _),
     "io_sorted_pruning" -> (sortedPruning _),
     "io_json_roundtrip" -> (jsonRoundtrip _),
     "io_csv_roundtrip" -> (csvRoundtrip _),
@@ -129,6 +229,8 @@ GROUP BY 1 ORDER BY ship_date
   )
 
   val oracles: Map[String, String] = Map(
+    "io_bucketed_join" -> bucketedOracle,
+    "io_zorder_pruning" -> zorderOracle,
     "io_sorted_pruning" -> sortedOracle,
     "io_json_roundtrip" -> oracle,
     "io_csv_roundtrip" -> oracle,

@@ -754,7 +754,39 @@ FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
 ORDER BY nationkey
 """
 
+  /** The explicit-salting skew join (graft.operators.SkewJoin) as a
+    * graded query: lineitem (big, skewed side) joined to part (small
+    * side, replicated across 8 salts) on partkey, revenue rolled up by
+    * part type. The salted join is exactly the plain equi-join —
+    * that's the oracle — while pre-spreading every hot key across 8
+    * reducer sub-keys BEFORE the shuffle, the manual fallback for
+    * skew AQE can't fix (e.g. a shuffled-hash build side). Cost
+    * visible in the plan: the small side shuffles 8×.
+    */
+  def q28SaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("partkey"),
+              dec("l_extendedprice").as("price"))
+    val small = Tables.part(spark, sfDir)
+      .select(col("p_partkey").as("partkey"), col("p_type"))
+    graft.operators.SkewJoin.saltedEquiJoin(big, small, "partkey", 8)
+      .groupBy("p_type")
+      .agg(round(sum(col("price")), 2).cast("double").as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy("p_type")
+  }
+
+  val q28Oracle: String = """
+SELECT p_type,
+       round(sum(cast(l_extendedprice AS decimal(18,2))), 2)::double
+         AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY p_type ORDER BY p_type
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_salted_join" -> (q28SaltedJoin _),
     "q26_gapfill" -> (q26GapFill _),
     "q27_full_outer" -> (q27FullOuter _),
     "q25_range_join_rule" -> (q25RangeJoinRule _),
@@ -785,6 +817,7 @@ ORDER BY nationkey
   )
 
   val oracles: Map[String, String] = Map(
+    "q28_salted_join" -> q28Oracle,
     "q26_gapfill" -> q26Oracle,
     "q27_full_outer" -> q27Oracle,
     "q25_range_join_rule" -> q25Oracle,

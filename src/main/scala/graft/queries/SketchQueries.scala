@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.KmvSketch
+
+/** Sketch / approximate aggregation — the cardinality and quantile
+  * estimators a 100 TB profiling pass runs where exact answers would
+  * shuffle every distinct value.
+  *
+  * Two grading strategies, because approximate results need care at an
+  * exact-hash gate:
+  *
+  *  - `sketch_kmv_distinct`: a sketch DESIGNED to be cross-engine
+  *    deterministic — KMV over md5-derived 56-bit hashes (see
+  *    [[graft.functions.KmvSketch]]). DuckDB reaches the identical
+  *    integer estimate from "k-th smallest distinct hash", so the gate
+  *    is a full exact hash match on an approximate algorithm.
+  *  - `sketch_hll_gate` / `sketch_quantile_gate`: Spark's own binary
+  *    sketches (HLL++, KLL-style percentile_approx) cannot be
+  *    reproduced by another engine; instead the query emits the EXACT
+  *    value alongside a boolean "sketch within tolerance" verdict, and
+  *    the oracle asserts the exact value and `TRUE`. The accuracy
+  *    claim itself is what's graded.
+  */
+object SketchQueries {
+
+  private val KmvK = 128
+
+  /** 56-bit md5-derived hash of a string column — the same on both
+    * engines (`conv(hex)` ⇄ `'0x…'::bigint`), reused from the
+    * pipe_sample_mix pattern with 14 hex chars for KMV headroom.
+    */
+  private def h56(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c.cast("string")), 1, 14), 16, 10).cast("bigint")
+
+  /** Distinct users per event type, exactly and via the KMV sketch.
+    * One aggregation: the sketch partial-aggregates map-side into ≤ k
+    * longs per group; `countDistinct` rides the same shuffle (Spark
+    * plans it as the expand + two-phase distinct aggregate). At scale
+    * you would drop the exact column and keep only the sketch — it is
+    * here so the gate also pins the sketch's accuracy against truth.
+    */
+  def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val kmv = udaf(new KmvSketch(KmvK))
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"),
+              h56(col("user_id")).as("h"))
+      .groupBy("event_type")
+      .agg(kmv(col("h")).as("kmv_distinct"),
+           countDistinct(col("user_id")).as("n_exact"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB mirror of the KMV estimator: k-th smallest distinct hash
+    * via a rank window. `(k-1) * 2^56` stays in int64 for k = 128.
+    */
+  val kmvOracle: String = s"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         cast('0x' || substr(md5(user_id::varchar), 1, 14) AS bigint) AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS nh
+  FROM h
+),
+kth AS (
+  SELECT event_type, max(nh) AS nh,
+         max(CASE WHEN rn = $KmvK THEN h END) AS hk
+  FROM ranked GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
+)
+SELECT k.event_type,
+       cast(CASE WHEN k.nh < $KmvK THEN k.nh
+                 ELSE (${KmvK - 1} * ${1L << 56}) // k.hk END AS bigint)
+         AS kmv_distinct,
+       e.n_exact
+FROM kth k JOIN exact e ON e.event_type = k.event_type
+ORDER BY k.event_type
+"""
+
+  /** HLL++ accuracy gate: `approx_count_distinct` at rsd = 0.02 must
+    * land within 10% (5 sigma) of the exact per-group count. The
+    * oracle emits the exact counts and `TRUE` — a hash match means the
+    * sketch really was inside its advertised bound on this data.
+    * Integer tolerance arithmetic (`abs * 10 <= exact`), no float
+    * boundary in the gate.
+    */
+  def hllGate(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("hll"),
+           countDistinct(col("user_id")).as("n_exact"))
+      .select(col("event_type"), col("n_exact"),
+              (abs(col("hll") - col("n_exact")) * lit(10L) <= col("n_exact"))
+                .as("hll_within_10pct"))
+      .orderBy("event_type")
+
+  val hllGateOracle: String = """
+SELECT event_type, count(DISTINCT user_id) AS n_exact,
+       TRUE AS hll_within_10pct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+  /** percentile_approx accuracy gate, graded on RANK rather than value:
+    * the approximate median of o_totalprice per order priority must sit
+    * at an exact rank within [0.49, 0.51] of its group. Rank is the
+    * guarantee percentile_approx actually makes (≤ 1/accuracy rank
+    * error — 1e-4 at accuracy 10000), so the gate is robust to value
+    * gaps in the distribution, and integer (`100 * cnt_le` vs `49/51 *
+    * n`) so there is no float boundary.
+    */
+  def quantileGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val approx = o.groupBy("o_orderpriority")
+      .agg(expr("percentile_approx(o_totalprice, 0.5, 10000)").as("p50a"),
+           count(lit(1)).as("n"))
+    o.join(broadcast(approx), "o_orderpriority")
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("n")).as("n"),
+           sum(when(col("o_totalprice") <= col("p50a"), 1L).otherwise(0L))
+             .as("cnt_le"))
+      .select(col("o_orderpriority"), col("n"),
+              (col("cnt_le") * 100 >= col("n") * 49 &&
+               col("cnt_le") * 100 <= col("n") * 51).as("p50_rank_ok"))
+      .orderBy("o_orderpriority")
+  }
+
+  val quantileGateOracle: String = """
+SELECT o_orderpriority, count(*) AS n, TRUE AS p50_rank_ok
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_kmv_distinct" -> (kmvDistinct _),
+    "sketch_hll_gate" -> (hllGate _),
+    "sketch_quantile_gate" -> (quantileGate _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sketch_kmv_distinct" -> kmvOracle,
+    "sketch_hll_gate" -> hllGateOracle,
+    "sketch_quantile_gate" -> quantileGateOracle,
+  )
+}

@@ -171,7 +171,61 @@ GROUP BY doc_id ORDER BY doc_id
       .orderBy("doc_id")
   }
 
+  /** TF-IDF ranked retrieval: top-3 documents per vocabulary term by
+    * `tf × idf`, with idf in INTEGER fixed point
+    * (`(10⁶ · N) div df` — the same no-floats discipline as PageRank,
+    * since float idf defeats a cross-engine hash gate). One explode →
+    * (term, doc) counts; document frequency aggregates over the vocab
+    * table (tiny — vocabulary-sized, not corpus-sized); ranking is a
+    * per-term row_number window OVER THE VOCAB-JOINED tf table, so all
+    * heavy work rides one (term, doc) shuffle. N (corpus size) is one
+    * driver scalar — same single-aggregate pattern as khop's seed; a
+    * scan-free literal, not a data loop.
+    *
+    * At 100 TB: tf table ∝ corpus tokens (the unavoidable inverted
+    * index build), df table ∝ vocabulary (broadcast side of the join),
+    * top-k per term is the standard rank-window — no quadratic
+    * anywhere.
+    */
+  def tfidfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(df), "term")
+      .withColumn("score",
+        col("tf") * expr(s"(${1000000L * n} div df)"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("term"), col("doc_id"), col("tf"), col("df"), col("score"))
+      .orderBy(col("term"), col("score").desc, col("doc_id"))
+  }
+
+  val tfidfTopkOracle: String = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM t GROUP BY 1, 2),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT f.term, f.doc_id, f.tf, d.df,
+         f.tf * ((1000000 * (SELECT n FROM n)) // d.df) AS score
+  FROM tf f JOIN dfx d ON d.term = f.term),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY term
+                               ORDER BY score DESC, doc_id) AS rn
+  FROM scored)
+SELECT term, doc_id, tf, df, cast(score AS bigint) AS score
+FROM ranked WHERE rn <= 3
+ORDER BY term, score DESC, doc_id
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf_topk" -> (tfidfTopk _),
     "text_repetition" -> (repetition _),
     "text_stats" -> (textStats _),
     "text_langid" -> (langId _),
@@ -204,6 +258,7 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
 """
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf_topk" -> tfidfTopkOracle,
     "text_repetition" -> repetitionOracle,
     "text_stats" -> textStatsOracle,
     "text_langid" -> langIdOracle,
