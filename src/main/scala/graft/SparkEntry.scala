@@ -25,7 +25,7 @@ object SparkEntry {
       "cc_graphx" -> (CCQueries.ccGraphx _),
     ) ++ RelationalQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ TextQueries.all ++ PipelineQueries.all ++
-      IoQueries.all ++ GraphQueries.all ++
+      IoQueries.all ++ GraphQueries.all ++ StatsQueries.all ++
       SketchQueries.all ++ MatchQueries.all ++
       graft.streaming.StreamingQueries.all ++
       graft.multimodal.MultimodalQueries.all
@@ -36,7 +36,7 @@ object SparkEntry {
     "cc_graphx" -> CCQueries.copurchaseOracle,
   ) ++ RelationalQueries.oracles ++ DedupQueries.oracles ++
     SimilarityQueries.oracles ++ TextQueries.oracles ++ PipelineQueries.oracles ++
-    IoQueries.oracles ++ GraphQueries.oracles ++
+    IoQueries.oracles ++ GraphQueries.oracles ++ StatsQueries.oracles ++
     SketchQueries.oracles ++ MatchQueries.oracles ++
     graft.streaming.StreamingQueries.oracles ++
     graft.multimodal.MultimodalQueries.oracles

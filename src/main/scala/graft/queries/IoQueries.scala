@@ -132,9 +132,24 @@ GROUP BY 1 ORDER BY ship_date
     * IoBucketedJoinSpec (broadcast disabled so the small side can't
     * cheat); the graded hash proves the bucketed copies are lossless.
     */
+  /** `mode(Overwrite)` alone is NOT idempotent for managed tables
+    * across JVMs: a fresh session's in-memory catalog has never heard
+    * of the table, so the write takes the CREATE path and dies on the
+    * leftover warehouse directory (LOCATION_ALREADY_EXISTS). Drop from
+    * the catalog AND delete the stale location first.
+    */
+  private def dropManaged(spark: SparkSession, tbl: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(wh, tbl.toLowerCase)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val sfx = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val liTbl = s"graft_li_$sfx"; val ordTbl = s"graft_ord_$sfx"
+    dropManaged(spark, liTbl); dropManaged(spark, ordTbl)
     Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_extendedprice"))
       .write.mode("overwrite")
@@ -219,7 +234,49 @@ WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
 GROUP BY 1, 2 ORDER BY ship_month, pk_bucket
 """
 
+  /** Distributed table fingerprint: per-partition-key row count + XOR
+    * of a 56-bit md5-derived hash of every row's canonical string
+    * encoding. XOR is commutative/associative ⇒ the checksum is
+    * order- and partitioning-independent, computed with one map-side-
+    * combinable aggregation and O(1) bytes per group — the way two
+    * 100 TB replicas (or a migration source/target) are compared
+    * WITHOUT moving data: ship only the per-group checksums and diff
+    * the mismatching partitions. Canonical encoding pins the
+    * cross-engine pitfalls: doubles → integer cents, timestamps →
+    * epoch days, explicit '|' field separator.
+    */
+  def tableChecksum(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        conv(substring(md5(concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_quantity") * 100 + 0.5).cast("bigint"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("bigint"),
+          col("l_returnflag"), col("l_linestatus"),
+          datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01")))
+            .cast("bigint"))), 1, 14), 16, 10).cast("bigint").as("h"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("xor56"))
+      .orderBy("l_returnflag")
+
+  private val checksumOracle = """
+WITH h AS (
+  SELECT l_returnflag,
+         cast('0x' || substr(md5(concat_ws('|',
+           l_orderkey, l_linenumber,
+           cast(floor(l_quantity * 100 + 0.5) AS bigint),
+           cast(floor(l_extendedprice * 100 + 0.5) AS bigint),
+           l_returnflag, l_linestatus,
+           cast(l_shipdate::date - DATE '1970-01-01' AS bigint))), 1, 14)
+           AS bigint) AS h
+  FROM lineitem
+)
+SELECT l_returnflag, count(*) AS n_rows, bit_xor(h) AS xor56
+FROM h GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_table_checksum" -> (tableChecksum _),
     "io_bucketed_join" -> (bucketedJoin _),
     "io_zorder_pruning" -> (zorderPruning _),
     "io_sorted_pruning" -> (sortedPruning _),
@@ -229,6 +286,7 @@ GROUP BY 1, 2 ORDER BY ship_month, pk_bucket
   )
 
   val oracles: Map[String, String] = Map(
+    "io_table_checksum" -> checksumOracle,
     "io_bucketed_join" -> bucketedOracle,
     "io_zorder_pruning" -> zorderOracle,
     "io_sorted_pruning" -> sortedOracle,

@@ -357,7 +357,49 @@ SELECT source,
 FROM b GROUP BY 1, 2 ORDER BY source, split
 """
 
+  /** Deterministic stratified sampling: exactly min(k, |stratum|) docs
+    * per source, chosen as the k smallest md5-derived hashes — a
+    * uniform without-replacement sample that any engine reproduces
+    * bit-for-bit (no RNG state, no partition-order dependence), and
+    * that stays STABLE as the corpus grows (a doc's selection changes
+    * only if a new doc hashes below the current k-th — the property
+    * that lets a 100 TB pipeline re-run incrementally without
+    * resampling everything). Per-stratum top-k via a window over the
+    * stratum key: shuffle by source, heap-bounded per partition —
+    * no global sort.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 5
+    val h = conv(substring(md5(concat(col("source"), lit("#"),
+      col("doc_id"))), 1, 14), 16, 10).cast("bigint")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("h", "doc_id")
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), h.as("h"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("source"), col("rk").cast("bigint").as("rk"), col("doc_id"))
+      .orderBy("source", "rk")
+  }
+
+  val stratifiedSampleOracle: String = """
+WITH h AS (
+  SELECT source, doc_id,
+         cast('0x' || substr(md5(source || '#' || doc_id), 1, 14) AS bigint)
+           AS h
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+  FROM h
+)
+SELECT source, cast(rk AS bigint) AS rk, doc_id
+FROM ranked WHERE rk <= 5 ORDER BY source, rk
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_stratified_sample" -> (stratifiedSample _),
     "pipe_train_split" -> (trainSplit _),
     "pipe_quality_filter" -> (qualityFilter _),
     "pipe_pii_redact" -> (piiRedact _),
@@ -370,6 +412,7 @@ FROM b GROUP BY 1, 2 ORDER BY source, split
   )
 
   val oracles: Map[String, String] = Map(
+    "pipe_stratified_sample" -> stratifiedSampleOracle,
     "pipe_train_split" -> trainSplitOracle,
     "pipe_quality_filter" -> qualityFilterOracle,
     "pipe_pii_redact" -> piiRedactOracle,

@@ -343,7 +343,89 @@ SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos4
 FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
 """
 
+  /** One exact Lloyd (k-means) iteration — the IVF centroid TRAINING
+    * step (sim_ann_ivf consumes centroids; this is how they get
+    * better): assign every vector to its nearest of 8 deterministic
+    * seed centroids by squared-L2, then emit the per-(cluster,
+    * dimension) count and coordinate sum the next centroids are built
+    * from.
+    *
+    * Exactness: vectors are quantized to integer micros
+    * (`floor(x*1e6 + 0.5)` — same doubles, same floor, both engines),
+    * so distances, the argmin, and the update sums are all integer
+    * arithmetic — a bit-exact hash gate on a clustering step.
+    *
+    * Scale shape: the 8 centroids are collected to the driver
+    * (k·dim ≈ 512 longs — exactly how MLlib's KMeans holds centroids
+    * between iterations) and embedded as literals, so assignment is a
+    * NARROW projection — no join, no shuffle; the update is one
+    * map-side-combinable aggregation over (cid, pos). Per iteration at
+    * 100 TB: one scan + one 512-group shuffle. The argmin is
+    * `array_min` over `struct(dist, cid)` — lexicographic struct
+    * ordering gives the deterministic (dist, cid) tie-break for free.
+    */
+  def kmeansStep(spark: SparkSession, sfDir: String): DataFrame = {
+    val nList = 8
+    val q = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), (x: Column) =>
+          floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("bigint"))
+          .as("q"))
+    // Seed centroids: the 8 vectors with smallest md5(vec_id) — the
+    // same deterministic sample rule as sim_ann_ivf's centroid table.
+    val seeds: Array[Seq[Long]] = q
+      .withColumn("m", md5(col("vec_id").cast("string")))
+      .orderBy("m").limit(nList)
+      .select("q").collect().map(_.getSeq[Long](0))
+    val candidates = seeds.zipWithIndex.map { case (cq, cid) =>
+      struct(
+        aggregate(
+          zip_with(col("q"), typedlit(cq), (a: Column, b: Column) => (a - b) * (a - b)),
+          lit(0L), (acc: Column, x: Column) => acc + x).as("d"),
+        lit(cid.toLong).as("cid"))
+    }
+    q.withColumn("best", array_min(array(candidates: _*)))
+      .select(col("best.cid").as("cid"), posexplode(col("q")))
+      .groupBy("cid", "pos")
+      .agg(count(lit(1)).as("n"), sum(col("col")).as("sum_q"))
+      .select(col("cid"), col("pos").cast("bigint").as("pos"),
+              col("n"), col("sum_q"))
+      .orderBy("cid", "pos")
+  }
+
+  val kmeansStepOracle: String = """
+WITH q AS (
+  -- DuckDB 1.0 has no WITH ORDINALITY: index the list by position
+  SELECT vec_id, p.i - 1 AS pos,
+         cast(floor(cast(embedding[p.i] AS double) * 1000000.0 + 0.5)
+              AS bigint) AS qv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS p(i)
+),
+cent AS (
+  SELECT vec_id AS cvid,
+         row_number() OVER (ORDER BY md5(vec_id::varchar)) - 1 AS cid
+  FROM embeddings ORDER BY md5(vec_id::varchar) LIMIT 8
+),
+cq AS (
+  SELECT c.cid, q.pos, q.qv AS cqv FROM cent c JOIN q ON q.vec_id = c.cvid
+),
+dist AS (
+  SELECT q.vec_id, cq.cid, sum((q.qv - cq.cqv) * (q.qv - cq.cqv)) AS d
+  FROM q JOIN cq ON q.pos = cq.pos GROUP BY q.vec_id, cq.cid
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM dist) WHERE rn = 1
+)
+SELECT a.cid, q.pos, count(*) AS n, cast(sum(q.qv) AS bigint) AS sum_q
+FROM assign a JOIN q ON q.vec_id = a.vec_id
+GROUP BY a.cid, q.pos ORDER BY cid, pos
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_kmeans_step" -> (kmeansStep _),
     "sim_cosine_pairs" -> (cosinePairs _),
     "sim_topk_bruteforce" -> (topkBruteForce _),
     "sim_ann_lsh" -> (annLsh _),
@@ -351,6 +433,7 @@ FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_kmeans_step" -> kmeansStepOracle,
     "sim_cosine_pairs" -> cosinePairsOracle,
     "sim_topk_bruteforce" -> topkOracle,
     "sim_ann_lsh" -> annLshOracle,

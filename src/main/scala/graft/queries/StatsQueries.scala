@@ -1,0 +1,280 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical profiling and behavioral analytics — the descriptive-
+  * statistics pass a data audit runs over a fact table, plus the
+  * event-sequence analyses (funnel, retention, SCD2 history) every
+  * product-analytics workload needs.
+  *
+  * Exactness discipline at the hash gate: floating-point aggregates
+  * are NOT directly comparable across engines (parallel summation
+  * reorders rounding), so every graded number here is derived from
+  * EXACT integer/decimal moments (values scaled to integer cents with
+  * `floor(x*100 + 0.5)` — floor of the same double is deterministic
+  * cross-engine, unlike round()'s half-case conventions). Doubles
+  * appear only in (a) the final `corr_micros` projection, computed
+  * from the exact moments with an identical arithmetic-expression tree
+  * on both engines — IEEE 754 ops are correctly rounded, so identical
+  * inputs + identical op order = identical bits; and (b) accuracy-gate
+  * booleans that pin each engine's own built-in corr/stddev to the
+  * moment formula (the `sketch_hll_gate` grading pattern).
+  *
+  * Scale: everything is a single hash aggregation (map-side partial)
+  * or a keyed window — no self-joins, no cross joins; the funnel's
+  * per-stage joins are on user_id (the natural shuffle key) and each
+  * stage strictly shrinks the left side.
+  */
+object StatsQueries {
+
+  /** Integer cents: deterministic on both engines (see scaladoc). */
+  private def cents(c: Column): Column =
+    floor(c * lit(100) + lit(0.5)).cast("bigint")
+
+  /** q29: exact second-order moments of (quantity, extendedprice) per
+    * return flag, Pearson correlation in fixed-point micros derived
+    * from them, and a gate asserting the engine's own `corr` /
+    * `stddev_samp` built-ins agree with the moment formula to 1e-9
+    * (relative for stddev). Moments use decimal(38,0) sums — exact and
+    * order-independent under parallel aggregation, which is what makes
+    * the hash gate on a "statistics" query possible at all.
+    */
+  def statsMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+              cents(col("l_quantity")).as("qc"),
+              cents(col("l_extendedprice")).as("pc"))
+    val mom = li.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum(col("qc")).as("sx"),
+      sum(col("pc")).as("sy"),
+      sum(col("qc").cast("decimal(18,0)") * col("qc").cast("decimal(18,0)"))
+        .cast("decimal(38,0)").as("sxx"),
+      sum(col("pc").cast("decimal(18,0)") * col("pc").cast("decimal(18,0)"))
+        .cast("decimal(38,0)").as("syy"),
+      sum(col("qc").cast("decimal(18,0)") * col("pc").cast("decimal(18,0)"))
+        .cast("decimal(38,0)").as("sxy"),
+      corr(col("qc").cast("double"), col("pc").cast("double")).as("corr_b"),
+      stddev_samp(col("pc").cast("double")).as("sd_b"))
+    // Identical expression text to the oracle: moments → double → corr.
+    val corrD = "(cast(n as double) * cast(sxy as double) - " +
+      "cast(sx as double) * cast(sy as double)) / " +
+      "sqrt((cast(n as double) * cast(sxx as double) - " +
+      "cast(sx as double) * cast(sx as double)) * " +
+      "(cast(n as double) * cast(syy as double) - " +
+      "cast(sy as double) * cast(sy as double)))"
+    val sdD = "sqrt((cast(n as double) * cast(syy as double) - " +
+      "cast(sy as double) * cast(sy as double)) / " +
+      "(cast(n as double) * (cast(n as double) - 1.0)))"
+    // The big moments leave as doubles: the decimal sums are exact and
+    // order-independent INTERNALLY; the final decimal→double cast is
+    // IEEE nearest — deterministic and identical cross-engine (int64
+    // can overflow for sum(pc²) beyond ~sf0.1, and decimal38 output
+    // types diverge between engines' parquet/pandas bridges).
+    mom.select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+        col("sxx").cast("double").as("sxx"),
+        col("syy").cast("double").as("syy"),
+        col("sxy").cast("double").as("sxy"),
+        expr(s"cast(floor(1000000.0 * ($corrD)) as bigint)").as("corr_micros"),
+        expr(s"abs(corr_b - ($corrD)) < 1e-9 and " +
+             s"abs(sd_b - ($sdD)) < 1e-9 * abs($sdD)").as("builtin_stats_ok"))
+      .orderBy("l_returnflag")
+  }
+
+  val statsMomentsOracle: String = """
+WITH c AS (
+  SELECT l_returnflag,
+         cast(floor(l_quantity * 100 + 0.5) AS bigint) AS qc,
+         cast(floor(l_extendedprice * 100 + 0.5) AS bigint) AS pc
+  FROM lineitem
+),
+mom AS (
+  SELECT l_returnflag, count(*) AS n,
+         cast(sum(qc) AS bigint) AS sx, cast(sum(pc) AS bigint) AS sy,
+         cast(cast(sum(qc::hugeint * qc) AS decimal(38,0)) AS double) AS sxx,
+         cast(cast(sum(pc::hugeint * pc) AS decimal(38,0)) AS double) AS syy,
+         cast(cast(sum(qc::hugeint * pc) AS decimal(38,0)) AS double) AS sxy,
+         corr(qc::double, pc::double) AS corr_b,
+         stddev_samp(pc::double) AS sd_b
+  FROM c GROUP BY l_returnflag
+)
+SELECT l_returnflag, n, sx, sy, sxx, syy, sxy,
+       cast(floor(1000000.0 * ((cast(n AS double) * cast(sxy AS double) -
+         cast(sx AS double) * cast(sy AS double)) /
+         sqrt((cast(n AS double) * cast(sxx AS double) -
+           cast(sx AS double) * cast(sx AS double)) *
+          (cast(n AS double) * cast(syy AS double) -
+           cast(sy AS double) * cast(sy AS double))))) AS bigint)
+         AS corr_micros,
+       (abs(corr_b - ((cast(n AS double) * cast(sxy AS double) -
+         cast(sx AS double) * cast(sy AS double)) /
+         sqrt((cast(n AS double) * cast(sxx AS double) -
+           cast(sx AS double) * cast(sx AS double)) *
+          (cast(n AS double) * cast(syy AS double) -
+           cast(sy AS double) * cast(sy AS double))))) < 1e-9
+        AND abs(sd_b - (sqrt((cast(n AS double) * cast(syy AS double) -
+           cast(sy AS double) * cast(sy AS double)) /
+          (cast(n AS double) * (cast(n AS double) - 1.0))))) < 1e-9 *
+          abs(sqrt((cast(n AS double) * cast(syy AS double) -
+           cast(sy AS double) * cast(sy AS double)) /
+          (cast(n AS double) * (cast(n AS double) - 1.0)))))
+         AS builtin_stats_ok
+FROM mom ORDER BY l_returnflag
+"""
+
+  /** q30: equi-width histogram of order totals — 25 buckets over a
+    * fixed [1000, 500000) band in integer cents, out-of-band rows
+    * clamped into the edge buckets. Pure integer arithmetic: the
+    * bucket id survives any engine's division convention because
+    * negatives are clamped after the divide. One aggregation; the
+    * 100 TB shape for data profiling (no sort, no window).
+    */
+  def histEquiWidth(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(cents(col("o_totalprice")).as("pc"))
+      .select(greatest(lit(0L), least(lit(24L),
+          expr("(pc - 100000) div 1996000"))).as("bucket"), col("pc"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(col("pc")).as("min_cents"),
+           max(col("pc")).as("max_cents"))
+      .orderBy("bucket")
+
+  val histEquiWidthOracle: String = """
+WITH c AS (
+  SELECT cast(floor(o_totalprice * 100 + 0.5) AS bigint) AS pc FROM orders
+)
+SELECT greatest(0, least(24, (pc - 100000) // 1996000)) AS bucket,
+       count(*) AS n, min(pc) AS min_cents, max(pc) AS max_cents
+FROM c GROUP BY 1 ORDER BY bucket
+"""
+
+  /** q31: strictly-ordered conversion funnel view → click → purchase.
+    * Each stage joins the previous stage's per-user timestamp and
+    * keeps only events strictly after it, so the count is of users who
+    * performed the steps IN ORDER (not merely all three ever). Stage
+    * frames shrink monotonically; all joins are equi-joins on user_id.
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = ev.where(col("event_type") === "click")
+      .join(v, "user_id").where(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_buy"))
+    v.join(c.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
+      .join(p.select(col("user_id"), col("t_buy")), Seq("user_id"), "left")
+      .agg(count(col("t_view")).as("n_view"),
+           count(col("t_click")).as("n_view_click"),
+           count(col("t_buy")).as("n_view_click_purchase"))
+  }
+
+  val funnelOracle: String = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_buy
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id
+)
+SELECT count(v.t_view) AS n_view, count(c.t_click) AS n_view_click,
+       count(p.t_buy) AS n_view_click_purchase
+FROM v LEFT JOIN c ON c.user_id = v.user_id
+       LEFT JOIN p ON p.user_id = v.user_id
+"""
+
+  /** q32: cohort retention — users active again k days after their
+    * first-ever event, k = 0..14, pooled across cohorts. Two hash
+    * aggregations and one equi-join on user_id; `countDistinct` rides
+    * Spark's expand-based distinct aggregate.
+    */
+  def retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val first = days.groupBy("user_id").agg(min(col("d")).as("d0"))
+    days.join(first, "user_id")
+      .select(col("user_id"), datediff(col("d"), col("d0")).cast("bigint")
+        .as("day_offset"))
+      .where(col("day_offset").between(0, 14))
+      .groupBy("day_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("day_offset")
+  }
+
+  val retentionOracle: String = """
+WITH days AS (
+  SELECT DISTINCT user_id, ts::date AS d FROM events
+),
+first AS (
+  SELECT user_id, min(d) AS d0 FROM days GROUP BY user_id
+)
+SELECT cast(days.d - f.d0 AS bigint) AS day_offset,
+       count(DISTINCT days.user_id) AS n_users
+FROM days JOIN first f ON f.user_id = days.user_id
+WHERE days.d - f.d0 BETWEEN 0 AND 14
+GROUP BY 1 ORDER BY day_offset
+"""
+
+  /** q33: SCD2 (slowly-changing-dimension type 2) history rebuild —
+    * each user's event stream becomes versioned validity intervals
+    * [valid_from, valid_to) with `lead` over a TOTAL order
+    * (ts, event_id); the open tail gets a 9999-12-31 sentinel instead
+    * of NULL (the warehouse convention, and it keeps the gate free of
+    * null-sort ambiguity). Sampled to user_id % 97 == 0 to bound the
+    * graded output; the window shuffles by user_id only.
+    */
+  def scd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(spark, sfDir)
+      .where(col("user_id") % 97 === 0)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              unix_micros(col("ts")).as("ts_us"))
+      .select(col("user_id"), col("event_type"),
+              row_number().over(w).as("version"),
+              col("ts_us").as("valid_from_us"),
+              coalesce(lead(col("ts_us"), 1).over(w),
+                       lit(253402300799000000L)).as("valid_to_us"))
+      .orderBy("user_id", "version")
+  }
+
+  val scd2Oracle: String = """
+WITH s AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+  FROM events WHERE user_id % 97 = 0
+)
+SELECT user_id, event_type,
+       row_number() OVER w AS version,
+       ts_us AS valid_from_us,
+       coalesce(lead(ts_us, 1) OVER w, 253402300799000000) AS valid_to_us
+FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+ORDER BY user_id, version
+"""
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_stats_moments" -> (statsMoments _),
+    "q30_hist_equiwidth" -> (histEquiWidth _),
+    "q31_funnel" -> (funnel _),
+    "q32_retention" -> (retention _),
+    "q33_scd2" -> (scd2 _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q29_stats_moments" -> statsMomentsOracle,
+    "q30_hist_equiwidth" -> histEquiWidthOracle,
+    "q31_funnel" -> funnelOracle,
+    "q32_retention" -> retentionOracle,
+    "q33_scd2" -> scd2Oracle,
+  )
+}
