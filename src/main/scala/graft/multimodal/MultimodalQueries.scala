@@ -174,13 +174,126 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+  /** Near-duplicate MEDIA clustering — the multimodal leg of the dedup
+    * suite: decode → downsample (the stub's 2:1 "resize") → 32-bit
+    * fingerprint by bit-majority over the downsample's distinct
+    * 4-grams (a real pipeline swaps in a DCT pHash at exactly this
+    * expression; everything around it — the codec boundary, banding,
+    * verify radius, CC clustering — is the production shape) → 2×16
+    * banded buckets with a ≤256 hot-band cap → Hamming ≤ 1 verify →
+    * connected components. Radius 1 is COMPLETE under 2×16 banding
+    * (one differing bit leaves the other band exact), so the result is
+    * a deterministic function of the corpus, not of banding luck.
+    * Linear in N except inside capped buckets — same scale argument as
+    * dedup_minhash/simhash (SCALE.md).
+    */
+  def mediaPhashClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val MaxBand = 256
+    val t = decoded(spark, sfDir).toDF()
+      .select(col("doc_id"), decode(col("resized"), "UTF-8").as("t"))
+    val grams = t.select(col("doc_id"),
+      explode(array_distinct(
+        when(length(col("t")) >= 4,
+          expr("transform(sequence(1, length(t) - 3), i -> substring(t, i, 4))"))
+        .otherwise(array(col("t"))))).as("g"))
+    val bits = grams
+      .select(col("doc_id"),
+        conv(substring(md5(col("g")), 1, 8), 16, 10).cast("bigint").as("h"))
+      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 31)")).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(sum(when(expr("(h >> b) & 1") === 1, 1L).otherwise(-1L)).as("s"))
+    val fp = bits.groupBy("doc_id")
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L)).as("phash"))
+      .localCheckpoint()
+    val bands = fp.select(col("doc_id"), col("phash"),
+      explode(array(
+        (lit(0L) * 65536 + expr("phash & 65535")),
+        (lit(1L) * 65536 + expr("(phash >> 16) & 65535")))).as("band"))
+    val cold = bands.join(
+      broadcast(bands.groupBy("band").count().where(col("count") <= MaxBand))
+        .select("band"),
+      "band")
+    val verified = cold.as("x").join(cold.as("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+              col("x.phash").as("pa"), col("y.phash").as("pb"))
+      .dropDuplicates("a", "b")
+      .where(bit_count(col("pa").bitwiseXOR(col("pb"))) <= 1)
+      .select(col("a"), col("b"))
+    val selfPairs = graft.queries.Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("src"), col("doc_id").as("dst"))
+    val res = graft.cc.ConnectedComponents.runAuto(
+      verified.select(col("b").as("src"), col("a").as("dst")).union(selfPairs),
+      maxIterations = 20)
+    require(res.converged, "media phash CC did not converge")
+    res.assignments.toDF("doc_id", "cluster").orderBy("doc_id")
+  }
+
+  val mediaPhashClustersOracle: String = """
+WITH RECURSIVE decim AS (
+  SELECT doc_id,
+         array_to_string(list_transform(range(1, length(text) + 1, 2),
+                                        i -> substr(text, i, 1)), '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN length(t) >= 4
+         THEN list_distinct(list_transform(range(1, length(t) - 2),
+                                           i -> substr(t, i, 4)))
+         ELSE [t] END) AS g
+  FROM decim
+),
+hashed AS (
+  SELECT doc_id, cast('0x' || substr(md5(g), 1, 8) AS bigint) AS h FROM grams
+),
+bitsums AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed, unnest(range(0, 32)) AS u(b)
+  GROUP BY doc_id, b
+),
+fp AS (
+  SELECT doc_id,
+         cast(sum(CASE WHEN s > 0 THEN (1::bigint << b) ELSE 0 END) AS bigint)
+           AS phash
+  FROM bitsums GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, phash, k * 65536 + ((phash >> (k * 16)) & 65535) AS band
+  FROM fp, unnest(range(0, 2)) AS u(k)
+),
+cold AS (SELECT band FROM bands GROUP BY band HAVING count(*) <= 256),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.phash AS pa, y.phash AS pb
+  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
+  WHERE x.band IN (SELECT band FROM cold)
+),
+verified AS (SELECT a, b FROM cand WHERE bit_count(xor(pa, pb)) <= 1),
+edges AS (
+  SELECT a AS src, b AS dst FROM verified
+  UNION
+  SELECT b AS src, a AS dst FROM verified
+),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node AS doc_id, min(comp) AS cluster FROM walk GROUP BY node
+ORDER BY doc_id
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_phash_clusters" -> (mediaPhashClusters _),
     "media_features" -> (mediaFeatures _),
     "media_frame_sample" -> (mediaFrameSample _),
     "media_resize" -> (mediaResize _),
   )
 
   val oracles: Map[String, String] = Map(
+    "media_phash_clusters" -> mediaPhashClustersOracle,
     "media_features" -> mediaFeaturesOracle,
     "media_frame_sample" -> mediaFrameSampleOracle,
     "media_resize" -> mediaResizeOracle,

@@ -404,7 +404,62 @@ reach AS (SELECT node, min(d) AS d FROM walk GROUP BY node)
 SELECT d, count(*) AS n_nodes FROM reach GROUP BY d ORDER BY d
 """
 
+  /** k-core peeling (k=3), 5 SYNCHRONIZED rounds: each round drops
+    * every node whose current degree is below k, together with its
+    * edges, all at once. Synchronized rounds (not sequential vertex
+    * removal) make the result independent of any visit order — the
+    * property that lets the oracle replay it and that makes the
+    * distributed version trivially correct. Emitted: surviving nodes
+    * with their within-subgraph degree after round 5. On this graph
+    * (as for most: peeling converges in O(log n) practical rounds) the
+    * fixpoint is reached well inside 5; an unbounded production run
+    * iterates with the same Observation-based change counter the CC
+    * fixpoint uses. Per round: one symmetrize + count agg, two semi
+    * joins — all keyed on node; localCheckpoint truncates the growing
+    * plan exactly as in the CC loop.
+    */
+  def kcore(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 3
+    var edges = undirectedEdges(spark, sfDir)
+    for (_ <- 1 to 5) {
+      val deg = edges.select(col("u").as("node"))
+        .unionAll(edges.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val keep = deg.where(col("d") >= k).select("node")
+      edges = edges
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint(false)
+    }
+    edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+      .orderBy("node")
+  }
+
+  private val kcoreOracle: String = {
+    // AS MATERIALIZED: without it DuckDB inlines each CTE at every use
+    // site, and e_i referencing e_{i-1} five times (directly + through
+    // d_i/k_i) re-expands the whole chain ~5^i times.
+    val rounds = (1 to 5).map { i =>
+      val prev = if (i == 1) "e" else s"e${i - 1}"
+      s""",
+d$i AS MATERIALIZED (SELECT node, count(*) AS d FROM (
+  SELECT u AS node FROM $prev UNION ALL SELECT v FROM $prev) GROUP BY node),
+k$i AS MATERIALIZED (SELECT node FROM d$i WHERE d >= 3),
+e$i AS MATERIALIZED (SELECT u, v FROM $prev
+  WHERE u IN (SELECT node FROM k$i) AND v IN (SELECT node FROM k$i))"""
+    }.mkString
+    edgesCte + rounds + """
+SELECT node, count(*) AS degree FROM (
+  SELECT u AS node FROM e5 UNION ALL SELECT v FROM e5) GROUP BY node
+ORDER BY node
+"""
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_kcore" -> (kcore _),
     "graph_degree_hist" -> (degreeHist _),
     "graph_triangle_top" -> (triangleTop _),
     "graph_pagerank_top" -> (pageRankTop _),
@@ -439,6 +494,7 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
 """
 
   val oracles: Map[String, String] = Map(
+    "graph_kcore" -> kcoreOracle,
     "graph_degree_hist" -> degreeHistOracle,
     "graph_triangle_top" -> triangleTopOracle,
     "graph_pagerank_top" -> pageRankOracle,

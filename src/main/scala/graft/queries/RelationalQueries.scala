@@ -785,7 +785,87 @@ FROM lineitem JOIN part ON p_partkey = l_partkey
 GROUP BY p_type ORDER BY p_type
 """
 
+  /** Explicit GROUPING SETS — the general form rollup/cube (q8/q9) are
+    * sugar for: an arbitrary, non-hierarchical set of grouping
+    * combinations in ONE pass over the fact table (Spark plans one
+    * Expand + one aggregate — versus three scans + union by hand).
+    * `grouping()` flags per dimension disambiguate "NULL because
+    * aggregated" from a genuinely null key, which is what makes the
+    * result joinable downstream.
+    */
+  def q34GroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("bigint").as("g_rf"),
+           grouping(col("l_linestatus")).cast("bigint").as("g_ls"),
+           count(lit(1)).as("n_lines"),
+           round(sum(dec("l_extendedprice")), 2).cast("double").as("revenue"))
+      .orderBy(col("g_rf"), col("g_ls"),
+               col("l_returnflag").asc_nulls_first,
+               col("l_linestatus").asc_nulls_first)
+
+  val q34Oracle: String = """
+SELECT l_returnflag, l_linestatus,
+       cast(grouping(l_returnflag) AS bigint) AS g_rf,
+       cast(grouping(l_linestatus) AS bigint) AS g_ls,
+       count(*) AS n_lines,
+       round(sum(cast(l_extendedprice AS decimal(18,2))), 2)::double
+         AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST,
+         l_linestatus ASC NULLS FIRST
+"""
+
+  /** Correlated LATERAL subquery with ORDER BY … LIMIT — "top-2 orders
+    * per customer" in its most natural SQL spelling. The point is the
+    * OPTIMIZER surface: Spark's DecorrelateInnerQuery rewrites the
+    * per-row subquery into a window (rank ≤ 2) over ONE broadcast hash
+    * join — verified no nested-loop in the plan (PlanShapeSpec) — so
+    * the lateral form costs the same as the hand-written window
+    * top-n. Price exposed in integer cents (deterministic both
+    * engines); customers sampled %10 to bound graded output.
+    */
+  def q35LateralTopn(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_lat_orders")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_lat_customer")
+    spark.sql("""
+      SELECT c.c_custkey, t.o_orderkey, t.pc
+      FROM graft_lat_customer c,
+      LATERAL (
+        SELECT o_orderkey,
+               cast(floor(o_totalprice * 100 + 0.5) AS bigint) AS pc
+        FROM graft_lat_orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+      ) t
+      WHERE c.c_custkey % 10 = 0
+      ORDER BY c_custkey, pc DESC, o_orderkey
+    """)
+  }
+
+  val q35Oracle: String = """
+SELECT c.c_custkey, t.o_orderkey, t.pc
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey,
+         cast(floor(o_totalprice * 100 + 0.5) AS bigint) AS pc
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_custkey % 10 = 0
+ORDER BY c_custkey, pc DESC, o_orderkey
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_lateral_topn" -> (q35LateralTopn _),
+    "q34_grouping_sets" -> (q34GroupingSets _),
     "q28_salted_join" -> (q28SaltedJoin _),
     "q26_gapfill" -> (q26GapFill _),
     "q27_full_outer" -> (q27FullOuter _),
@@ -818,6 +898,8 @@ GROUP BY p_type ORDER BY p_type
 
   val oracles: Map[String, String] = Map(
     "q28_salted_join" -> q28Oracle,
+    "q34_grouping_sets" -> q34Oracle,
+    "q35_lateral_topn" -> q35Oracle,
     "q26_gapfill" -> q26Oracle,
     "q27_full_outer" -> q27Oracle,
     "q25_range_join_rule" -> q25Oracle,

@@ -137,13 +137,73 @@ SELECT o_orderpriority, count(*) AS n, TRUE AS p50_rank_ok
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
+  /** Count-min sketch heavy hitters: 4 hash rows × 1024 buckets of
+    * plain counters (built with ONE map-side-combinable aggregation
+    * over a 4× narrow expansion — constant 4 KiB-ish state however
+    * many distinct users exist), probed for the top-10 users; the
+    * estimate is the min over the 4 bucket counters, never below the
+    * true count. Like KMV, the sketch is cross-engine deterministic
+    * (md5-derived bucket hashes, integer counters), so the gate
+    * hash-matches the ESTIMATES exactly — and `cms_never_under` pins
+    * the one-sided error guarantee. At 100 TB the frequency table this
+    * replaces (groupBy user_id) shuffles every distinct key; the CMS
+    * shuffles 4096 counters.
+    */
+  def cmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = 1024
+    val js = array((0 until 4).map(lit): _*)
+    def bucket(j: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column) =
+      pmod(conv(substring(md5(concat(j, lit("#"), key)), 1, 14), 16, 10)
+        .cast("bigint"), lit(W.toLong))
+    val ev = Tables.events(spark, sfDir).select(col("user_id"))
+    val cms = ev.select(explode(js).as("j"), col("user_id"))
+      .select(col("j"), bucket(col("j"), col("user_id")).as("b"))
+      .groupBy("j", "b").agg(count(lit(1)).as("c"))
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id")).limit(10)
+    top.select(col("user_id"), col("n_exact"), explode(js).as("j"))
+      .select(col("user_id"), col("n_exact"), col("j"),
+              bucket(col("j"), col("user_id")).as("b"))
+      .join(broadcast(cms), Seq("j", "b"))
+      .groupBy("user_id", "n_exact")
+      .agg(min(col("c")).as("n_cms"))
+      .select(col("user_id"), col("n_exact"), col("n_cms"),
+              (col("n_cms") >= col("n_exact")).as("cms_never_under"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+  }
+
+  val cmsOracle: String = """
+WITH pairs AS (
+  SELECT user_id, t.j,
+         cast('0x' || substr(md5(t.j || '#' || user_id), 1, 14) AS bigint)
+           % 1024 AS b
+  FROM events, unnest([0, 1, 2, 3]) AS t(j)
+),
+cms AS (SELECT j, b, count(*) AS c FROM pairs GROUP BY j, b),
+top AS (
+  SELECT user_id, count(*) AS n_exact FROM events GROUP BY user_id
+  ORDER BY n_exact DESC, user_id LIMIT 10
+),
+probes AS (
+  SELECT DISTINCT t.user_id, t.n_exact, p.j, p.b
+  FROM top t JOIN pairs p ON p.user_id = t.user_id
+)
+SELECT p.user_id, p.n_exact, min(c.c) AS n_cms,
+       (min(c.c) >= p.n_exact) AS cms_never_under
+FROM probes p JOIN cms c ON c.j = p.j AND c.b = p.b
+GROUP BY p.user_id, p.n_exact
+ORDER BY n_exact DESC, user_id
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_cms_topk" -> (cmsHeavyHitters _),
     "sketch_kmv_distinct" -> (kmvDistinct _),
     "sketch_hll_gate" -> (hllGate _),
     "sketch_quantile_gate" -> (quantileGate _),
   )
 
   val oracles: Map[String, String] = Map(
+    "sketch_cms_topk" -> cmsOracle,
     "sketch_kmv_distinct" -> kmvOracle,
     "sketch_hll_gate" -> hllGateOracle,
     "sketch_quantile_gate" -> quantileGateOracle,

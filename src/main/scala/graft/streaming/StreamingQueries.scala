@@ -23,27 +23,39 @@ object StreamingQueries {
   /** Streamed view of events.parquet, ts decoded as in Tables.events
     * (parquet TIMESTAMP(NANOS) read as long, converted to µs).
     */
-  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+  private def eventsStream(spark: SparkSession, sfDir: String,
+                           copies: Int = 1, tag: String = "events"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/events.parquet"
     // The file source requires a DIRECTORY to monitor (in production
     // this is the landing dir new files arrive into); testdata ships a
-    // single file, so stage a symlink to it in a per-sf temp dir.
+    // single file, so stage symlink(s) to it in a per-sf temp dir.
+    // `copies` > 1 stages the SAME file more than once — a controlled
+    // duplicate feed for the streaming-dedup query.
     val src = java.nio.file.Paths.get(path).toAbsolutePath
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_stream",
-      sfDir.replaceAll("[^A-Za-z0-9._-]", "_"), "events")
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_"), tag)
     java.nio.file.Files.createDirectories(dir)
-    val link = dir.resolve("events.parquet")
-    // NOFOLLOW: a dangling symlink (target regenerated/moved) must be
-    // detected and re-pointed, not mistaken for "absent".
-    if (java.nio.file.Files.exists(link,
-        java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
-        java.nio.file.Files.readSymbolicLink(link) != src)
-      java.nio.file.Files.delete(link)
-    if (!java.nio.file.Files.exists(link,
+    (1 to copies).foreach { i =>
+      val link = dir.resolve(s"events_$i.parquet")
+      // NOFOLLOW: a dangling symlink (target regenerated/moved) must be
+      // detected and re-pointed, not mistaken for "absent".
+      if (java.nio.file.Files.exists(link,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+          java.nio.file.Files.readSymbolicLink(link) != src)
+        java.nio.file.Files.delete(link)
+      if (!java.nio.file.Files.exists(link,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        java.nio.file.Files.createSymbolicLink(link, src)
+    }
+    // Older stagings used a single "events.parquet" link name; remove
+    // it so re-runs against an existing temp dir don't feed an extra
+    // copy.
+    val legacy = dir.resolve("events.parquet")
+    if (java.nio.file.Files.exists(legacy,
         java.nio.file.LinkOption.NOFOLLOW_LINKS))
-      java.nio.file.Files.createSymbolicLink(link, src)
+      java.nio.file.Files.delete(legacy)
     val schema = spark.read.parquet(path).schema
     spark.readStream.schema(schema).parquet(dir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -230,7 +242,34 @@ FROM events WHERE event_type IN ('click', 'view', 'error')
 GROUP BY 1, 2 ORDER BY event_type, day0
 """
 
+  /** Streaming deduplication: the events file is staged TWICE into the
+    * monitored directory (every event arrives exactly two times) and
+    * `dropDuplicates(event_id)` collapses the duplicates with keyed
+    * state — the landing-zone guard against at-least-once upstream
+    * delivery (replayed Kafka offsets, retried file drops). Append
+    * mode: each event is emitted the first time it is seen. The graded
+    * aggregate (counts per type over the deduped stream) equals the
+    * batch counts over the ORIGINAL single copy — proving the operator
+    * removed exactly the duplicates. Unbounded deployments bound the
+    * seen-key state with `dropDuplicatesWithinWatermark` (same plan,
+    * state evicted past the watermark) — here the keyspace is finite
+    * and the exact variant keeps the gate deterministic.
+    */
+  def dedupCounts(spark: SparkSession, sfDir: String): DataFrame =
+    runToCompletion(spark, sub =>
+        eventsStream(sub, sfDir, copies = 2, tag = "events_dup")
+          .withWatermark("ts", "1 minute")
+          .dropDuplicates("event_id"),
+      "append")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  val dedupCountsOracle: String = """
+SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY event_type
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_dedup" -> (dedupCounts _),
     "stream_windowed_counts" -> (windowedCounts _),
     "stream_sessions" -> (sessions _),
     "stream_stateful_agg" -> (statefulUserAgg _),
@@ -238,6 +277,7 @@ GROUP BY 1, 2 ORDER BY event_type, day0
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_dedup" -> dedupCountsOracle,
     "stream_windowed_counts" -> windowedCountsOracle,
     "stream_sessions" -> sessionsOracle,
     "stream_stateful_agg" -> statefulUserAggOracle,

@@ -54,4 +54,17 @@ class MultimodalSpec extends SparkSpec {
     assert(a.resized.toSeq === payload.indices.collect {
       case i if i % 2 == 0 => payload(i) }.toSeq)
   }
+
+  test("phash clustering partitions the corpus, labels are cluster minima") {
+    val rows = MultimodalQueries.mediaPhashClusters(spark, sfDir).collect()
+    val docs = graft.queries.Tables.documents(spark, sfDir).count()
+    assert(rows.length === docs, "every media doc gets exactly one label")
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    byCluster.foreach { case (label, members) =>
+      assert(members.map(_.getAs[Long]("doc_id")).min === label,
+        s"cluster $label not labeled by its min member")
+    }
+    assert(byCluster.exists(_._2.length > 1),
+      "corpus has near-dup families; clustering found none")
+  }
 }
