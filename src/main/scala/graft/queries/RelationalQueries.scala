@@ -863,7 +863,89 @@ WHERE c.c_custkey % 10 = 0
 ORDER BY c_custkey, pc DESC, o_orderkey
 """
 
+  /** Recursive CTE (Spark 4's UnionLoop operator) — declarative
+    * multi-source bounded BFS: per-node 3-hop reach counts on the
+    * sparse (quantity ≥ 45) co-purchase graph, as a histogram. The
+    * SAME SQL text runs on DuckDB — the portability argument for
+    * recursion as syntax rather than a driver loop. UNION ALL + depth
+    * guard (not UNION) because recursive dedup across iterations isn't
+    * portable; the `count(DISTINCT node)` collapse absorbs the
+    * duplicate walks. The iterative twin (driver loop + localCheckpoint,
+    * `GraphQueries.khopHist`) is what a 100 TB run uses — per-round
+    * plan truncation and an explicit frontier; the recursive form is
+    * the right tool when depth is small and the engine owns the loop.
+    */
+  def q36Reach3(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_rec_lineitem")
+    spark.sql(q36Sql("graft_rec_lineitem"))
+  }
+
+  private def q36Sql(tbl: String): String = s"""
+WITH RECURSIVE li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM $tbl WHERE l_quantity >= 45
+),
+e AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey <> b.l_partkey
+),
+walk(seed, node, d) AS (
+  SELECT l_partkey, l_partkey, 0 FROM (SELECT DISTINCT l_partkey FROM li)
+  UNION ALL
+  SELECT w.seed, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.node
+  WHERE w.d < 3
+),
+reach AS (
+  SELECT seed, count(DISTINCT node) - 1 AS n_reach FROM walk GROUP BY seed
+)
+SELECT n_reach, count(*) AS n_nodes FROM reach GROUP BY n_reach ORDER BY n_reach
+"""
+
+  val q36Oracle: String = q36Sql("lineitem")
+
+  /** Runtime bloom-filter join: the big side's scan is pre-filtered by
+    * a bloom filter BUILT AT RUNTIME from the selective small side —
+    * Spark's InjectRuntimeFilter, the shuffle-join analogue of
+    * broadcast pruning (at 100 TB: the urgent-orders filter is 20% of
+    * orders, and lineitem rows that would fail the join never leave
+    * the scan stage). Run on a cloned session with the app-side size
+    * threshold dropped so the rewrite fires at test scale (production
+    * leaves the 10 GB default); broadcast disabled so the bloom path,
+    * not BHJ pruning, is what's exercised. Semantics are exactly the
+    * plain join — that's the oracle — while BloomJoinSpec pins the
+    * bloom_filter expression in the plan.
+    */
+  def q37BloomJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val sub = spark.newSession()
+    sub.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    sub.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    sub.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = Tables.lineitem(sub, sfDir)
+      .select(col("l_orderkey"), dec("l_extendedprice").as("price"))
+    val o = Tables.orders(sub, sfDir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+      .agg(round(sum(col("price")), 2).cast("double").as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy("o_year")
+  }
+
+  val q37Oracle: String = """
+SELECT cast(year(o_orderdate) AS bigint) AS o_year,
+       round(sum(cast(l_extendedprice AS decimal(18,2))), 2)::double
+         AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY 1 ORDER BY o_year
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_recursive_reach" -> (q36Reach3 _),
+    "q37_bloom_join" -> (q37BloomJoin _),
     "q35_lateral_topn" -> (q35LateralTopn _),
     "q34_grouping_sets" -> (q34GroupingSets _),
     "q28_salted_join" -> (q28SaltedJoin _),
@@ -900,6 +982,8 @@ ORDER BY c_custkey, pc DESC, o_orderkey
     "q28_salted_join" -> q28Oracle,
     "q34_grouping_sets" -> q34Oracle,
     "q35_lateral_topn" -> q35Oracle,
+    "q36_recursive_reach" -> q36Oracle,
+    "q37_bloom_join" -> q37Oracle,
     "q26_gapfill" -> q26Oracle,
     "q27_full_outer" -> q27Oracle,
     "q25_range_join_rule" -> q25Oracle,
