@@ -42,14 +42,24 @@ object MatchQueries {
     * strings in MatchQueriesSpec).
     */
   private[queries] def fuzzyPairsOf(names: DataFrame): DataFrame = {
+    // Join on xxhash64 of the masked variant, not the variant string:
+    // 8-byte shuffle keys instead of ~L-char strings (the same win the
+    // ngram pipeline measured with TrigramHashes). A hash collision can
+    // only ADD a candidate pair, and the levenshtein verify removes it
+    // — correctness does not depend on collision-freeness.
     val variants = names.select(col("name"), explode(expr(
       "transform(sequence(1, length(name)), i -> " +
-        "concat(substring(name, 1, i - 1), '_', " +
-        "substring(name, i + 1, length(name))))")).as("blk"))
+        "xxhash64(concat(substring(name, 1, i - 1), '_', " +
+        "substring(name, i + 1, length(name)), '#', length(name))))"))
+      .as("blk"))
     variants.as("x").join(variants.as("y"),
         col("x.blk") === col("y.blk") && col("x.name") < col("y.name"))
       .select(col("x.name").as("name_a"), col("y.name").as("name_b"))
       .where(levenshtein(col("name_a"), col("name_b")) === 1)
+      // With string keys a Hamming-1 pair matches on exactly one
+      // variant; hashed keys make a double-match possible (two mask
+      // positions colliding), so pin distinctness explicitly.
+      .dropDuplicates("name_a", "name_b")
       .orderBy("name_a", "name_b")
   }
 

@@ -943,7 +943,37 @@ WHERE o_orderpriority = '1-URGENT'
 GROUP BY 1 ORDER BY o_year
 """
 
+  /** VARIANT (Spark 4's open semi-structured type): `parse_json` once
+    * into a binary-encoded variant, then typed `variant_get` path
+    * extraction — the schema-on-read path for ingesting JSON event
+    * payloads WITHOUT a fixed struct schema (q15 covers the
+    * schema'd `from_json` path; this is its schemaless complement,
+    * and at 100 TB the variant encoding is columnar-shreddable where
+    * repeated string JSON is not). Aggregates over the extracted
+    * field are exact integers.
+    */
+  def q38Variant(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val q38Oracle: String = """
+WITH x AS (
+  SELECT event_type,
+         cast(json_extract_string(props, '$.k') AS bigint) AS k
+  FROM events
+)
+SELECT event_type, count(*) AS n, cast(sum(k) AS bigint) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM x GROUP BY event_type ORDER BY event_type
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_variant" -> (q38Variant _),
     "q36_recursive_reach" -> (q36Reach3 _),
     "q37_bloom_join" -> (q37BloomJoin _),
     "q35_lateral_topn" -> (q35LateralTopn _),
@@ -984,6 +1014,7 @@ GROUP BY 1 ORDER BY o_year
     "q35_lateral_topn" -> q35Oracle,
     "q36_recursive_reach" -> q36Oracle,
     "q37_bloom_join" -> q37Oracle,
+    "q38_variant" -> q38Oracle,
     "q26_gapfill" -> q26Oracle,
     "q27_full_outer" -> q27Oracle,
     "q25_range_join_rule" -> q25Oracle,
