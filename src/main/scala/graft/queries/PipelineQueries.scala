@@ -398,7 +398,60 @@ SELECT source, cast(rk AS bigint) AS rk, doc_id
 FROM ranked WHERE rk <= 5 ORDER BY source, rk
 """
 
+  /** The curation stages composed END-TO-END in one DataFrame chain —
+    * quality filter → exact near-dup collapse (keep the min doc per
+    * text hash) → deterministic split — proving the stages fuse into
+    * ONE Catalyst plan (no materialization barriers between them: the
+    * filter pushes into the scan, the dedup is one window, the split
+    * is a projection). Per (split, lang): docs, total whitespace
+    * tokens, chars. This is the shape a 100 TB curation run actually
+    * executes — the graded single-stage queries are its unit tests.
+    */
+  def endToEnd(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("th").orderBy("doc_id")
+    Tables.documents(spark, sfDir)
+      .where(col("n_chars").between(100, 4000))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+              md5(col("text")).as("th"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (size(split(col("text"), " "))).cast("bigint").as("n_tokens"),
+        when(conv(substring(md5(concat(lit("split#"), col("doc_id"))), 1, 8),
+                  16, 10).cast("bigint") % 100 < 90, "train")
+          .otherwise("eval").as("split"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+           sum(col("n_chars")).as("total_chars"))
+      .orderBy("split", "lang")
+  }
+
+  val endToEndOracle: String = """
+WITH filtered AS (
+  SELECT doc_id, lang, n_chars, text, md5(text) AS th
+  FROM documents WHERE n_chars BETWEEN 100 AND 4000
+),
+deduped AS (
+  SELECT doc_id, lang, n_chars, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY th ORDER BY doc_id) AS rk
+    FROM filtered) WHERE rk = 1
+),
+split AS (
+  SELECT lang, n_chars,
+         cast(len(string_split(text, ' ')) AS bigint) AS n_tokens,
+         CASE WHEN cast('0x' || substr(md5('split#' || doc_id), 1, 8)
+                    AS bigint) % 100 < 90
+              THEN 'train' ELSE 'eval' END AS split
+  FROM deduped
+)
+SELECT split, lang, count(*) AS n_docs,
+       cast(sum(n_tokens) AS bigint) AS total_tokens,
+       cast(sum(n_chars) AS bigint) AS total_chars
+FROM split GROUP BY split, lang ORDER BY split, lang
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_end_to_end" -> (endToEnd _),
     "pipe_stratified_sample" -> (stratifiedSample _),
     "pipe_train_split" -> (trainSplit _),
     "pipe_quality_filter" -> (qualityFilter _),
@@ -412,6 +465,7 @@ FROM ranked WHERE rk <= 5 ORDER BY source, rk
   )
 
   val oracles: Map[String, String] = Map(
+    "pipe_end_to_end" -> endToEndOracle,
     "pipe_stratified_sample" -> stratifiedSampleOracle,
     "pipe_train_split" -> trainSplitOracle,
     "pipe_quality_filter" -> qualityFilterOracle,

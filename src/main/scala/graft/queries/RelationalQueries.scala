@@ -972,7 +972,50 @@ SELECT event_type, count(*) AS n, cast(sum(k) AS bigint) AS sum_k,
 FROM x GROUP BY event_type ORDER BY event_type
 """
 
+  /** Array higher-order-function family over per-order quantity
+    * arrays: collect → sort_array → slice / aggregate-fold / filter /
+    * exists, emitted as scalars (strings/ints — arrays stay OUT of the
+    * gate output; the driver's row-sorter can't hash ndarray cells).
+    * Every HOF here is codegen'd by Catalyst — the reason the engine's
+    * per-group logic (CC star ops, quality rules) is written with
+    * these rather than UDFs. Quantities are integer-valued doubles;
+    * cast through bigint for cross-engine exactness.
+    */
+  def q39ArrayFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_orderkey") % 97 === 0)
+      .select(col("l_orderkey"), col("l_quantity").cast("bigint").as("q"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("q"))).as("qs"))
+      .select(col("l_orderkey"),
+        size(col("qs")).cast("bigint").as("n_items"),
+        concat_ws(",", slice(col("qs"), 1, 3)).as("low3"),
+        aggregate(col("qs"), lit(0L),
+          (acc: Column, x: Column) => acc + x).as("sum_q"),
+        size(filter(col("qs"), (x: Column) => x > 25)).cast("bigint")
+          .as("n_big"),
+        exists(col("qs"), (x: Column) => x === 1).as("has_one"),
+        element_at(col("qs"), -1).as("max_q"))
+      .orderBy("l_orderkey")
+
+  val q39Oracle: String = """
+WITH g AS (
+  SELECT l_orderkey, list_sort(list(cast(l_quantity AS bigint))) AS qs
+  FROM lineitem WHERE l_orderkey % 97 = 0
+  GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       cast(len(qs) AS bigint) AS n_items,
+       array_to_string(qs[1:3], ',') AS low3,
+       cast(list_sum(qs) AS bigint) AS sum_q,
+       cast(len(list_filter(qs, x -> x > 25)) AS bigint) AS n_big,
+       len(list_filter(qs, x -> x = 1)) > 0 AS has_one,
+       qs[-1] AS max_q
+FROM g ORDER BY l_orderkey
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_array_funcs" -> (q39ArrayFuncs _),
     "q38_variant" -> (q38Variant _),
     "q36_recursive_reach" -> (q36Reach3 _),
     "q37_bloom_join" -> (q37BloomJoin _),
@@ -1015,6 +1058,7 @@ FROM x GROUP BY event_type ORDER BY event_type
     "q36_recursive_reach" -> q36Oracle,
     "q37_bloom_join" -> q37Oracle,
     "q38_variant" -> q38Oracle,
+    "q39_array_funcs" -> q39Oracle,
     "q26_gapfill" -> q26Oracle,
     "q27_full_outer" -> q27Oracle,
     "q25_range_join_rule" -> q25Oracle,
