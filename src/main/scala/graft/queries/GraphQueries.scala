@@ -458,7 +458,40 @@ ORDER BY node
 """
   }
 
+  /** Weighted bipartite projection: the order↔part graph projected
+    * onto parts, edge weight = number of shared orders — the
+    * "co-occurrence graph with counts" every recommender / association
+    * pipeline builds (the unweighted distinct form feeds CC; the
+    * weights are what similarity ranking needs). Emitted as the weight
+    * histogram (bounded output at any scale). Same bounded-clique
+    * O(k²) expansion argument as the edge memo; the count is one
+    * map-side-combinable agg on the pair key.
+    */
+  def weightedProjection(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_edges"))
+      .orderBy("w")
+  }
+
+  private val weightedProjectionOracle: String = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+we AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT w, count(*) AS n_edges FROM we GROUP BY w ORDER BY w
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_weighted_projection" -> (weightedProjection _),
     "graph_kcore" -> (kcore _),
     "graph_degree_hist" -> (degreeHist _),
     "graph_triangle_top" -> (triangleTop _),
@@ -494,6 +527,7 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
 """
 
   val oracles: Map[String, String] = Map(
+    "graph_weighted_projection" -> weightedProjectionOracle,
     "graph_kcore" -> kcoreOracle,
     "graph_degree_hist" -> degreeHistOracle,
     "graph_triangle_top" -> triangleTopOracle,

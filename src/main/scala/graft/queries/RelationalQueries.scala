@@ -1014,7 +1014,47 @@ SELECT l_orderkey,
 FROM g ORDER BY l_orderkey
 """
 
+  /** The correlated-subquery SYNTAX family — EXISTS, NOT IN, and a
+    * scalar subquery in one WHERE clause. q4/q5 grade the explicit
+    * semi/anti JOIN form; this grades Spark's RewritePredicateSubquery
+    * + scalar-subquery planning of the same semantics as a user would
+    * write them. The above-average comparison is cross-multiplied into
+    * integer cents (value·n > Σcents) so the scalar subquery carries
+    * no float boundary.
+    */
+  def q40SubqueryFamily(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_sq_orders")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_sq_customer")
+    spark.sql("""
+      SELECT c.c_mktsegment, count(*) AS n_custs
+      FROM graft_sq_customer c
+      WHERE EXISTS (SELECT 1 FROM graft_sq_orders o
+                    WHERE o.o_custkey = c.c_custkey)
+        AND c.c_custkey NOT IN (SELECT o_custkey FROM graft_sq_orders
+                                WHERE o_orderpriority = '5-LOW')
+        AND cast(floor(c.c_acctbal * 100 + 0.5) AS bigint) *
+              (SELECT count(*) FROM graft_sq_customer) >
+            (SELECT sum(cast(floor(c_acctbal * 100 + 0.5) AS bigint))
+             FROM graft_sq_customer)
+      GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """)
+  }
+
+  val q40Oracle: String = """
+SELECT c.c_mktsegment, count(*) AS n_custs
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
+                          WHERE o_orderpriority = '5-LOW')
+  AND cast(floor(c.c_acctbal * 100 + 0.5) AS bigint) *
+        (SELECT count(*) FROM customer) >
+      (SELECT cast(sum(cast(floor(c_acctbal * 100 + 0.5) AS bigint)) AS bigint)
+       FROM customer)
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_subquery_family" -> (q40SubqueryFamily _),
     "q39_array_funcs" -> (q39ArrayFuncs _),
     "q38_variant" -> (q38Variant _),
     "q36_recursive_reach" -> (q36Reach3 _),
@@ -1059,6 +1099,7 @@ FROM g ORDER BY l_orderkey
     "q37_bloom_join" -> q37Oracle,
     "q38_variant" -> q38Oracle,
     "q39_array_funcs" -> q39Oracle,
+    "q40_subquery_family" -> q40Oracle,
     "q26_gapfill" -> q26Oracle,
     "q27_full_outer" -> q27Oracle,
     "q25_range_join_rule" -> q25Oracle,

@@ -195,7 +195,50 @@ GROUP BY p.user_id, p.n_exact
 ORDER BY n_exact DESC, user_id
 """
 
+  /** HLL sketch MERGEABILITY (Apache DataSketches via Spark's
+    * hll_sketch_agg / hll_union_agg): per-event-type sketches built
+    * independently, then UNIONED — and the union's estimate must equal
+    * the estimate of a sketch built over the whole table in one pass.
+    * That equality is the property that makes 100 TB rollup tables
+    * work: persist small per-partition sketch blobs, answer any
+    * coarser-grained distinct-count by merging blobs instead of
+    * rescanning raw data. Exact equality (not tolerance) because HLL
+    * register state is a max per bucket — order-independent and
+    * partition-independent — so both paths reach the identical sketch.
+    * The estimates themselves are also gated against the exact count
+    * at 5% (lgK=12 ⇒ ~1.6% rse).
+    */
+  def hllUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    // One grouping-sets pass builds the per-type sketches AND the
+    // whole-table sketch; a second re-aggregation unions the per-type
+    // blobs. No join anywhere — sketch mergeability composed with the
+    // Expand operator.
+    val sk = ev
+      .groupingSets(Seq(Seq(col("event_type")), Seq()), col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+           countDistinct(col("user_id")).as("nd"),
+           grouping(col("event_type")).as("g"))
+    sk.agg(
+        expr("hll_sketch_estimate(hll_union_agg(CASE WHEN g = 0 THEN sk END))")
+          .as("est_merged"),
+        expr("hll_sketch_estimate(first(CASE WHEN g = 1 THEN sk END, true))")
+          .as("est_whole"),
+        max(when(col("g") === 1, col("nd"))).as("n_exact"))
+      .select(col("n_exact"),
+        (col("est_whole") === col("est_merged")).as("merge_lossless"),
+        (abs(col("est_whole") - col("n_exact")) * 20 <= col("n_exact"))
+          .as("hll_within_5pct"))
+  }
+
+  val hllUnionOracle: String = """
+SELECT count(DISTINCT user_id) AS n_exact,
+       TRUE AS merge_lossless, TRUE AS hll_within_5pct
+FROM events
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hll_union" -> (hllUnion _),
     "sketch_cms_topk" -> (cmsHeavyHitters _),
     "sketch_kmv_distinct" -> (kmvDistinct _),
     "sketch_hll_gate" -> (hllGate _),
@@ -203,6 +246,7 @@ ORDER BY n_exact DESC, user_id
   )
 
   val oracles: Map[String, String] = Map(
+    "sketch_hll_union" -> hllUnionOracle,
     "sketch_cms_topk" -> cmsOracle,
     "sketch_kmv_distinct" -> kmvOracle,
     "sketch_hll_gate" -> hllGateOracle,
