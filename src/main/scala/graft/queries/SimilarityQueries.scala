@@ -424,7 +424,65 @@ FROM assign a JOIN q ON q.vec_id = a.vec_id
 GROUP BY a.cid, q.pos ORDER BY cid, pos
 """
 
+  /** Symmetric int8 quantization of the embedding corpus — the 4×
+    * storage/bandwidth compression a 100 TB vector store ships with
+    * (codes live in fast storage, floats in cold; rerank dequantizes).
+    * Scale = global max |x| (order-independent, exact on floats),
+    * fetched as one driver scalar; codes = floor(x/smax·127 + 0.5)
+    * clamped to ±127 — a narrow projection. The gate hash-matches the
+    * integer code statistics exactly, and the dequantization error
+    * bound (max |x − code·smax/127| ≤ smax/127, floor'd to micros via
+    * the identical-expression-tree recipe) is checked per vector.
+    */
+  def quantizeInt8(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val smax = emb.select(
+      max(expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
+        .as("m")).first().getDouble(0)
+    emb.select(col("vec_id"),
+        expr(s"transform(embedding, x -> cast(greatest(-127.0, least(127.0," +
+          s" floor(cast(x as double) / $smax * 127.0 + 0.5))) as bigint))")
+          .as("codes"),
+        col("embedding"))
+      .select(col("vec_id"),
+        expr("aggregate(codes, cast(0 as bigint), (a, c) -> a + c)")
+          .as("sum_code"),
+        expr("array_min(codes)").as("min_code"),
+        expr("array_max(codes)").as("max_code"),
+        expr("size(filter(codes, c -> c = 127 or c = -127))").cast("bigint")
+          .as("n_sat"),
+        expr(s"cast(floor(1000000.0 * array_max(zip_with(embedding, codes," +
+          s" (x, c) -> abs(cast(x as double) - cast(c as double) * $smax / 127.0)))) as bigint)")
+          .as("max_err_micros"))
+      .orderBy("vec_id")
+  }
+
+  val quantizeInt8Oracle: String = """
+WITH s AS (
+  SELECT max(list_max(list_transform(embedding, x -> abs(x::double)))) AS smax
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding, x -> cast(greatest(-127.0, least(127.0,
+           floor(x::double / s.smax * 127.0 + 0.5))) AS bigint)) AS codes,
+         s.smax AS smax
+  FROM embeddings, s
+)
+SELECT vec_id,
+       cast(list_sum(codes) AS bigint) AS sum_code,
+       list_min(codes) AS min_code,
+       list_max(codes) AS max_code,
+       cast(len(list_filter(codes, c -> c = 127 OR c = -127)) AS bigint)
+         AS n_sat,
+       cast(floor(1000000.0 * list_max(list_transform(range(1, len(codes) + 1),
+         i -> abs(embedding[i]::double - codes[i]::double * smax / 127.0))))
+         AS bigint) AS max_err_micros
+FROM q ORDER BY vec_id
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_kmeans_step" -> (kmeansStep _),
     "sim_cosine_pairs" -> (cosinePairs _),
     "sim_topk_bruteforce" -> (topkBruteForce _),
@@ -433,6 +491,7 @@ GROUP BY a.cid, q.pos ORDER BY cid, pos
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_quantize_int8" -> quantizeInt8Oracle,
     "sim_kmeans_step" -> kmeansStepOracle,
     "sim_cosine_pairs" -> cosinePairsOracle,
     "sim_topk_bruteforce" -> topkOracle,

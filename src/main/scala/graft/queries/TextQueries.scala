@@ -224,7 +224,79 @@ FROM ranked WHERE rn <= 3
 ORDER BY term, score DESC, doc_id
 """
 
+  /** BM25 ranked retrieval — TF-IDF's production successor: term
+    * saturation (k1) and document-length normalization (b), the two
+    * things that make long spammy documents stop winning. Entirely
+    * integer fixed-point so the gate is exact: with k1 = 6/5, b = 3/4
+    * the denominator clears to integers when cross-multiplied by
+    * 20·Σdl, giving
+    *   score = idf_fp · 44·tf·Σdl div (20·Σdl·tf + 6·Σdl + 18·dl·N)
+    * with the same rational idf surrogate text_tfidf_topk uses (no ln:
+    * libm rounding differs across engines; the surrogate preserves the
+    * df-monotonicity that drives ranking). Headroom: ≤ ~4·10¹⁷ on the
+    * graded corpus; a web-scale corpus drops the 10⁶ idf scale to 10³
+    * (or moves the product to decimal(38)).
+    * N and Σdl are two driver-side scalars fetched at plan-build time
+    * (the tfidf precedent) — broadcastable literals, not a join.
+    */
+  def bm25Topk(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val sumDl = docs
+      .select(sum(size(split(col("text"), " ")).cast("bigint")).as("s"))
+      .first().getLong(0)
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("bigint").as("dl"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(df), "term").join(dl, "doc_id")
+      .withColumn("idf_fp",
+        expr(s"(1000000 * (2 * $n - 2 * df + 1)) div (2 * df + 1)"))
+      .withColumn("score",
+        expr(s"(idf_fp * 44 * tf * $sumDl) div " +
+             s"(20 * $sumDl * tf + 6 * $sumDl + 18 * dl * $n)"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("term"), col("doc_id"), col("tf"), col("df"), col("dl"),
+              col("score"))
+      .orderBy(col("term"), col("score").desc, col("doc_id"))
+  }
+
+  val bm25TopkOracle: String = """
+WITH dl AS (
+  SELECT doc_id, cast(len(string_split(text, ' ')) AS bigint) AS dl
+  FROM documents),
+t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM t GROUP BY 1, 2),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) AS sdl),
+scored AS (
+  SELECT f.term, f.doc_id, f.tf, d.df, l.dl,
+         ((1000000 * (2 * c.n - 2 * d.df + 1)) // (2 * d.df + 1))
+           * 44 * f.tf * c.sdl //
+           (20 * c.sdl * f.tf + 6 * c.sdl + 18 * l.dl * c.n) AS score
+  FROM tf f
+  JOIN dfx d ON d.term = f.term
+  JOIN dl l ON l.doc_id = f.doc_id
+  CROSS JOIN consts c),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY term
+                               ORDER BY score DESC, doc_id) AS rn
+  FROM scored)
+SELECT term, doc_id, tf, df, dl, cast(score AS bigint) AS score
+FROM ranked WHERE rn <= 3
+ORDER BY term, score DESC, doc_id
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25_topk" -> (bm25Topk _),
     "text_tfidf_topk" -> (tfidfTopk _),
     "text_repetition" -> (repetition _),
     "text_stats" -> (textStats _),
@@ -259,6 +331,7 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
 
   val oracles: Map[String, String] = Map(
     "text_tfidf_topk" -> tfidfTopkOracle,
+    "text_bm25_topk" -> bm25TopkOracle,
     "text_repetition" -> repetitionOracle,
     "text_stats" -> textStatsOracle,
     "text_langid" -> langIdOracle,
