@@ -1053,7 +1053,45 @@ WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
 """
 
+  /** Grouped top-k via the bounded-buffer [[graft.functions.TopK]]
+    * typed Aggregator — the third spelling of top-n-per-key in the
+    * suite, and the only one that scales: q3 is global top-k
+    * (TakeOrderedAndProject), q35 is the lateral/window form (full
+    * shuffle of every row), this one partial-aggregates ≤ k pairs per
+    * group map-side so the shuffle carries kilobytes at any input
+    * size. Same (score desc, id asc) determinism contract as the
+    * window form — the oracle IS the window form.
+    */
+  def q41TopkAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopK(3))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"),
+              floor(col("o_totalprice") * 100 + 0.5).cast("bigint").as("pc"),
+              col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(topk(col("pc"), col("o_orderkey")).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("bigint").as("rank"),
+              col("col._1").as("pc"), col("col._2").as("o_orderkey"))
+      .orderBy("o_orderpriority", "rank")
+  }
+
+  val q41Oracle: String = """
+WITH ranked AS (
+  SELECT o_orderpriority,
+         cast(floor(o_totalprice * 100 + 0.5) AS bigint) AS pc,
+         o_orderkey,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY floor(o_totalprice * 100 + 0.5) DESC,
+                                     o_orderkey) AS rank
+  FROM orders)
+SELECT o_orderpriority, cast(rank AS bigint) AS rank, pc, o_orderkey
+FROM ranked WHERE rank <= 3
+ORDER BY o_orderpriority, rank
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_topk_agg" -> (q41TopkAgg _),
     "q40_subquery_family" -> (q40SubqueryFamily _),
     "q39_array_funcs" -> (q39ArrayFuncs _),
     "q38_variant" -> (q38Variant _),
@@ -1100,6 +1138,7 @@ GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
     "q38_variant" -> q38Oracle,
     "q39_array_funcs" -> q39Oracle,
     "q40_subquery_family" -> q40Oracle,
+    "q41_topk_agg" -> q41Oracle,
     "q26_gapfill" -> q26Oracle,
     "q27_full_outer" -> q27Oracle,
     "q25_range_join_rule" -> q25Oracle,

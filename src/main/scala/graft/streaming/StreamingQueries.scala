@@ -268,7 +268,49 @@ GROUP BY 1, 2 ORDER BY event_type, day0
 SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY event_type
 """
 
+  /** STREAM-STREAM inner join — the operator with state on BOTH
+    * sides: clicks joined to purchases by the same user within the
+    * following hour. Both sides carry watermarks and the join
+    * condition bounds event time in both directions, which is what
+    * lets Spark evict join state (otherwise both sides buffer
+    * forever — the unbounded-state trap). The graded aggregate runs
+    * BATCH over the append-mode sink, per the file-sink pattern;
+    * with AvailableNow replay the inner join is complete, so it
+    * equals the batch interval join exactly (which is the oracle —
+    * and the same semantics q25's RangeBucketJoin rule optimizes in
+    * batch).
+    */
+  def intervalJoin(spark: SparkSession, sfDir: String): DataFrame =
+    runToCompletion(spark, { sub =>
+        val clicks = eventsStream(sub, sfDir)
+          .where(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"))
+          .withWatermark("click_ts", "1 minute")
+        val buys = eventsStream(sub, sfDir)
+          .where(col("event_type") === "purchase")
+          .select(col("user_id").as("buy_user"), col("ts").as("buy_ts"))
+          .withWatermark("buy_ts", "1 minute")
+        clicks.join(buys,
+          col("user_id") === col("buy_user") &&
+          col("buy_ts") >= col("click_ts") &&
+          col("buy_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      }, "append")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+           unix_micros(max(col("buy_ts"))).as("last_buy_us"))
+      .orderBy("user_id")
+
+  val intervalJoinOracle: String = """
+WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, count(*) AS n_pairs, epoch_us(max(p.ts)) AS last_buy_us
+FROM c JOIN p ON p.user_id = c.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+GROUP BY c.user_id ORDER BY c.user_id
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_interval_join" -> (intervalJoin _),
     "stream_dedup" -> (dedupCounts _),
     "stream_windowed_counts" -> (windowedCounts _),
     "stream_sessions" -> (sessions _),
@@ -277,6 +319,7 @@ SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY event_type
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_interval_join" -> intervalJoinOracle,
     "stream_dedup" -> dedupCountsOracle,
     "stream_windowed_counts" -> windowedCountsOracle,
     "stream_sessions" -> sessionsOracle,
