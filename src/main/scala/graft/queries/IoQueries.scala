@@ -275,7 +275,63 @@ SELECT l_returnflag, count(*) AS n_rows, bit_xor(h) AS xor56
 FROM h GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
+  /** Small-file compaction — the housekeeping job every streaming /
+    * incremental landing zone needs: a deliberately fragmented copy
+    * (64 shards of a 500-row table) is rewritten by range-partitioned
+    * compaction into few large, doc_id-clustered files. The graded
+    * aggregate proves the rewrite lossless; IoCompactionSpec pins the
+    * file-count collapse and the clustering (non-overlapping doc_id
+    * ranges per file — which is what makes later range scans prune).
+    * At 100 TB this is the same job with a target file size instead of
+    * a file count; `maxRecordsPerFile` caps the upper end.
+    */
+  def compaction(spark: SparkSession, sfDir: String): DataFrame = {
+    val frag = stageDir(sfDir, "frag"); val compact = stageDir(sfDir, "compact")
+    Tables.documents(spark, sfDir)
+      .repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag)
+      .repartitionByRange(2, col("doc_id"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 100000)
+      .parquet(compact)
+    aggregated(spark.read.parquet(compact))
+  }
+
+  /** Parquet schema evolution: yesterday's files lack a column that
+    * today's files carry; `mergeSchema` reads the union schema with
+    * NULLs where history is silent — the additive-column migration
+    * every long-lived dataset goes through (no rewrite of old data).
+    * The graded aggregate counts per-language docs with/without the
+    * late column populated.
+    */
+  def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageDir(sfDir, "evolve")
+    val docs = Tables.documents(spark, sfDir)
+    docs.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(s"$dir/batch=old")
+    docs.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/batch=new")
+    spark.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           count(col("n_chars")).as("n_with_chars"),
+           sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  private val schemaEvolutionOracle = """
+SELECT lang, count(*) AS n_docs,
+       count(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS n_with_chars,
+       cast(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS bigint)
+         AS sum_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_compaction" -> (compaction _),
+    "io_schema_evolution" -> (schemaEvolution _),
     "io_table_checksum" -> (tableChecksum _),
     "io_bucketed_join" -> (bucketedJoin _),
     "io_zorder_pruning" -> (zorderPruning _),
@@ -286,6 +342,8 @@ FROM h GROUP BY l_returnflag ORDER BY l_returnflag
   )
 
   val oracles: Map[String, String] = Map(
+    "io_compaction" -> oracle,
+    "io_schema_evolution" -> schemaEvolutionOracle,
     "io_table_checksum" -> checksumOracle,
     "io_bucketed_join" -> bucketedOracle,
     "io_zorder_pruning" -> zorderOracle,

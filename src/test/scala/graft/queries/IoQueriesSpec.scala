@@ -51,4 +51,40 @@ class IoQueriesSpec extends SparkSpec {
     assert(back.count() === docs.count())
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
   }
+
+  test("compaction collapses the file count and range-clusters doc_id") {
+    IoQueries.compaction(spark, sfDir).collect() // runs both writes
+    def parquetFiles(tag: String) = {
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_io",
+        sfDir.replaceAll("[^A-Za-z0-9._-]", "_"), tag)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala
+        .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    }
+    val nFrag = parquetFiles("frag").size
+    val compactFiles = parquetFiles("compact")
+    assert(nFrag > 10 && compactFiles.size <= 2,
+      s"compaction: $nFrag -> ${compactFiles.size} files")
+    // range clustering: per-file doc_id bands must not overlap
+    val bands = compactFiles.map { f =>
+      val ids = spark.read.parquet(f).agg(
+        org.apache.spark.sql.functions.min("doc_id"),
+        org.apache.spark.sql.functions.max("doc_id")).collect().head
+      (ids.getLong(0), ids.getLong(1))
+    }.sortBy(_._1)
+    bands.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 < b._1, s"overlapping bands $a $b")
+      case _ =>
+    }
+  }
+
+  test("schema evolution: old files read with NULL for the late column") {
+    val rows = IoQueries.schemaEvolution(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("n_docs")).sum
+    val withChars = rows.map(_.getAs[Long]("n_with_chars")).sum
+    assert(withChars < n, "old-batch rows must surface NULL n_chars")
+    assert(withChars > 0, "new-batch rows must carry n_chars")
+  }
 }
