@@ -1090,7 +1090,37 @@ FROM ranked WHERE rank <= 3
 ORDER BY o_orderpriority, rank
 """
 
+  /** Unpivot (melt) — q17's inverse: a wide per-month matrix of order
+    * counts by priority (built with the same pivot machinery) melted
+    * back to long form. Wide→long is the normalization step feeding
+    * chart/ML consumers from report-shaped tables; Spark's `unpivot`
+    * plans as a single Expand (no join, no shuffle beyond the source
+    * agg). Null cells (month × priority never seen) are dropped by
+    * unpivot's default — mirrored in the oracle by just grouping the
+    * long form.
+    */
+  def q42Unpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val wide = Tables.orders(spark, sfDir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+    wide.unpivot(Array(col("month")),
+        prios.map(p => col(s"`$p`")).toArray, "o_orderpriority", "n")
+      .where(col("n").isNotNull)
+      .select(col("month"), col("o_orderpriority"), col("n"))
+      .orderBy("month", "o_orderpriority")
+  }
+
+  val q42Oracle: String = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
+       count(*) AS n
+FROM orders
+GROUP BY 1, 2 ORDER BY month, o_orderpriority
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_unpivot" -> (q42Unpivot _),
     "q41_topk_agg" -> (q41TopkAgg _),
     "q40_subquery_family" -> (q40SubqueryFamily _),
     "q39_array_funcs" -> (q39ArrayFuncs _),
@@ -1139,6 +1169,7 @@ ORDER BY o_orderpriority, rank
     "q39_array_funcs" -> q39Oracle,
     "q40_subquery_family" -> q40Oracle,
     "q41_topk_agg" -> q41Oracle,
+    "q42_unpivot" -> q42Oracle,
     "q26_gapfill" -> q26Oracle,
     "q27_full_outer" -> q27Oracle,
     "q25_range_join_rule" -> q25Oracle,

@@ -309,7 +309,39 @@ FROM c JOIN p ON p.user_id = c.user_id
 GROUP BY c.user_id ORDER BY c.user_id
 """
 
+  /** Stream-static join — dimension enrichment: the event stream joins
+    * the STATIC customer table (no state, no watermark needed on the
+    * static side; Spark re-plans the static side per micro-batch, so a
+    * slowly-refreshed dim table picks up updates between batches).
+    * user_id maps onto the customer keyspace by modulus — the graded
+    * result counts events per customer market segment. The static side
+    * is broadcast: the streaming side never shuffles.
+    */
+  def staticJoin(spark: SparkSession, sfDir: String): DataFrame =
+    runToCompletion(spark, { sub =>
+        val dim = broadcast(graft.queries.Tables.customer(sub, sfDir)
+          .select(col("c_custkey"), col("c_mktsegment")))
+        val nCust = dim.count()
+        eventsStream(sub, sfDir)
+          .select((col("user_id") % nCust + 1).as("c_custkey"),
+                  col("event_type"), col("ts"))
+          .withWatermark("ts", "1 minute")
+          .join(dim, "c_custkey")
+      }, "append")
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment", "event_type")
+
+  val staticJoinOracle: String = """
+WITH n AS (SELECT count(*) AS nc FROM customer)
+SELECT c.c_mktsegment, e.event_type, count(*) AS n
+FROM events e
+JOIN customer c ON c.c_custkey = (e.user_id % (SELECT nc FROM n)) + 1
+GROUP BY 1, 2 ORDER BY c_mktsegment, event_type
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_static_join" -> (staticJoin _),
     "stream_interval_join" -> (intervalJoin _),
     "stream_dedup" -> (dedupCounts _),
     "stream_windowed_counts" -> (windowedCounts _),
@@ -319,6 +351,7 @@ GROUP BY c.user_id ORDER BY c.user_id
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_static_join" -> staticJoinOracle,
     "stream_interval_join" -> intervalJoinOracle,
     "stream_dedup" -> dedupCountsOracle,
     "stream_windowed_counts" -> windowedCountsOracle,
