@@ -269,7 +269,7 @@ object ConnectedComponents {
   /** Reference `run(cliques)` equivalent: cliques (array column) → CC. */
   def runCliques(cliques: DataFrame, nodesCol: String = "nodes",
                  maxIterations: Int = 20): CCResult =
-    run(EdgeBuilder.cliqueEdges(cliques, nodesCol), maxIterations)
+    run(EdgeBuilder.cliqueEdgesGen(cliques, nodesCol), maxIterations)
 
   /** Materialized components, reference CCDriver.scala:58-74 parity:
     * (component, size, sorted members).

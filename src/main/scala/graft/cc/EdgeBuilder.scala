@@ -46,6 +46,21 @@ object EdgeBuilder {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
+  /** All-pairs expansion through the custom Catalyst Generator
+    * ([[graft.functions.CliquePairs]]) — identical semantics to
+    * [[cliqueEdges]] (property-pinned), but the pairs STREAM out of
+    * the generator instead of being materialized as an array<struct>
+    * first. Preferable when cliques can be large; kept alongside the
+    * HOF form, which stays on the whole-stage-codegen path and wins on
+    * small cliques.
+    */
+  def cliqueEdgesGen(cliques: DataFrame, nodesCol: String = "nodes"): DataFrame = {
+    val n = col(nodesCol).cast("array<bigint>")
+    cliques
+      .where(size(n) > 0)
+      .select(graft.functions.CliquePairs.of(n).as(Seq("src", "dst")))
+  }
+
   /** Scale-path variant: connect every clique member to the clique's min
     * node (a star). Same connected components, O(k) edges per clique.
     */

@@ -42,6 +42,22 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.size === 10)
   }
 
+  test("CliquePairs generator: exact multiset parity with the HOF form") {
+    val s = spark; import s.implicits._
+    // README cliques + adversarial shapes: empty, singleton, dup-heavy,
+    // descending, a larger clique
+    val cliques = readmeCliques ++ Seq(
+      Seq.empty[Long], Seq(42L), Seq(5L, 5L, 5L), Seq(9L, 3L, 7L, 1L),
+      (1L to 40L).reverse)
+    val df = cliquesDf(cliques)
+    val hof = EdgeBuilder.cliqueEdges(df).as[(Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val gen = EdgeBuilder.cliqueEdgesGen(df).as[(Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(gen === hof)
+    assert(gen.nonEmpty)
+  }
+
   test("smallStar matches the reference comment vector") {
     val s = spark; import s.implicits._
     // reference ConnectedComponent.scala:46-60: (1,4),(6,1),(3,2),(6,5)
