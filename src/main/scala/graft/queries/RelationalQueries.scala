@@ -1119,7 +1119,45 @@ FROM orders
 GROUP BY 1, 2 ORDER BY month, o_orderpriority
 """
 
+  /** `session_window` in BATCH group-by — the same native session
+    * operator stream_sessions runs with streaming state, here planned
+    * as an ordinary aggregation (sort within user, merge adjacent
+    * windows). Output is the session-length histogram: events per
+    * session vs how many sessions — the engagement distribution a
+    * product team actually reads. One shuffle on user_id.
+    */
+  def q43SessionBatch(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("n_events").as("session_len"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy("session_len")
+
+  val q43Oracle: String = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+lens AS (
+  SELECT user_id, sid, count(*) AS session_len FROM sess GROUP BY 1, 2
+)
+SELECT session_len, count(*) AS n_sessions
+FROM lens GROUP BY session_len ORDER BY session_len
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_session_batch" -> (q43SessionBatch _),
     "q42_unpivot" -> (q42Unpivot _),
     "q41_topk_agg" -> (q41TopkAgg _),
     "q40_subquery_family" -> (q40SubqueryFamily _),
@@ -1170,6 +1208,7 @@ GROUP BY 1, 2 ORDER BY month, o_orderpriority
     "q40_subquery_family" -> q40Oracle,
     "q41_topk_agg" -> q41Oracle,
     "q42_unpivot" -> q42Oracle,
+    "q43_session_batch" -> q43Oracle,
     "q26_gapfill" -> q26Oracle,
     "q27_full_outer" -> q27Oracle,
     "q25_range_join_rule" -> q25Oracle,
