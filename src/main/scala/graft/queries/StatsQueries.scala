@@ -262,7 +262,100 @@ FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 ORDER BY user_id, version
 """
 
+  /** Single-pass column profile of `orders` — the audit every new
+    * 100 TB table gets before anything joins it: per column, nulls,
+    * exact distincts, min/max, emitted LONG (one row per column) so
+    * the profile of a 300-column table reads as a table. ONE
+    * aggregation pass computes every metric (Spark plans the distinct
+    * aggregates with one Expand); values are canonicalized to strings
+    * (numerics via integer cents, timestamps via epoch days) so one
+    * schema carries every column type. min/max are over the canonical
+    * STRING encoding — binary-collation lexicographic on both engines,
+    * so deterministic; a per-type numeric min would need one schema
+    * per type family.
+    */
+  def profile(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val canon: Map[String, Column] = Map(
+      "o_orderkey" -> col("o_orderkey").cast("string"),
+      "o_custkey" -> col("o_custkey").cast("string"),
+      "o_orderstatus" -> col("o_orderstatus"),
+      "o_totalprice" -> cents(col("o_totalprice")).cast("string"),
+      "o_orderdate" -> datediff(to_date(col("o_orderdate")),
+        to_date(lit("1970-01-01"))).cast("string"),
+      "o_orderpriority" -> col("o_orderpriority"))
+    val cols = canon.keys.toSeq.sorted
+    val aggs = cols.flatMap { c =>
+      val v = canon(c)
+      Seq(count(lit(1)).as(s"n__$c"),
+          count(v).as(s"nn__$c"),
+          countDistinct(v).as(s"nd__$c"),
+          min(v).as(s"min__$c"),
+          max(v).as(s"max__$c"))
+    }
+    val wide = o.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map { c =>
+      struct(lit(c).as("column"),
+        col(s"n__$c").as("n_rows"),
+        (col(s"n__$c") - col(s"nn__$c")).as("n_nulls"),
+        col(s"nd__$c").as("n_distinct"),
+        col(s"min__$c").as("min_str"),
+        col(s"max__$c").as("max_str"))
+    }
+    wide.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
+      .orderBy("column")
+  }
+
+  val profileOracle: String = """
+WITH c AS (
+  SELECT o_orderkey::varchar AS o_orderkey,
+         o_custkey::varchar AS o_custkey,
+         o_orderstatus,
+         (cast(floor(o_totalprice * 100 + 0.5) AS bigint))::varchar
+           AS o_totalprice,
+         (cast(o_orderdate::date - DATE '1970-01-01' AS bigint))::varchar
+           AS o_orderdate,
+         o_orderpriority
+  FROM orders
+)
+SELECT t.column,
+       (SELECT count(*) FROM c) AS n_rows,
+       CASE t.column
+         WHEN 'o_custkey' THEN (SELECT count(*) - count(o_custkey) FROM c)
+         WHEN 'o_orderdate' THEN (SELECT count(*) - count(o_orderdate) FROM c)
+         WHEN 'o_orderkey' THEN (SELECT count(*) - count(o_orderkey) FROM c)
+         WHEN 'o_orderpriority' THEN (SELECT count(*) - count(o_orderpriority) FROM c)
+         WHEN 'o_orderstatus' THEN (SELECT count(*) - count(o_orderstatus) FROM c)
+         ELSE (SELECT count(*) - count(o_totalprice) FROM c) END AS n_nulls,
+       CASE t.column
+         WHEN 'o_custkey' THEN (SELECT count(DISTINCT o_custkey) FROM c)
+         WHEN 'o_orderdate' THEN (SELECT count(DISTINCT o_orderdate) FROM c)
+         WHEN 'o_orderkey' THEN (SELECT count(DISTINCT o_orderkey) FROM c)
+         WHEN 'o_orderpriority' THEN (SELECT count(DISTINCT o_orderpriority) FROM c)
+         WHEN 'o_orderstatus' THEN (SELECT count(DISTINCT o_orderstatus) FROM c)
+         ELSE (SELECT count(DISTINCT o_totalprice) FROM c) END AS n_distinct,
+       CASE t.column
+         WHEN 'o_custkey' THEN (SELECT min(o_custkey) FROM c)
+         WHEN 'o_orderdate' THEN (SELECT min(o_orderdate) FROM c)
+         WHEN 'o_orderkey' THEN (SELECT min(o_orderkey) FROM c)
+         WHEN 'o_orderpriority' THEN (SELECT min(o_orderpriority) FROM c)
+         WHEN 'o_orderstatus' THEN (SELECT min(o_orderstatus) FROM c)
+         ELSE (SELECT min(o_totalprice) FROM c) END AS min_str,
+       CASE t.column
+         WHEN 'o_custkey' THEN (SELECT max(o_custkey) FROM c)
+         WHEN 'o_orderdate' THEN (SELECT max(o_orderdate) FROM c)
+         WHEN 'o_orderkey' THEN (SELECT max(o_orderkey) FROM c)
+         WHEN 'o_orderpriority' THEN (SELECT max(o_orderpriority) FROM c)
+         WHEN 'o_orderstatus' THEN (SELECT max(o_orderstatus) FROM c)
+         ELSE (SELECT max(o_totalprice) FROM c) END AS max_str
+FROM (SELECT unnest(['o_custkey', 'o_orderdate', 'o_orderkey',
+                     'o_orderpriority', 'o_orderstatus', 'o_totalprice'])
+        AS column) t
+ORDER BY t.column
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_profile" -> (profile _),
     "q29_stats_moments" -> (statsMoments _),
     "q30_hist_equiwidth" -> (histEquiWidth _),
     "q31_funnel" -> (funnel _),
@@ -271,6 +364,7 @@ ORDER BY user_id, version
   )
 
   val oracles: Map[String, String] = Map(
+    "q44_profile" -> profileOracle,
     "q29_stats_moments" -> statsMomentsOracle,
     "q30_hist_equiwidth" -> histEquiWidthOracle,
     "q31_funnel" -> funnelOracle,
