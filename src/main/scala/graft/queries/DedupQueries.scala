@@ -630,7 +630,78 @@ SELECT node AS vec_id, min(comp) AS cluster FROM walk GROUP BY node ORDER BY vec
       .orderBy("a", "b")
   }
 
+  /** Content-defined chunking (CDC) dedup — substring-level duplicate
+    * detection: chunk boundaries fall where the hash of the local
+    * 8-char window is ≡ 0 (mod 32), so boundaries are a function of
+    * CONTENT, not position — an insertion early in a document shifts
+    * every byte offset but leaves later chunk hashes identical, which
+    * is why CDC (not fixed-width blocks) is how storage dedup and
+    * substring-level corpus dedup are actually built. Docs sharing
+    * ≥ 2 chunk hashes are emitted with their shared count. Inverted
+    * index on the chunk hash with the same ≤ 50-doc hot-bucket cap as
+    * the minhash pipeline (a boilerplate chunk shared by everything
+    * must not go quadratic — it carries no dedup signal anyway).
+    * Expected chunk length = 32 chars; per-position md5 of the 8-char
+    * window is one narrow pass (at 100 TB: a cheaper rolling
+    * polynomial hash in a custom Expression drops into the same slot).
+    */
+  def cdcChunkPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val MaxDocsPerChunk = 50
+    val bpos = "filter(sequence(1, greatest(length(text) - 7, 0)), i -> " +
+      "conv(substring(md5(substring(text, i, 8)), 1, 14), 16, 10) % 32 = 0)"
+    val cuts = s"concat(array(1), $bpos, array(length(text) + 1))"
+    val chunks = s"array_distinct(transform(sequence(1, size($cuts) - 1), " +
+      s"j -> md5(substring(text, element_at($cuts, j), " +
+      s"element_at($cuts, j + 1) - element_at($cuts, j)))))"
+    val inv = Tables.documents(spark, sfDir)
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), explode(expr(chunks)).as("ch"))
+    val cold = inv.join(
+      broadcast(inv.groupBy("ch").count()
+        .where(col("count") <= MaxDocsPerChunk)).select("ch"),
+      "ch")
+    cold.as("x").join(cold.as("y"),
+        col("x.ch") === col("y.ch") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 2)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val cdcChunkPairsOracle: String = """
+WITH b AS (
+  SELECT doc_id, text,
+         list_filter(range(1, greatest(length(text) - 7, 0) + 1),
+           i -> cast('0x' || substr(md5(substr(text, i, 8)), 1, 14) AS bigint)
+                % 32 = 0) AS bpos
+  FROM documents WHERE length(text) > 0
+),
+cuts AS (
+  SELECT doc_id, text,
+         list_concat(list_concat([1], bpos), [length(text) + 1]) AS cs
+  FROM b
+),
+chunks AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(cs)),
+           j -> md5(substr(text, cs[j], cs[j + 1] - cs[j]))))) AS ch
+  FROM cuts
+),
+cold AS (
+  SELECT ch FROM chunks GROUP BY ch HAVING count(*) <= 50
+),
+pairs AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared
+  FROM chunks x
+  JOIN chunks y ON x.ch = y.ch AND x.doc_id < y.doc_id
+  WHERE x.ch IN (SELECT ch FROM cold)
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2
+ORDER BY doc_a, doc_b
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cdc_chunks" -> (cdcChunkPairs _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_clusters" -> (dedupMinhashClusters _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -641,6 +712,7 @@ SELECT node AS vec_id, min(comp) AS cluster FROM walk GROUP BY node ORDER BY vec
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_cdc_chunks" -> cdcChunkPairsOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_minhash_clusters" -> dedupMinhashOracle,
     "dedup_simhash" -> dedupSimhashOracle,
