@@ -645,17 +645,24 @@ SELECT node AS vec_id, min(comp) AS cluster FROM walk GROUP BY node ORDER BY vec
     * window is one narrow pass (at 100 TB: a cheaper rolling
     * polynomial hash in a custom Expression drops into the same slot).
     */
-  def cdcChunkPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val MaxDocsPerChunk = 50
+  /** Distinct CDC chunk-hash array of the `text` column (see
+    * [[cdcChunkPairs]]); exposed for the shift-robustness property
+    * test.
+    */
+  private[queries] val cdcChunksExpr: String = {
     val bpos = "filter(sequence(1, greatest(length(text) - 7, 0)), i -> " +
       "conv(substring(md5(substring(text, i, 8)), 1, 14), 16, 10) % 32 = 0)"
     val cuts = s"concat(array(1), $bpos, array(length(text) + 1))"
-    val chunks = s"array_distinct(transform(sequence(1, size($cuts) - 1), " +
+    s"array_distinct(transform(sequence(1, size($cuts) - 1), " +
       s"j -> md5(substring(text, element_at($cuts, j), " +
       s"element_at($cuts, j + 1) - element_at($cuts, j)))))"
+  }
+
+  def cdcChunkPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val MaxDocsPerChunk = 50
     val inv = Tables.documents(spark, sfDir)
       .where(length(col("text")) > 0)
-      .select(col("doc_id"), explode(expr(chunks)).as("ch"))
+      .select(col("doc_id"), explode(expr(cdcChunksExpr)).as("ch"))
     val cold = inv.join(
       broadcast(inv.groupBy("ch").count()
         .where(col("count") <= MaxDocsPerChunk)).select("ch"),
