@@ -75,11 +75,48 @@ WHERE levenshtein(a.name, b.name) = 1
 ORDER BY name_a, name_b
 """
 
+  /** Edit-distance-1 with INSERT/DELETE (variable-length names, over
+    * part names): the deletion-neighborhood index. Blocking keys =
+    * {name} ∪ {name minus one character}; two names at Levenshtein 1
+    * always share a key (substitution: both delete the differing
+    * position; indel: the shorter IS a deletion of the longer), so the
+    * equi-join is a complete candidate generator — (L+1)× expansion,
+    * uniform blocks, no all-pairs. The `levenshtein` verify makes hash
+    * collisions and distance-2 false candidates (two names sharing an
+    * unrelated deletion) harmless.
+    */
+  def fuzzyIndelPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = Tables.part(spark, sfDir)
+      .select(col("p_name").as("name")).distinct()
+    val variants = names.select(col("name"), explode(array_distinct(expr(
+      "transform(sequence(0, length(name)), j -> xxhash64(" +
+        "CASE WHEN j = 0 THEN name " +
+        "ELSE concat(substring(name, 1, j - 1), " +
+        "substring(name, j + 1, length(name))) END))"))).as("blk"))
+    variants.as("x").join(variants.as("y"),
+        col("x.blk") === col("y.blk") && col("x.name") < col("y.name"))
+      .select(col("x.name").as("name_a"), col("y.name").as("name_b"))
+      .dropDuplicates("name_a", "name_b")
+      .where(levenshtein(col("name_a"), col("name_b")) === 1)
+      .orderBy("name_a", "name_b")
+  }
+
+  val fuzzyIndelOracle: String = """
+WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS name_a, b.name AS name_b
+FROM n a JOIN n b
+  ON a.name < b.name AND abs(length(a.name) - length(b.name)) <= 1
+WHERE levenshtein(a.name, b.name) = 1
+ORDER BY name_a, name_b
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_fuzzy_pairs" -> (fuzzyPairs _),
+    "er_fuzzy_indel" -> (fuzzyIndelPairs _),
   )
 
   val oracles: Map[String, String] = Map(
     "er_fuzzy_pairs" -> fuzzyPairsOracle,
+    "er_fuzzy_indel" -> fuzzyIndelOracle,
   )
 }
