@@ -450,7 +450,45 @@ SELECT split, lang, count(*) AS n_docs,
 FROM split GROUP BY split, lang ORDER BY split, lang
 """
 
+  /** Length-sorted batching — the padding-waste killer in training
+    * dataloaders: batch sequences of similar length together and the
+    * per-batch `max_len − len` padding collapses (vs random batching,
+    * where every batch pays for its longest straggler). Deterministic
+    * batches of 16 over the (n_chars, doc_id) total order; emits each
+    * batch's size, max length, and exact padding waste. The spec pins
+    * sorted waste ≪ hash-random waste on the same corpus. At 100 TB
+    * the same batching is `repartitionByRange(length)` +
+    * `sortWithinPartitions` — the range partitioner IS the batcher;
+    * the single-partition rank here is the graded miniature.
+    */
+  def sortedBatches(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = 16
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("n_chars", "doc_id")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("batch", ((row_number().over(w) - 1) / b).cast("bigint"))
+      .groupBy("batch")
+      .agg(count(lit(1)).as("n"),
+           max(col("n_chars")).as("max_len"),
+           (max(col("n_chars")) * count(lit(1)) - sum(col("n_chars")))
+             .as("padding_waste"))
+      .orderBy("batch")
+  }
+
+  val sortedBatchesOracle: String = """
+WITH r AS (
+  SELECT doc_id, n_chars,
+         (row_number() OVER (ORDER BY n_chars, doc_id) - 1) // 16 AS batch
+  FROM documents
+)
+SELECT batch, count(*) AS n, max(n_chars) AS max_len,
+       cast(max(n_chars) * count(*) - sum(n_chars) AS bigint) AS padding_waste
+FROM r GROUP BY batch ORDER BY batch
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_sorted_batches" -> (sortedBatches _),
     "pipe_end_to_end" -> (endToEnd _),
     "pipe_stratified_sample" -> (stratifiedSample _),
     "pipe_train_split" -> (trainSplit _),
@@ -465,6 +503,7 @@ FROM split GROUP BY split, lang ORDER BY split, lang
   )
 
   val oracles: Map[String, String] = Map(
+    "pipe_sorted_batches" -> sortedBatchesOracle,
     "pipe_end_to_end" -> endToEndOracle,
     "pipe_stratified_sample" -> stratifiedSampleOracle,
     "pipe_train_split" -> trainSplitOracle,

@@ -354,7 +354,65 @@ FROM (SELECT unnest(['o_custkey', 'o_orderdate', 'o_orderkey',
 ORDER BY t.column
 """
 
+  /** q45: z-score anomaly counts over `events.value` — the streaming-
+    * telemetry outlier audit, gated exactly despite arbitrary doubles:
+    * values quantize to integer micros (`floor(v·10⁶ + 0.5)` — same
+    * double, same floor, both engines), the per-type mean/σ come from
+    * exact integer moments, and the 3σ comparison is cross-multiplied
+    * so no derived double is ever compared: (10⁶·n·|v−μ|)² > (3σ)²
+    * becomes `(n·v − Σv)² > 9·(n·Σv² − Σv²... )·n` — all in decimal.
+    * Concretely: |n·v − s| compared against 9·n·(n·q − s²) via squares,
+    * s = Σmicros, q = Σmicros².
+    */
+  def anomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        floor(col("value") * lit(1000000.0) + lit(0.5)).cast("bigint").as("m"))
+    val mom = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("m")).as("s"),
+      sum(col("m").cast("decimal(18,0)") * col("m").cast("decimal(18,0)"))
+        .cast("decimal(38,0)").as("q"))
+    // outlier ⇔ (n·m − s)² · n > 9 · n² · (n·q − s²) / n  — clear the
+    // denominators: (n·m − s)² > 9 · (n·q − s²)  [population variance ×n²]
+    ev.join(broadcast(mom), "event_type")
+      .select(col("event_type"), col("n"), col("m"), col("s"), col("q"))
+      .withColumn("lhs",
+        (col("n").cast("decimal(38,0)") * col("m") - col("s"))
+          * (col("n").cast("decimal(38,0)") * col("m") - col("s")))
+      .withColumn("rhs",
+        lit(9).cast("decimal(38,0)") *
+          (col("n").cast("decimal(38,0)") * col("q")
+            - col("s").cast("decimal(38,0)") * col("s")))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+           sum(when(col("lhs") > col("rhs"), 1L).otherwise(0L))
+             .as("n_outliers_3sigma"))
+      .orderBy("event_type")
+  }
+
+  val anomalyOracle: String = """
+WITH ev AS (
+  SELECT event_type,
+         cast(floor(value * 1000000.0 + 0.5) AS bigint) AS m
+  FROM events
+),
+mom AS (
+  SELECT event_type, count(*) AS n,
+         cast(sum(m) AS hugeint) AS s,
+         cast(sum(m::hugeint * m) AS hugeint) AS q
+  FROM ev GROUP BY event_type
+)
+SELECT e.event_type, max(mm.n) AS n,
+       cast(sum(CASE WHEN (mm.n * e.m - mm.s) * (mm.n * e.m - mm.s)
+                          > 9 * (mm.n * mm.q - mm.s * mm.s)
+                     THEN 1 ELSE 0 END) AS bigint) AS n_outliers_3sigma
+FROM ev e JOIN mom mm ON mm.event_type = e.event_type
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_anomaly" -> (anomaly _),
     "q44_profile" -> (profile _),
     "q29_stats_moments" -> (statsMoments _),
     "q30_hist_equiwidth" -> (histEquiWidth _),
@@ -364,6 +422,7 @@ ORDER BY t.column
   )
 
   val oracles: Map[String, String] = Map(
+    "q45_anomaly" -> anomalyOracle,
     "q44_profile" -> profileOracle,
     "q29_stats_moments" -> statsMomentsOracle,
     "q30_hist_equiwidth" -> histEquiWidthOracle,

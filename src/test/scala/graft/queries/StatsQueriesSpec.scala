@@ -112,6 +112,33 @@ class StatsQueriesSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("sorted batching wastes far less padding than random batching") {
+    val sorted = PipelineQueries.sortedBatches(spark, sfDir).collect()
+      .map(_.getAs[Long]("padding_waste")).sum
+    // same batching arithmetic over a hash-random order
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val random = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("batch", ((row_number().over(w) - 1) / 16).cast("bigint"))
+      .groupBy("batch")
+      .agg((max(col("n_chars")) * count(lit(1)) - sum(col("n_chars")))
+        .as("waste"))
+      .collect().map(_.getAs[Long]("waste")).sum
+    assert(sorted * 2 < random,
+      s"sorted batching should at least halve padding: $sorted vs $random")
+  }
+
+  test("anomaly counts: outliers are rare and bounded by n") {
+    val rows = StatsQueries.anomaly(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, out) = (r.getAs[Long]("n"), r.getAs[Long]("n_outliers_3sigma"))
+      assert(out >= 0 && out <= n)
+      assert(out * 10 < n, s"3-sigma outliers should be rare: $out of $n")
+    }
+  }
+
   test("kmeans step: clusters partition the corpus, sums are exact") {
     val rows = SimilarityQueries.kmeansStep(spark, sfDir).collect()
     val nVecs = Tables.embeddings(spark, sfDir).count()
