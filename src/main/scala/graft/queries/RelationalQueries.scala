@@ -1156,7 +1156,65 @@ SELECT session_len, count(*) AS n_sessions
 FROM lens GROUP BY session_len ORDER BY session_len
 """
 
+  /** Bitmap-exact distinct count (Spark's bitmap_* aggregate family):
+    * user ids bucketed into 32k-bit bitmaps, OR-merged per group, bits
+    * summed — EXACT distinct with mergeable O(|id-range|/8)-byte
+    * state. The third point on the distinct-count spectrum the suite
+    * grades: exact-but-shuffles-everything (countDistinct), tiny-but-
+    * approximate (HLL/KMV), and this — exact AND re-aggregatable,
+    * the right choice when the id space is dense (user ids are).
+    * Oracle is plain count(DISTINCT): the bitmap path must agree
+    * exactly.
+    */
+  def q46BitmapDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("bitmap_bucket_number(user_id)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+        .as("bm"))
+      .groupBy("event_type")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_distinct_users"))
+      .orderBy("event_type")
+
+  val q46Oracle: String = """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+  /** Ordered string aggregation (`listagg` — SQL:2016, new in Spark
+    * 4): the top-3 spenders' names per market segment concatenated in
+    * rank order — report-shaped output where the ORDER inside the
+    * aggregate is part of the semantics (unordered listagg is
+    * nondeterministic under parallelism and could never pass this
+    * gate).
+    */
+  def q47Listagg(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, sfDir)
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      .groupBy("c_mktsegment")
+      .agg(expr("listagg(c_name, ',') WITHIN GROUP (ORDER BY rn)")
+        .as("top3_names"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q47Oracle: String = """
+WITH ranked AS (
+  SELECT c_mktsegment, c_name,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+)
+SELECT c_mktsegment, string_agg(c_name, ',' ORDER BY rn) AS top3_names
+FROM ranked WHERE rn <= 3
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_bitmap_distinct" -> (q46BitmapDistinct _),
+    "q47_listagg" -> (q47Listagg _),
     "q43_session_batch" -> (q43SessionBatch _),
     "q42_unpivot" -> (q42Unpivot _),
     "q41_topk_agg" -> (q41TopkAgg _),
@@ -1209,6 +1267,8 @@ FROM lens GROUP BY session_len ORDER BY session_len
     "q41_topk_agg" -> q41Oracle,
     "q42_unpivot" -> q42Oracle,
     "q43_session_batch" -> q43Oracle,
+    "q46_bitmap_distinct" -> q46Oracle,
+    "q47_listagg" -> q47Oracle,
     "q26_gapfill" -> q26Oracle,
     "q27_full_outer" -> q27Oracle,
     "q25_range_join_rule" -> q25Oracle,
