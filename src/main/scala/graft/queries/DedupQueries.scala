@@ -645,24 +645,37 @@ SELECT node AS vec_id, min(comp) AS cluster FROM walk GROUP BY node ORDER BY vec
     * window is one narrow pass (at 100 TB: a cheaper rolling
     * polynomial hash in a custom Expression drops into the same slot).
     */
-  /** Distinct CDC chunk-hash array of the `text` column (see
-    * [[cdcChunkPairs]]); exposed for the shift-robustness property
-    * test.
+  /** doc_id + distinct CDC chunk-hash array of the `text` column.
+    *
+    * The cut array MUST be materialized before the chunk-extraction
+    * lambda touches it: CollapseProject happily inlines the `cuts`
+    * alias into the lambda, where it is referenced per chunk element —
+    * re-running the full per-position boundary scan O(chunks × 4)
+    * times per document. Measured: 307s for the collapsed plan at
+    * sf0.1 vs ~8s staged (CdcProbe: boundary scan 4.3s, chunk pass
+    * 3.2s). `localCheckpoint` is the projection barrier the optimizer
+    * cannot collapse — the same lineage-cut discipline the CC loop
+    * uses.
     */
-  private[queries] val cdcChunksExpr: String = {
+  private[queries] def cdcChunks(df: DataFrame): DataFrame = {
     val bpos = "filter(sequence(1, greatest(length(text) - 7, 0)), i -> " +
       "conv(substring(md5(substring(text, i, 8)), 1, 14), 16, 10) % 32 = 0)"
-    val cuts = s"concat(array(1), $bpos, array(length(text) + 1))"
-    s"array_distinct(transform(sequence(1, size($cuts) - 1), " +
-      s"j -> md5(substring(text, element_at($cuts, j), " +
-      s"element_at($cuts, j + 1) - element_at($cuts, j)))))"
+    df.where(length(col("text")) > 0)
+      .withColumn("cuts",
+        expr(s"concat(array(1), $bpos, array(length(text) + 1))"))
+      .localCheckpoint(false)
+      .withColumn("chunks", expr(
+        "array_distinct(transform(sequence(1, size(cuts) - 1), " +
+          "j -> md5(substring(text, element_at(cuts, j), " +
+          "element_at(cuts, j + 1) - element_at(cuts, j)))))"))
+      .select(col("doc_id"), col("chunks"))
   }
 
   def cdcChunkPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val MaxDocsPerChunk = 50
-    val inv = Tables.documents(spark, sfDir)
-      .where(length(col("text")) > 0)
-      .select(col("doc_id"), explode(expr(cdcChunksExpr)).as("ch"))
+    val inv = cdcChunks(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(col("chunks")).as("ch"))
     val cold = inv.join(
       broadcast(inv.groupBy("ch").count()
         .where(col("count") <= MaxDocsPerChunk)).select("ch"),

@@ -14,9 +14,10 @@ class CdcDedupSpec extends SparkSpec {
 
   private def chunkSet(texts: Seq[String]): Seq[Set[String]] = {
     val s = spark; import s.implicits._
-    texts.toDF("text")
-      .select(expr(DedupQueries.cdcChunksExpr).as("chs"))
-      .collect().map(_.getSeq[String](0).toSet).toSeq
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    DedupQueries.cdcChunks(df).orderBy("doc_id")
+      .collect().map(_.getSeq[String](1).toSet).toSeq
   }
 
   test("CDC chunks survive a prefix insertion; fixed blocks do not") {
