@@ -1212,7 +1212,39 @@ FROM ranked WHERE rn <= 3
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
+  /** Map higher-order functions — q23 builds maps; this TRANSFORMS
+    * them: `transform_values`, `map_filter`, `map_keys` over the
+    * per-user event-type count map, emitted as scalars (map column
+    * ordering is engine-internal, so maps never leave the query).
+    */
+  def q48MapHofs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("n"))))
+        .as("m"))
+      .select(col("user_id"),
+        expr("aggregate(map_values(transform_values(m, (k, v) -> v * 2)), " +
+          "cast(0 as bigint), (a, x) -> a + x)").as("total_doubled"),
+        expr("size(map_filter(m, (k, v) -> v >= 3))").cast("bigint")
+          .as("n_frequent"),
+        expr("array_join(array_sort(map_keys(m)), ',')").as("types_sorted"))
+      .orderBy("user_id")
+
+  val q48Oracle: String = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       cast(2 * sum(n) AS bigint) AS total_doubled,
+       cast(count(CASE WHEN n >= 3 THEN 1 END) AS bigint) AS n_frequent,
+       string_agg(event_type, ',' ORDER BY event_type) AS types_sorted
+FROM c GROUP BY user_id ORDER BY user_id
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_map_hofs" -> (q48MapHofs _),
     "q46_bitmap_distinct" -> (q46BitmapDistinct _),
     "q47_listagg" -> (q47Listagg _),
     "q43_session_batch" -> (q43SessionBatch _),
@@ -1269,6 +1301,7 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
     "q43_session_batch" -> q43Oracle,
     "q46_bitmap_distinct" -> q46Oracle,
     "q47_listagg" -> q47Oracle,
+    "q48_map_hofs" -> q48Oracle,
     "q26_gapfill" -> q26Oracle,
     "q27_full_outer" -> q27Oracle,
     "q25_range_join_rule" -> q25Oracle,
