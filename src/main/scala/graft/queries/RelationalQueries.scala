@@ -1243,7 +1243,49 @@ SELECT user_id,
 FROM c GROUP BY user_id ORDER BY user_id
 """
 
+  /** LOCF forward-fill (`last_value ... IGNORE NULLS` over a running
+    * frame) — the time-series gap-repair idiom: error events carry no
+    * reading (NULL), each takes the user's last observed value.
+    * IGNORE NULLS is the whole point — the plain window form would
+    * need a nested max-over-struct trick. Values in deterministic
+    * micros; leading nulls surface as −1 sentinels (gate-friendly).
+    * Sampled to user_id % 97 = 0, same as q33_scd2.
+    */
+  def q49Locf(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.events(spark, sfDir)
+      .where(col("user_id") % 97 === 0)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        when(col("event_type") =!= "error",
+          floor(col("value") * lit(1000000.0) + lit(0.5)).cast("bigint"))
+          .as("v_micros"))
+      .withColumn("locf_micros",
+        coalesce(last(col("v_micros"), ignoreNulls = true).over(w), lit(-1L)))
+      .withColumn("v_micros", coalesce(col("v_micros"), lit(-1L)))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  val q49Oracle: String = """
+WITH s AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN event_type <> 'error'
+              THEN cast(floor(value * 1000000.0 + 0.5) AS bigint) END
+           AS v
+  FROM events WHERE user_id % 97 = 0
+)
+SELECT user_id, event_id, ts_us,
+       coalesce(v, -1) AS v_micros,
+       coalesce(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts_us, event_id
+         ROWS UNBOUNDED PRECEDING), -1) AS locf_micros
+FROM s ORDER BY user_id, ts_us, event_id
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_locf" -> (q49Locf _),
     "q48_map_hofs" -> (q48MapHofs _),
     "q46_bitmap_distinct" -> (q46BitmapDistinct _),
     "q47_listagg" -> (q47Listagg _),
@@ -1302,6 +1344,7 @@ FROM c GROUP BY user_id ORDER BY user_id
     "q46_bitmap_distinct" -> q46Oracle,
     "q47_listagg" -> q47Oracle,
     "q48_map_hofs" -> q48Oracle,
+    "q49_locf" -> q49Oracle,
     "q26_gapfill" -> q26Oracle,
     "q27_full_outer" -> q27Oracle,
     "q25_range_join_rule" -> q25Oracle,
