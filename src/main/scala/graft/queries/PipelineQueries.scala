@@ -487,7 +487,55 @@ SELECT batch, count(*) AS n, max(n_chars) AS max_len,
 FROM r GROUP BY batch ORDER BY batch
 """
 
+  /** Dataset card — the per-source summary a corpus release ships
+    * with: volume (docs, chars, whitespace tokens), language mix, and
+    * exact-duplicate rate, in one aggregation pass per source. Every
+    * number is integer-exact; the language mix is an ordered
+    * lang=count string so the card row is flat.
+    */
+  def datasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+        md5(col("text")).as("th"))
+    val byLang = d.groupBy("source", "lang").agg(count(lit(1)).as("nl"))
+      .groupBy("source")
+      .agg(concat_ws(",", array_sort(collect_list(
+        concat(col("lang"), lit("="), col("nl"))))).as("lang_mix"))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("total_chars"),
+           sum(col("n_tokens")).as("total_tokens"),
+           (count(lit(1)) - countDistinct(col("th"))).as("n_exact_dups"))
+      .join(byLang, "source")
+      .orderBy("source")
+  }
+
+  val datasetCardOracle: String = """
+WITH d AS (
+  SELECT source, lang, n_chars,
+         cast(len(string_split(text, ' ')) AS bigint) AS n_tokens,
+         md5(text) AS th
+  FROM documents
+),
+mix AS (
+  SELECT source,
+         string_agg(lang || '=' || nl, ',' ORDER BY lang || '=' || nl)
+           AS lang_mix
+  FROM (SELECT source, lang, count(*) AS nl FROM d GROUP BY 1, 2)
+  GROUP BY source
+)
+SELECT d.source, count(*) AS n_docs,
+       cast(sum(n_chars) AS bigint) AS total_chars,
+       cast(sum(n_tokens) AS bigint) AS total_tokens,
+       cast(count(*) - count(DISTINCT th) AS bigint) AS n_exact_dups,
+       max(mix.lang_mix) AS lang_mix
+FROM d JOIN mix ON mix.source = d.source
+GROUP BY d.source ORDER BY d.source
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_dataset_card" -> (datasetCard _),
     "pipe_sorted_batches" -> (sortedBatches _),
     "pipe_end_to_end" -> (endToEnd _),
     "pipe_stratified_sample" -> (stratifiedSample _),
@@ -503,6 +551,7 @@ FROM r GROUP BY batch ORDER BY batch
   )
 
   val oracles: Map[String, String] = Map(
+    "pipe_dataset_card" -> datasetCardOracle,
     "pipe_sorted_batches" -> sortedBatchesOracle,
     "pipe_end_to_end" -> endToEndOracle,
     "pipe_stratified_sample" -> stratifiedSampleOracle,
