@@ -411,7 +411,44 @@ FROM ev e JOIN mom mm ON mm.event_type = e.event_type
 GROUP BY e.event_type ORDER BY e.event_type
 """
 
+  /** q50: robust statistics — per-priority median and MAD (median
+    * absolute deviation), the outlier-resistant (median, MAD) pair
+    * that replaces (mean, σ) when the data has heavy tails (q45 is the
+    * parametric z-score twin). Two exact `percentile` passes with the
+    * group median broadcast back between them; emitted at 2 decimals —
+    * the interpolation-parity contract q18 already pins between
+    * Spark's percentile() and DuckDB's quantile_cont.
+    */
+  def madRobust(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_totalprice"))
+    val med = o.groupBy("o_orderpriority")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+    o.join(broadcast(med), "o_orderpriority")
+      .select(col("o_orderpriority"), col("med"),
+        abs(col("o_totalprice") - col("med")).as("dev"))
+      .groupBy("o_orderpriority")
+      .agg(round(max(col("med")), 2).as("median_price"),
+           round(expr("percentile(dev, 0.5)"), 2).as("mad"),
+           count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  val madRobustOracle: String = """
+WITH med AS (
+  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       round(max(m.med), 2) AS median_price,
+       round(quantile_cont(abs(o.o_totalprice - m.med), 0.5), 2) AS mad,
+       count(*) AS n
+FROM orders o JOIN med m ON m.o_orderpriority = o.o_orderpriority
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_mad_robust" -> (madRobust _),
     "q45_anomaly" -> (anomaly _),
     "q44_profile" -> (profile _),
     "q29_stats_moments" -> (statsMoments _),
@@ -422,6 +459,7 @@ GROUP BY e.event_type ORDER BY e.event_type
   )
 
   val oracles: Map[String, String] = Map(
+    "q50_mad_robust" -> madRobustOracle,
     "q45_anomaly" -> anomalyOracle,
     "q44_profile" -> profileOracle,
     "q29_stats_moments" -> statsMomentsOracle,
