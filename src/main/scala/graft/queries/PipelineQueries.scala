@@ -534,7 +534,50 @@ FROM d JOIN mix ON mix.source = d.source
 GROUP BY d.source ORDER BY d.source
 """
 
+  /** Deterministic source interleaving — the training ORDER builder:
+    * within each source docs are shuffled by hash rank (reproducible,
+    * no RNG state), then sources are round-robined by taking rank 1
+    * from every source, then rank 2, … — the (rank, source) total
+    * order. Equal source representation per unit of training, no
+    * source-length bias at the front of the run. Graded on the first
+    * 60 positions. At scale this order is materialized by a
+    * repartitionByRange over (rank, source) — the same key.
+    */
+  def interleave(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = conv(substring(md5(concat(col("source"), lit("~"),
+      col("doc_id"))), 1, 14), 16, 10).cast("bigint")
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("h", "doc_id")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy("rk", "source")
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), h.as("h"))
+      .withColumn("rk", row_number().over(wSrc))
+      .withColumn("position", row_number().over(wAll).cast("bigint"))
+      .where(col("position") <= 60)
+      .select(col("position"), col("source"), col("doc_id"))
+      .orderBy("position")
+  }
+
+  val interleaveOracle: String = """
+WITH h AS (
+  SELECT source, doc_id,
+         cast('0x' || substr(md5(source || '~' || doc_id), 1, 14) AS bigint)
+           AS h
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+  FROM h
+)
+SELECT cast(row_number() OVER (ORDER BY rk, source) AS bigint) AS position,
+       source, doc_id
+FROM ranked QUALIFY position <= 60 ORDER BY position
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_interleave" -> (interleave _),
     "pipe_dataset_card" -> (datasetCard _),
     "pipe_sorted_batches" -> (sortedBatches _),
     "pipe_end_to_end" -> (endToEnd _),
@@ -551,6 +594,7 @@ GROUP BY d.source ORDER BY d.source
   )
 
   val oracles: Map[String, String] = Map(
+    "pipe_interleave" -> interleaveOracle,
     "pipe_dataset_card" -> datasetCardOracle,
     "pipe_sorted_batches" -> sortedBatchesOracle,
     "pipe_end_to_end" -> endToEndOracle,
