@@ -490,7 +490,64 @@ we AS (
 SELECT w, count(*) AS n_edges FROM we GROUP BY w ORDER BY w
 """
 
+  /** Link prediction by common neighbors: for every NON-edge pair with
+    * at least `MinCommon` shared neighbors, the (common-count, jaccard
+    * micros) score — the classic recommender/graph-completion
+    * baseline. Wedge enumeration (a−c−b ⇒ candidate a~b) grouped by
+    * endpoint pair, then an anti-join removes existing edges; the
+    * jaccard denominator comes from the degree table:
+    * |N(a)∪N(b)| = deg(a)+deg(b)−common. Wedge count is Σ deg(c)² —
+    * the sparse co-purchase graph keeps it bounded; a hub-heavy graph
+    * caps wedge centers the same way minhash caps buckets. Jaccard in
+    * integer micros: (10⁶·common) div union — exact.
+    */
+  def linkPrediction(spark: SparkSession, sfDir: String): DataFrame = {
+    val MinCommon = 2
+    val e = undirectedEdges(spark, sfDir)
+    val sym = e.select(col("u").as("c"), col("v").as("n"))
+      .unionAll(e.select(col("v").as("c"), col("u").as("n")))
+    val deg = sym.groupBy("c").agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("c", "node")
+    val wedges = sym.as("x").join(sym.as("y"),
+        col("x.c") === col("y.c") && col("x.n") < col("y.n"))
+      .groupBy(col("x.n").as("a"), col("y.n").as("b"))
+      .agg(count(lit(1)).as("common"))
+      .where(col("common") >= MinCommon)
+    val nonEdges = wedges.join(e,
+        wedges("a") === e("u") && wedges("b") === e("v"), "left_anti")
+    nonEdges
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+      .select(col("a"), col("b"), col("common"),
+        expr("(1000000 * common) div (da + db - common)").as("jaccard_micros"))
+      .orderBy(col("common").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  private val linkPredictionOracle: String = edgesCte + """
+, sym AS (SELECT u AS c, v AS n FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT c AS node, count(*) AS deg FROM sym GROUP BY c),
+wedges AS (
+  SELECT x.n AS a, y.n AS b, count(*) AS common
+  FROM sym x JOIN sym y ON x.c = y.c AND x.n < y.n
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+nonedges AS (
+  SELECT w.* FROM wedges w
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = w.a AND e.v = w.b)
+)
+SELECT ne.a, ne.b, ne.common,
+       (1000000 * ne.common) // (da.deg + db.deg - ne.common)
+         AS jaccard_micros
+FROM nonedges ne
+JOIN deg da ON da.node = ne.a
+JOIN deg db ON db.node = ne.b
+ORDER BY ne.common DESC, ne.a, ne.b
+LIMIT 20
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_link_prediction" -> (linkPrediction _),
     "graph_weighted_projection" -> (weightedProjection _),
     "graph_kcore" -> (kcore _),
     "graph_degree_hist" -> (degreeHist _),
@@ -527,6 +584,7 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
 """
 
   val oracles: Map[String, String] = Map(
+    "graph_link_prediction" -> linkPredictionOracle,
     "graph_weighted_projection" -> weightedProjectionOracle,
     "graph_kcore" -> kcoreOracle,
     "graph_degree_hist" -> degreeHistOracle,
