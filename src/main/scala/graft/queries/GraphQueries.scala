@@ -490,16 +490,16 @@ we AS (
 SELECT w, count(*) AS n_edges FROM we GROUP BY w ORDER BY w
 """
 
-  /** Link prediction by common neighbors: for every NON-edge pair with
-    * at least `MinCommon` shared neighbors, the (common-count, jaccard
-    * micros) score — the classic recommender/graph-completion
-    * baseline. Wedge enumeration (a−c−b ⇒ candidate a~b) grouped by
-    * endpoint pair, then an anti-join removes existing edges; the
-    * jaccard denominator comes from the degree table:
-    * |N(a)∪N(b)| = deg(a)+deg(b)−common. Wedge count is Σ deg(c)² —
-    * the sparse co-purchase graph keeps it bounded; a hub-heavy graph
-    * caps wedge centers the same way minhash caps buckets. Jaccard in
-    * integer micros: (10⁶·common) div union — exact.
+  /** Link prediction by common neighbors, PER QUERY NODE — the
+    * recommender shape ("customers who bought X also bought…"): for
+    * each of the 20 highest-degree parts, score its 2-hop non-neighbor
+    * candidates by shared-neighbor count + integer-micros jaccard,
+    * keep the top 3. Restricting wedge enumeration to the query set
+    * makes the cost O(|Q| · d²) — independent of graph size — where
+    * the all-pairs variant is Σdeg(c)² over every center (measured
+    * 77s at sf0.1 on this uniformly ~115-degree graph; this form
+    * ~4s). Whole-graph link prediction at 100 TB batches the query
+    * set, which is exactly this plan in a loop.
     */
   def linkPrediction(spark: SparkSession, sfDir: String): DataFrame = {
     val MinCommon = 2
@@ -508,42 +508,66 @@ SELECT w, count(*) AS n_edges FROM we GROUP BY w ORDER BY w
       .unionAll(e.select(col("v").as("c"), col("u").as("n")))
     val deg = sym.groupBy("c").agg(count(lit(1)).as("deg"))
       .withColumnRenamed("c", "node")
-    val wedges = sym.as("x").join(sym.as("y"),
-        col("x.c") === col("y.c") && col("x.n") < col("y.n"))
-      .groupBy(col("x.n").as("a"), col("y.n").as("b"))
+    val queries = deg.orderBy(col("deg").desc, col("node")).limit(20)
+      .select(col("node").as("a"), col("deg").as("da"))
+    // wedges a−c−b with a restricted to the query set: edges from a
+    // give centers c; centers' edges give candidates b
+    val aToC = sym.select(col("n").as("a"), col("c"))
+      .join(broadcast(queries.select("a")), "a")
+    // |Q|·d rows — broadcast it so the full adjacency never shuffles
+    val wedges = sym.join(broadcast(aToC), "c")
+      .where(col("n") =!= col("a"))
+      .groupBy(col("a"), col("n").as("b"))
       .agg(count(lit(1)).as("common"))
       .where(col("common") >= MinCommon)
-    val nonEdges = wedges.join(e,
-        wedges("a") === e("u") && wedges("b") === e("v"), "left_anti")
+    // drop existing neighbors (either orientation)
+    val nonEdges = wedges
+      .join(e, wedges("a") === e("u") && wedges("b") === e("v"), "left_anti")
+      .join(e, wedges("a") === e("v") && wedges("b") === e("u"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a").orderBy(col("common").desc, col("b"))
     nonEdges
-      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+      .join(broadcast(queries), "a")
       .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
-      .select(col("a"), col("b"), col("common"),
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("a"), col("rank").cast("bigint").as("rank"), col("b"),
+        col("common"),
         expr("(1000000 * common) div (da + db - common)").as("jaccard_micros"))
-      .orderBy(col("common").desc, col("a"), col("b"))
-      .limit(20)
+      .orderBy("a", "rank")
   }
 
   private val linkPredictionOracle: String = edgesCte + """
 , sym AS (SELECT u AS c, v AS n FROM e UNION ALL SELECT v, u FROM e),
 deg AS (SELECT c AS node, count(*) AS deg FROM sym GROUP BY c),
+queries AS (
+  SELECT node AS a, deg AS da FROM deg ORDER BY deg DESC, node LIMIT 20
+),
 wedges AS (
-  SELECT x.n AS a, y.n AS b, count(*) AS common
-  FROM sym x JOIN sym y ON x.c = y.c AND x.n < y.n
+  SELECT q.a, s2.n AS b, count(*) AS common
+  FROM queries q
+  JOIN sym s1 ON s1.n = q.a
+  JOIN sym s2 ON s2.c = s1.c AND s2.n <> q.a
   GROUP BY 1, 2 HAVING count(*) >= 2
 ),
 nonedges AS (
   SELECT w.* FROM wedges w
-  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = w.a AND e.v = w.b)
+  WHERE NOT EXISTS (SELECT 1 FROM e
+                    WHERE (e.u = w.a AND e.v = w.b)
+                       OR (e.u = w.b AND e.v = w.a))
+),
+ranked AS (
+  SELECT ne.a, ne.b, ne.common,
+         (1000000 * ne.common) // (q.da + db.deg - ne.common)
+           AS jaccard_micros,
+         row_number() OVER (PARTITION BY ne.a
+                            ORDER BY ne.common DESC, ne.b) AS rank
+  FROM nonedges ne
+  JOIN queries q ON q.a = ne.a
+  JOIN deg db ON db.node = ne.b
 )
-SELECT ne.a, ne.b, ne.common,
-       (1000000 * ne.common) // (da.deg + db.deg - ne.common)
-         AS jaccard_micros
-FROM nonedges ne
-JOIN deg da ON da.node = ne.a
-JOIN deg db ON db.node = ne.b
-ORDER BY ne.common DESC, ne.a, ne.b
-LIMIT 20
+SELECT a, cast(rank AS bigint) AS rank, b, common, jaccard_micros
+FROM ranked WHERE rank <= 3 ORDER BY a, rank
 """
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
