@@ -295,7 +295,66 @@ FROM ranked WHERE rn <= 3
 ORDER BY term, score DESC, doc_id
 """
 
+  /** Bigram language-model TRAINING: corpus-wide conditional
+    * continuation probabilities P(w₂|w₁) = count(w₁w₂)/count(w₁·) in
+    * integer fixed-point micros, top-3 continuations per head word —
+    * the n-gram LM estimation step (and the bigram half of a
+    * perplexity filter). Two hash aggregations + one broadcast join;
+    * everything map-side-combinable — the head-word count table is
+    * the vocabulary, which is always broadcastable.
+    */
+  def bigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val bigrams = expr(
+      "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+        " (x, y) -> struct(x AS w1, y AS w2))")
+    val pairCounts = Tables.documents(spark, sfDir)
+      .select(w.as("w")).where(size(col("w")) >= 2)
+      .select(explode(bigrams).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val headCounts = pairCounts.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("w1").orderBy(col("p_micros").desc, col("w2"))
+    pairCounts.join(broadcast(headCounts), "w1")
+      .withColumn("p_micros", expr("(1000000 * c12) div c1"))
+      .withColumn("rank", row_number().over(rankW).cast("bigint"))
+      .where(col("rank") <= 3)
+      .select(col("w1"), col("rank"), col("w2"), col("c12"), col("c1"),
+              col("p_micros"))
+      .orderBy("w1", "rank")
+  }
+
+  val bigramLmOracle: String = """
+WITH t AS (
+  SELECT string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+  SELECT unnest([ {'w1': w[i], 'w2': w[i+1]} for i in range(1, len(w)) ])
+    AS b
+  FROM t
+),
+pc AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+hc AS (SELECT w1, sum(c12) AS c1 FROM pc GROUP BY w1),
+scored AS (
+  SELECT pc.w1, pc.w2, pc.c12, cast(hc.c1 AS bigint) AS c1,
+         (1000000 * pc.c12) // hc.c1 AS p_micros
+  FROM pc JOIN hc ON hc.w1 = pc.w1
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY w1
+                               ORDER BY p_micros DESC, w2) AS rank
+  FROM scored
+)
+SELECT w1, cast(rank AS bigint) AS rank, w2, c12, c1,
+       cast(p_micros AS bigint) AS p_micros
+FROM ranked WHERE rank <= 3 ORDER BY w1, rank
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigram_lm" -> (bigramLm _),
     "text_bm25_topk" -> (bm25Topk _),
     "text_tfidf_topk" -> (tfidfTopk _),
     "text_repetition" -> (repetition _),
@@ -332,6 +391,7 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
   val oracles: Map[String, String] = Map(
     "text_tfidf_topk" -> tfidfTopkOracle,
     "text_bm25_topk" -> bm25TopkOracle,
+    "text_bigram_lm" -> bigramLmOracle,
     "text_repetition" -> repetitionOracle,
     "text_stats" -> textStatsOracle,
     "text_langid" -> langIdOracle,
