@@ -353,7 +353,70 @@ SELECT w1, cast(rank AS bigint) AS rank, w2, c12, c1,
 FROM ranked WHERE rank <= 3 ORDER BY w1, rank
 """
 
+  /** LM-based quality scoring — the perplexity-filter shape: each
+    * document scored by its bigrams' corpus-wide continuation
+    * probabilities (mean and min, fixed-point micros); documents whose
+    * transitions are uniformly improbable read as disfluent/garbled
+    * and get keep=0. True perplexity needs log-probs — `ln` is not
+    * cross-engine exact, and the mean/min of the probabilities
+    * themselves carries the same ranking signal for filtering. The LM
+    * tables (pair + head counts) are the trained model from
+    * text_bigram_lm, broadcast — at 100 TB the model is trained once
+    * and reused, exactly as here.
+    */
+  def lmQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val bigrams = expr(
+      "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+        " (x, y) -> struct(x AS w1, y AS w2))")
+    val docBg = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), w.as("w")).where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val pairCounts = docBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val headCounts = pairCounts.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val model = pairCounts.join(headCounts, "w1")
+      .select(col("w1"), col("w2"),
+              expr("(1000000 * c12) div c1").as("p_micros"))
+    docBg.join(broadcast(model), Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+           expr("sum(p_micros) div count(1)").as("mean_p_micros"),
+           min(col("p_micros")).as("min_p_micros"))
+      .withColumn("keep",
+        (col("mean_p_micros") >= 34500).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val lmQualityOracle: String = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+  SELECT doc_id,
+         unnest([ {'w1': w[i], 'w2': w[i+1]} for i in range(1, len(w)) ])
+           AS b
+  FROM t
+),
+d AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+pc AS (SELECT w1, w2, count(*) AS c12 FROM d GROUP BY 1, 2),
+hc AS (SELECT w1, sum(c12) AS c1 FROM pc GROUP BY w1),
+model AS (
+  SELECT pc.w1, pc.w2, (1000000 * pc.c12) // hc.c1 AS p_micros
+  FROM pc JOIN hc ON hc.w1 = pc.w1
+)
+SELECT d.doc_id, count(*) AS n_bigrams,
+       cast(sum(m.p_micros) // count(*) AS bigint) AS mean_p_micros,
+       cast(min(m.p_micros) AS bigint) AS min_p_micros,
+       cast(CASE WHEN sum(m.p_micros) // count(*) >= 34500
+                 THEN 1 ELSE 0 END AS int) AS keep
+FROM d JOIN model m ON m.w1 = d.w1 AND m.w2 = d.w2
+GROUP BY d.doc_id ORDER BY doc_id
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_quality" -> (lmQuality _),
     "text_bigram_lm" -> (bigramLm _),
     "text_bm25_topk" -> (bm25Topk _),
     "text_tfidf_topk" -> (tfidfTopk _),
@@ -392,6 +455,7 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
     "text_tfidf_topk" -> tfidfTopkOracle,
     "text_bm25_topk" -> bm25TopkOracle,
     "text_bigram_lm" -> bigramLmOracle,
+    "text_lm_quality" -> lmQualityOracle,
     "text_repetition" -> repetitionOracle,
     "text_stats" -> textStatsOracle,
     "text_langid" -> langIdOracle,
