@@ -408,15 +408,23 @@ ORDER BY a, b
   // vectors stay singletons).
   // ---------------------------------------------------------------
 
-  /** Near-dup clustering over `embeddings`: exact cosine-threshold pairs
-    * (the correctness baseline; at 100 TB the candidate set comes from
-    * the LSH/IVF path in [[SimilarityQueries]] instead of an all-pairs
-    * join) → Large/Small-Star CC. Threshold 0.4 sits in a wide gap of
-    * the pair-cosine distribution, so float fold order can't flip
+  /** Exact near-dup clustering baseline over a BOUNDED deterministic
+    * subset of `embeddings` (`vec_id < 1000` — the whole corpus at the
+    * small scales, ≤1000 vectors at any scale): exact cosine-threshold
+    * pairs → Large/Small-Star CC. The subset cap is what keeps a
+    * correctness baseline gradeable at 100 TB — the all-pairs join is
+    * ≤ 1000²/2 dot products no matter how big the corpus grows; the
+    * corpus-wide clustering is [[dedupEmbeddingAnn]] (bucketed, linear),
+    * whose recall against THIS baseline is itself graded
+    * ([[dedupAnnRecall]]). Threshold 0.4 sits in a wide gap of the
+    * pair-cosine distribution, so float fold order can't flip
     * membership (see SimilarityQueries scaladoc).
     */
+  private val ExactSubsetCap = 1000
+
   def dedupEmbeddingClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val n = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") < ExactSubsetCap)
       .select(col("vec_id"),
         transform(col("embedding"), (x: Column) => x.cast("double")).as("v"))
       .select(col("vec_id"), col("v"),
@@ -440,7 +448,7 @@ WITH RECURSIVE n AS (
   SELECT vec_id,
          list_transform(embedding, x -> x::double) AS v,
          sqrt(list_sum(list_transform(embedding, x -> (x::double) * (x::double)))) AS nrm
-  FROM embeddings
+  FROM embeddings WHERE vec_id < 1000
 ),
 u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
 near AS (
@@ -454,7 +462,7 @@ edges AS (
   SELECT b AS src, a AS dst FROM near
 ),
 walk(node, comp) AS (
-  SELECT vec_id, vec_id FROM embeddings
+  SELECT vec_id, vec_id FROM embeddings WHERE vec_id < 1000
   UNION
   SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
 )
@@ -527,8 +535,12 @@ SELECT node AS vec_id, min(comp) AS cluster FROM walk GROUP BY node ORDER BY vec
     res.assignments.toDF("vec_id", "cluster").orderBy("vec_id")
   }
 
-  val dedupEmbeddingAnnOracle: String = s"""
-WITH RECURSIVE n AS (
+  /** Shared oracle CTE chain computing the ANN pipeline's verified
+    * near-dup pairs (`near`), reused by [[dedupEmbeddingAnnOracle]] and
+    * [[dedupAnnRecallOracle]] so the two gates replay the identical
+    * pipeline.
+    */
+  private val annNearSql: String = s"""n AS (
   SELECT vec_id,
          list_transform(embedding, x -> x::double) AS v,
          sqrt(list_sum(list_transform(embedding, x -> (x::double) * (x::double)))) AS nrm
@@ -574,7 +586,9 @@ near AS (
   JOIN u ua ON cand.a = ua.vec_id
   JOIN u ub ON cand.b = ub.vec_id
   WHERE list_sum(list_transform(range(1, len(ua.u) + 1), i -> ua.u[i] * ub.u[i])) >= 0.4
-),
+)"""
+
+  val dedupEmbeddingAnnOracle: String = "WITH RECURSIVE " + annNearSql + """,
 edges AS (
   SELECT a AS src, b AS dst FROM near
   UNION
@@ -586,6 +600,52 @@ walk(node, comp) AS (
   SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
 )
 SELECT node AS vec_id, min(comp) AS cluster FROM walk GROUP BY node ORDER BY vec_id
+"""
+
+  /** Gate-visible ANN recall (VERDICT r3 §missing #3): of the exact
+    * cosine-threshold pairs in the bounded baseline subset
+    * (`vec_id < ExactSubsetCap`, the same pair set that drives
+    * [[dedupEmbeddingClusters]]), how many does the linear-scale ANN
+    * pipeline ([[embeddingAnnPairs]]) recover? Emits integer counts and
+    * recall in basis points (integer division — hash-exact), so the
+    * recall claim sits under the oracle gate, not just in
+    * EmbeddingDedupSpec. Precision needs no row: ANN pairs are verified
+    * with the exact dot product before emission, so every recovered
+    * pair is a true pair by construction.
+    */
+  def dedupAnnRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = SimilarityQueries.normalized(spark, sfDir)
+      .where(col("vec_id") < ExactSubsetCap)
+      .localCheckpoint()
+    val exact = n.toDF("a", "ua").join(n.toDF("b", "ub"), col("a") < col("b"))
+      .where(graft.functions.VectorFunctions.dot(col("ua"), col("ub")) >= 0.4)
+      .select(col("a"), col("b"))
+    val ann = embeddingAnnPairs(spark, sfDir)
+      .where(col("a") < ExactSubsetCap && col("b") < ExactSubsetCap)
+      .withColumn("found", lit(1L))
+    exact.join(ann, Seq("a", "b"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+           sum(coalesce(col("found"), lit(0L))).as("n_found"))
+      .select(col("n_exact"), col("n_found"),
+        expr("(10000 * n_found) div n_exact").as("recall_bps"))
+  }
+
+  val dedupAnnRecallOracle: String = "WITH " + annNearSql + s""",
+exact AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM u a JOIN u b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < $ExactSubsetCap AND b.vec_id < $ExactSubsetCap
+    AND list_sum(list_transform(range(1, len(a.u) + 1), i -> a.u[i] * b.u[i])) >= 0.4
+),
+joined AS (
+  SELECT count(*) AS n_exact,
+         cast(coalesce(sum(CASE WHEN nr.a IS NOT NULL THEN 1 ELSE 0 END), 0)
+              AS bigint) AS n_found
+  FROM exact e LEFT JOIN near nr ON e.a = nr.a AND e.b = nr.b
+)
+SELECT n_exact, n_found,
+       cast((10000 * n_found) // n_exact AS bigint) AS recall_bps
+FROM joined
 """
 
   // ---------------------------------------------------------------
@@ -729,6 +789,7 @@ ORDER BY doc_a, doc_b
     "dedup_ngram_jaccard" -> (ngramJaccardPairs _),
     "dedup_embedding_clusters" -> (dedupEmbeddingClusters _),
     "dedup_embedding_ann" -> (dedupEmbeddingAnn _),
+    "dedup_ann_recall" -> (dedupAnnRecall _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -740,5 +801,6 @@ ORDER BY doc_a, doc_b
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_embedding_clusters" -> dedupEmbeddingOracle,
     "dedup_embedding_ann" -> dedupEmbeddingAnnOracle,
+    "dedup_ann_recall" -> dedupAnnRecallOracle,
   )
 }
