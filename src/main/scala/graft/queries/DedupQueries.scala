@@ -89,8 +89,13 @@ ORDER BY doc_id
     }
     val bands = sigs.select(col("doc_id"),
       explode(array(bandCols: _*)).as("band")).localCheckpoint()
+    // Cold-band list rows ≤ band rows (2/doc, checkpointed → cheap
+    // count); a 100 TB corpus degrades this semi-join filter to an
+    // AQE-planned shuffle join instead of OOMing the broadcast.
     val coldBands = bands.join(
-      broadcast(bands.groupBy("band").count().where(col("count") <= MaxBucket))
+      Hints.maybeBroadcast(
+        bands.groupBy("band").count().where(col("count") <= MaxBucket),
+        bands.count())
         .select("band"),
       "band")
     val cand = coldBands.as("x").join(coldBands.as("y"),
@@ -509,9 +514,13 @@ SELECT node AS vec_id, min(comp) AS cluster FROM walk GROUP BY node ORDER BY vec
     val bucketed = SimilarityQueries.lshBuckets(n, nTables = 12,
         bitsPerTable = bits.get)
       .localCheckpoint()
+    // Cold-bucket list rows ≤ 12·N (already counted above); guarded so
+    // a 100 TB corpus degrades to an AQE shuffle join, not a broadcast OOM.
     val cold = bucketed.join(
-      broadcast(bucketed.groupBy("bucket").count()
-          .where(col("count") <= AnnMaxBucket))
+      Hints.maybeBroadcast(
+        bucketed.groupBy("bucket").count()
+          .where(col("count") <= AnnMaxBucket),
+        12L * nVecs)
         .select("bucket"),
       "bucket")
     val cand = cold.as("x").join(cold.as("y"),
@@ -733,12 +742,20 @@ FROM joined
 
   def cdcChunkPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val MaxDocsPerChunk = 50
-    val inv = cdcChunks(Tables.documents(spark, sfDir)
+    // Checkpoint the chunk arrays: the inverted index feeds the
+    // hot-chunk count AND both self-join sides — without the barrier the
+    // md5-per-chunk extraction pass runs once per use.
+    val chunks = cdcChunks(Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("text")))
-      .select(col("doc_id"), explode(col("chunks")).as("ch"))
+      .localCheckpoint(false)
+    val inv = chunks.select(col("doc_id"), explode(col("chunks")).as("ch"))
+    // Cold-chunk list rows ≤ total chunks (one cheap agg over the
+    // checkpointed arrays); guarded so a 100 TB corpus degrades the
+    // filter to an AQE shuffle join instead of a broadcast OOM.
+    val nChunks = chunks.agg(sum(size(col("chunks")))).head.getLong(0)
     val cold = inv.join(
-      broadcast(inv.groupBy("ch").count()
-        .where(col("count") <= MaxDocsPerChunk)).select("ch"),
+      Hints.maybeBroadcast(inv.groupBy("ch").count()
+        .where(col("count") <= MaxDocsPerChunk), nChunks).select("ch"),
       "ch")
     cold.as("x").join(cold.as("y"),
         col("x.ch") === col("y.ch") && col("x.doc_id") < col("y.doc_id"))

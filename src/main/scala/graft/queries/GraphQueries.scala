@@ -89,10 +89,11 @@ object GraphQueries {
     * map-side hash joins + a codegen'd `array_intersect` with NO
     * shuffle; the only shuffle is the final 3m-corner partial/final
     * count. (Round-2 shape — a wedge self-join shuffling O(m^{3/2})
-    * skinny rows — benched 11s at sf0.1; this one ~2s.) When m stops
-    * fitting executor memory the same query degrades by dropping the
-    * broadcast hints: two O(m) sort-merge joins, still never an
-    * O(m^{3/2}) shuffle.
+    * skinny rows — benched 11s at sf0.1; this one ~2s.) The hints are
+    * SIZE-GUARDED ([[Hints.maybeBroadcast]] on the measured edge
+    * count): when m stops fitting executor memory the same query
+    * degrades automatically to two O(m) AQE-planned joins, still never
+    * an O(m^{3/2}) shuffle.
     */
   def triangleTop(spark: SparkSession, sfDir: String): DataFrame = {
     val e = undirectedEdges(spark, sfDir)
@@ -111,9 +112,15 @@ object GraphQueries {
       .select(col("e.src"), col("e.dst"))
     val adj = oriented.groupBy(col("src").as("node"))
       .agg(collect_set(col("dst")).as("nbrs"))
+    // The adjacency payload is Σout-deg = m longs; e is checkpointed, so
+    // this count is a cached-block scan. Past the cap the two joins
+    // degrade to AQE-planned shuffles of the same shape — never O(m^1.5).
+    val m = e.count()
     val tris = oriented
-      .join(broadcast(adj.select(col("node").as("src"), col("nbrs").as("ns"))), "src")
-      .join(broadcast(adj.select(col("node").as("dst"), col("nbrs").as("nd"))), "dst")
+      .join(Hints.maybeBroadcast(
+        adj.select(col("node").as("src"), col("nbrs").as("ns")), m), "src")
+      .join(Hints.maybeBroadcast(
+        adj.select(col("node").as("dst"), col("nbrs").as("nd")), m), "dst")
       .select(col("src"), col("dst"),
               explode(array_intersect(col("ns"), col("nd"))).as("w"))
     val perNode = tris
@@ -234,19 +241,24 @@ object GraphQueries {
     // plus one map-side-combined sum — iteration 1 skips even that,
     // since the initial rank is a constant.
     val zero = "cast(0 AS bigint)"
+    // Contribution-table rows are ≤ distinct dst ≤ m; contribEdges is
+    // checkpointed so the count is a cached-block scan. ONE decision
+    // covers all iterations — past the cap every per-iteration join
+    // degrades to an AQE-planned shuffle join on `src`, same shape.
+    val m = contribEdges.count()
     var contribs = contribEdges
       .select(col("dst").as("node"), expr(s"$scaleF div deg").as("c"))
       .groupBy("node").agg(sum(col("c")).as("c"))
     for (_ <- 2 to iters) {
       contribs = contribEdges
-        .join(broadcast(contribs.withColumnRenamed("node", "src")),
+        .join(Hints.maybeBroadcast(contribs.withColumnRenamed("node", "src"), m),
           Seq("src"), "left")
         .select(col("dst").as("node"),
           expr(s"($base + (85 * coalesce(c, $zero)) div 100) div deg")
             .as("c"))
         .groupBy("node").agg(sum(col("c")).as("c"))
     }
-    nodes.join(broadcast(contribs), Seq("node"), "left")
+    nodes.join(Hints.maybeBroadcast(contribs, m), Seq("node"), "left")
       .select(col("node"),
         expr(s"$base + (85 * coalesce(c, $zero)) div 100").as("rank"))
       .orderBy(col("rank").desc, col("node")).limit(20)
@@ -265,8 +277,9 @@ object GraphQueries {
     * per-hop frontier `distinct`s and the final two aggregations. The
     * frontier is lazily checkpointed so hop h isn't recomputed by hop
     * h+1's lineage. The only driver-side value is the 1-scalar seed
-    * lookup. (An ego net whose frontier outgrows broadcast would drop
-    * the hint and degrade to a shuffled join of the same shape.)
+    * lookup. The frontier hint is size-guarded ([[Hints.maybeBroadcast]]):
+    * an ego net whose frontier outgrows the cap degrades automatically
+    * to a shuffled join of the same shape.
     */
   def khopHist(spark: SparkSession, sfDir: String): DataFrame = {
     val hops = 4
@@ -276,11 +289,15 @@ object GraphQueries {
       .localCheckpoint(false)
     val seed = allNodes(spark, sfDir).agg(min(col("node"))).head.getLong(0)
     import spark.implicits._
+    // Frontier rows ≤ reachable nodes ≤ |dedges| = 2m (checkpointed, so
+    // the count is a cached-block scan); past the cap each hop degrades
+    // to an AQE-planned shuffle join of the same shape.
+    val twoM = dedges.count()
     var frontier = Seq(seed).toDF("node").localCheckpoint(false)
     var layers = frontier.withColumn("d", lit(0))
     for (h <- 1 to hops) {
       frontier = dedges
-        .join(broadcast(frontier), dedges("src") === frontier("node"))
+        .join(Hints.maybeBroadcast(frontier, twoM), dedges("src") === frontier("node"))
         .select(col("dst").as("node")).distinct()
         .localCheckpoint(false)
       layers = layers.unionAll(frontier.withColumn("d", lit(h)))

@@ -18,16 +18,19 @@ class PlanShapeSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  // sim_cosine_pairs / sim_topk_bruteforce: documented quadratic
-  // correctness baselines. dedup_embedding_clusters: same baseline
-  // shape, but its join executes during construction (the CC tail's
-  // driver path collects), so the returned plan can't show it either
-  // way. sim_ann_ivf: its two nested-loop joins broadcast the
-  // FIXED-SIZE centroid table (nlist is independent of N), so they are
-  // linear in N — the exemption is justified, not a smell.
+  // sim_cosine_pairs / sim_topk_bruteforce / dedup_ann_recall: exact
+  // correctness baselines whose non-equi join has a BOUNDED side (a
+  // ≤100-id query set / the ≤1000-vector exact subset), so the
+  // nested-loop is O(|Q|·N) or O(cap²), never O(N²) in corpus size.
+  // dedup_embedding_clusters: same bounded-subset baseline, but its
+  // join executes during construction (the CC tail's driver path
+  // collects), so the returned plan can't show it either way.
+  // sim_ann_ivf: its two nested-loop joins broadcast the FIXED-SIZE
+  // centroid table (nlist is independent of N), so they are linear in
+  // N — the exemption is justified, not a smell.
   private val quadraticBaselines = Set(
     "sim_cosine_pairs", "sim_topk_bruteforce", "dedup_embedding_clusters",
-    "sim_ann_ivf")
+    "sim_ann_ivf", "dedup_ann_recall")
 
   private val sideEffecting = (n: String) =>
     n.startsWith("io_") || n.startsWith("stream_")

