@@ -449,10 +449,20 @@ SELECT d, count(*) AS n_nodes FROM reach GROUP BY d ORDER BY d
         .select("u", "v")
         .localCheckpoint(false)
     }
-    edges.select(col("u").as("node"))
+    val result = edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
-      .orderBy("node")
+    // Fixpoint guard AT EVERY GRADED SCALE, in the query itself (not
+    // only the sf0.001 convergence spec): the surviving subgraph must
+    // have no node below k, or 5 synchronized rounds weren't enough and
+    // the result would be a mid-peel snapshot (the oracle would
+    // replay the same snapshot and the gate would stay green — this is
+    // the one failure the hash compare can't see). Cost: one count over
+    // the final (checkpointed) degree table.
+    val belowK = result.where(col("degree") < k).limit(1).count()
+    require(belowK == 0L,
+      s"kcore: 5 peel rounds did not reach the $k-core fixpoint")
+    result.orderBy("node")
   }
 
   private val kcoreOracle: String = {

@@ -829,16 +829,25 @@ ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST,
     * top-n. Price exposed in integer cents (deterministic both
     * engines); customers sampled %10 to bound graded output.
     */
+  /** Temp-view names are suffixed with the sanitized sfDir (the
+    * bucketedJoin table-name discipline): fixed names on a shared
+    * session would let interleaved runs at different scales silently
+    * read each other's data.
+    */
+  private def viewSuffix(sfDir: String): String =
+    sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
   def q35LateralTopn(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_lat_orders")
-    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_lat_customer")
-    spark.sql("""
+    val sfx = viewSuffix(sfDir)
+    Tables.orders(spark, sfDir).createOrReplaceTempView(s"graft_lat_orders_$sfx")
+    Tables.customer(spark, sfDir).createOrReplaceTempView(s"graft_lat_customer_$sfx")
+    spark.sql(s"""
       SELECT c.c_custkey, t.o_orderkey, t.pc
-      FROM graft_lat_customer c,
+      FROM graft_lat_customer_$sfx c,
       LATERAL (
         SELECT o_orderkey,
                cast(floor(o_totalprice * 100 + 0.5) AS bigint) AS pc
-        FROM graft_lat_orders o
+        FROM graft_lat_orders_$sfx o
         WHERE o.o_custkey = c.c_custkey
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 2
@@ -876,8 +885,9 @@ ORDER BY c_custkey, pc DESC, o_orderkey
     * the right tool when depth is small and the engine owns the loop.
     */
   def q36Reach3(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_rec_lineitem")
-    spark.sql(q36Sql("graft_rec_lineitem"))
+    val view = s"graft_rec_lineitem_${viewSuffix(sfDir)}"
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView(view)
+    spark.sql(q36Sql(view))
   }
 
   private def q36Sql(tbl: String): String = s"""
@@ -1023,19 +1033,20 @@ FROM g ORDER BY l_orderkey
     * no float boundary.
     */
   def q40SubqueryFamily(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_sq_orders")
-    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_sq_customer")
-    spark.sql("""
+    val sfx = viewSuffix(sfDir)
+    Tables.orders(spark, sfDir).createOrReplaceTempView(s"graft_sq_orders_$sfx")
+    Tables.customer(spark, sfDir).createOrReplaceTempView(s"graft_sq_customer_$sfx")
+    spark.sql(s"""
       SELECT c.c_mktsegment, count(*) AS n_custs
-      FROM graft_sq_customer c
-      WHERE EXISTS (SELECT 1 FROM graft_sq_orders o
+      FROM graft_sq_customer_$sfx c
+      WHERE EXISTS (SELECT 1 FROM graft_sq_orders_$sfx o
                     WHERE o.o_custkey = c.c_custkey)
-        AND c.c_custkey NOT IN (SELECT o_custkey FROM graft_sq_orders
+        AND c.c_custkey NOT IN (SELECT o_custkey FROM graft_sq_orders_$sfx
                                 WHERE o_orderpriority = '5-LOW')
         AND cast(floor(c.c_acctbal * 100 + 0.5) AS bigint) *
-              (SELECT count(*) FROM graft_sq_customer) >
+              (SELECT count(*) FROM graft_sq_customer_$sfx) >
             (SELECT sum(cast(floor(c_acctbal * 100 + 0.5) AS bigint))
-             FROM graft_sq_customer)
+             FROM graft_sq_customer_$sfx)
       GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
     """)
   }

@@ -36,7 +36,7 @@ object StatsQueries {
   /** q29: exact second-order moments of (quantity, extendedprice) per
     * return flag, Pearson correlation in fixed-point micros derived
     * from them, and a gate asserting the engine's own `corr` /
-    * `stddev_samp` built-ins agree with the moment formula to 1e-9
+    * `stddev_samp` built-ins agree with the moment formula to 1e-6
     * (relative for stddev). Moments use decimal(38,0) sums — exact and
     * order-independent under parallel aggregation, which is what makes
     * the hash gate on a "statistics" query possible at all.
@@ -78,8 +78,12 @@ object StatsQueries {
         col("syy").cast("double").as("syy"),
         col("sxy").cast("double").as("sxy"),
         expr(s"cast(floor(1000000.0 * ($corrD)) as bigint)").as("corr_micros"),
-        expr(s"abs(corr_b - ($corrD)) < 1e-9 and " +
-             s"abs(sd_b - ($sdD)) < 1e-9 * abs($sdD)").as("builtin_stats_ok"))
+        // 1e-6 (corr is bounded by 1, so absolute ≈ relative): the
+        // built-ins' parallel summation error is partitioning-dependent,
+        // and a 1e-9 band could flip on one engine only at larger
+        // scales — 1e-6 still pins the built-ins to the exact moments.
+        expr(s"abs(corr_b - ($corrD)) < 1e-6 and " +
+             s"abs(sd_b - ($sdD)) < 1e-6 * abs($sdD)").as("builtin_stats_ok"))
       .orderBy("l_returnflag")
   }
 
@@ -113,10 +117,10 @@ SELECT l_returnflag, n, sx, sy, sxx, syy, sxy,
          sqrt((cast(n AS double) * cast(sxx AS double) -
            cast(sx AS double) * cast(sx AS double)) *
           (cast(n AS double) * cast(syy AS double) -
-           cast(sy AS double) * cast(sy AS double))))) < 1e-9
+           cast(sy AS double) * cast(sy AS double))))) < 1e-6
         AND abs(sd_b - (sqrt((cast(n AS double) * cast(syy AS double) -
            cast(sy AS double) * cast(sy AS double)) /
-          (cast(n AS double) * (cast(n AS double) - 1.0))))) < 1e-9 *
+          (cast(n AS double) * (cast(n AS double) - 1.0))))) < 1e-6 *
           abs(sqrt((cast(n AS double) * cast(syy AS double) -
            cast(sy AS double) * cast(sy AS double)) /
           (cast(n AS double) * (cast(n AS double) - 1.0)))))

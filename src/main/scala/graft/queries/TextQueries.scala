@@ -233,18 +233,22 @@ ORDER BY term, score DESC, doc_id
     *   score = idf_fp · 44·tf·Σdl div (20·Σdl·tf + 6·Σdl + 18·dl·N)
     * with the same rational idf surrogate text_tfidf_topk uses (no ln:
     * libm rounding differs across engines; the surrogate preserves the
-    * df-monotonicity that drives ranking). Headroom: ≤ ~4·10¹⁷ on the
-    * graded corpus; a web-scale corpus drops the 10⁶ idf scale to 10³
-    * (or moves the product to decimal(38)).
-    * N and Σdl are two driver-side scalars fetched at plan-build time
-    * (the tfidf precedent) — broadcastable literals, not a join.
+    * df-monotonicity that drives ranking). The numerator grows with
+    * N·Σdl, so it is computed in decimal(38,0) (hugeint in the oracle —
+    * identical integer semantics both sides); int64 would overflow on a
+    * corpus only ~100× the graded one. The quotient is back under 10¹²,
+    * emitted as bigint.
+    * N and Σdl are two scalars fetched in ONE agg action at plan-build
+    * time (the tfidf precedent) — broadcastable literals, not a join.
     */
   def bm25Topk(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val n = docs.count()
-    val sumDl = docs
-      .select(sum(size(split(col("text"), " ")).cast("bigint")).as("s"))
-      .first().getLong(0)
+    val consts = docs
+      .agg(count(lit(1)).as("n"),
+           sum(size(split(col("text"), " ")).cast("bigint")).as("s"))
+      .first()
+    val n = consts.getLong(0)
+    val sumDl = consts.getLong(1)
     val dl = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("bigint").as("dl"))
     val tf = docs
@@ -257,7 +261,7 @@ ORDER BY term, score DESC, doc_id
       .withColumn("idf_fp",
         expr(s"(1000000 * (2 * $n - 2 * df + 1)) div (2 * df + 1)"))
       .withColumn("score",
-        expr(s"(idf_fp * 44 * tf * $sumDl) div " +
+        expr(s"(cast(idf_fp AS decimal(38,0)) * 44 * tf * $sumDl) div " +
              s"(20 * $sumDl * tf + 6 * $sumDl + 18 * dl * $n)"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 3)
@@ -279,7 +283,8 @@ consts AS (
          (SELECT sum(dl) FROM dl) AS sdl),
 scored AS (
   SELECT f.term, f.doc_id, f.tf, d.df, l.dl,
-         ((1000000 * (2 * c.n - 2 * d.df + 1)) // (2 * d.df + 1))
+         cast((1000000 * (2 * c.n - 2 * d.df + 1)) // (2 * d.df + 1)
+              AS hugeint)
            * 44 * f.tf * c.sdl //
            (20 * c.sdl * f.tf + 6 * c.sdl + 18 * l.dl * c.n) AS score
   FROM tf f
