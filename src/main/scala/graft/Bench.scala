@@ -4,6 +4,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Median-of-N per query (default 3): the r3 record was captured in a
+    // noisy host window that inflated the long shuffle-heavy queries
+    // 2-4x; a per-query median discards a one-off slow rep instead of
+    // recording it forever. SPARK_GRAFT_BENCH_REPS=1 restores the old
+    // single-shot behavior.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // Mirror file for the JSON result line. Resolved against an explicit
     // env var, falling back to the JVM's working directory (the sbt build
     // root when run via `sbt run`); deleted up front so a crashed run
@@ -34,25 +40,46 @@ object Bench {
       if (p.toString.endsWith(".parquet"))
         spark.read.parquet(p.toString).count()
     }
+    // Build the cross-query memoized tables (CC fixpoint assignments,
+    // co-purchase edge set, minhash LSH clusters) ONCE, timed as their
+    // own row: these are shared by several queries, so whichever ran
+    // first used to absorb the build cost — per-query rows were
+    // order-dependent (VERDICT r3 #7). The cost stays in the total
+    // under the `_shared_prewarm` key (underscore sorts first); every
+    // later row measures its OWN work and is stable across orderings
+    // and reps.
+    val tPre = System.nanoTime()
+    graft.queries.CCQueries.ccCopurchase(spark, sfDir).count()
+    graft.queries.GraphQueries.all("graph_degree_hist")(spark, sfDir).count()
+    graft.queries.DedupQueries.all("dedup_minhash_clusters")(spark, sfDir).count()
+    val prewarm = (System.nanoTime() - tPre) / 1e9
     // A failed query is recorded as -1 (visible in the JSON) and kept
     // out of the total — silently charging its elapsed time would make
     // a broken suite look fast.
     //
     // Sorted by name: Map iteration order changes whenever a query is
     // added, which made per-query times incomparable across rounds.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case t: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
-          false
-      }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(s.size / 2) // odd reps: middle; even: upper median (conservative)
     }
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case t: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
+            None
+        }
+      }
+      name -> (if (times.size == reps) medianOf(times) else -1.0)
+    }
+    val results = ("_shared_prewarm" -> prewarm) +: timed
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // Belt and braces: the build routes forked stdout through verbatim
     // (run / outputStrategy := StdoutOutput), and the line is also
