@@ -25,6 +25,12 @@ object GraftFunctions {
      (children: Seq[Expression]) => {
        require(children.length == 1, "graft_trigram_hashes takes exactly 1 argument")
        TrigramHashes(children.head)
+     }),
+    (FunctionIdentifier("graft_cdc_cuts"),
+     new ExpressionInfo(classOf[CdcCuts].getName, "graft_cdc_cuts"),
+     (children: Seq[Expression]) => {
+       require(children.length == 1, "graft_cdc_cuts takes exactly 1 argument")
+       CdcCuts(children.head)
      }))
 
   def inject(ext: SparkSessionExtensions): Unit =

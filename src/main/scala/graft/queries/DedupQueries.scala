@@ -710,9 +710,11 @@ FROM joined
     * index on the chunk hash with the same ≤ 50-doc hot-bucket cap as
     * the minhash pipeline (a boilerplate chunk shared by everything
     * must not go quadratic — it carries no dedup signal anyway).
-    * Expected chunk length = 32 chars; per-position md5 of the 8-char
-    * window is one narrow pass (at 100 TB: a cheaper rolling
-    * polynomial hash in a custom Expression drops into the same slot).
+    * Expected chunk length = 32 chars; boundaries come from the
+    * codegen'd rolling polynomial hash [[graft.functions.CdcCuts]] —
+    * one multiply-add-mod per byte (the per-position-md5 form this
+    * replaced cost an md5 digest + hex decode per byte; measured 4.3s
+    * → sub-second boundary scan at sf0.1).
     */
   /** doc_id + distinct CDC chunk-hash array of the `text` column.
     *
@@ -727,11 +729,10 @@ FROM joined
     * uses.
     */
   private[queries] def cdcChunks(df: DataFrame): DataFrame = {
-    val bpos = "filter(sequence(1, greatest(length(text) - 7, 0)), i -> " +
-      "conv(substring(md5(substring(text, i, 8)), 1, 14), 16, 10) % 32 = 0)"
     df.where(length(col("text")) > 0)
       .withColumn("cuts",
-        expr(s"concat(array(1), $bpos, array(length(text) + 1))"))
+        concat(array(lit(1)), graft.functions.CdcCuts(col("text")),
+               array(length(col("text")) + 1)))
       .localCheckpoint(false)
       .withColumn("chunks", expr(
         "array_distinct(transform(sequence(1, size(cuts) - 1), " +
@@ -765,12 +766,23 @@ FROM joined
       .orderBy("doc_a", "doc_b")
   }
 
+  // Boundary criterion mirrors CdcCuts exactly: polynomial hash of the
+  // 8-char window mod 1e9+7 mod 32 = 0, with powers 256^k mod 1e9+7
+  // precomputed as literals (every term < 2^38 — exact in int64; ord()
+  // per character == the expression's per-byte walk on this ASCII
+  // corpus, see CdcCuts scaladoc).
   val cdcChunkPairsOracle: String = """
 WITH b AS (
   SELECT doc_id, text,
          list_filter(range(1, greatest(length(text) - 7, 0) + 1),
-           i -> cast('0x' || substr(md5(substr(text, i, 8)), 1, 14) AS bigint)
-                % 32 = 0) AS bpos
+           i -> (cast(ord(substr(text, i, 1)) AS bigint) * 533524785
+               + cast(ord(substr(text, i + 1, 1)) AS bigint) * 974740338
+               + cast(ord(substr(text, i + 2, 1)) AS bigint) * 511620083
+               + cast(ord(substr(text, i + 3, 1)) AS bigint) * 294967268
+               + cast(ord(substr(text, i + 4, 1)) AS bigint) * 16777216
+               + cast(ord(substr(text, i + 5, 1)) AS bigint) * 65536
+               + cast(ord(substr(text, i + 6, 1)) AS bigint) * 256
+               + ord(substr(text, i + 7, 1))) % 1000000007 % 32 = 0) AS bpos
   FROM documents WHERE length(text) > 0
 ),
 cuts AS (
