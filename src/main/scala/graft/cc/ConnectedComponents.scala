@@ -170,6 +170,15 @@ object ConnectedComponents {
     val grouped = mapping.groupBy("node")
       .agg(collect_set(col("rep")).as("nodes"))
       .localCheckpoint()
+    // Contraction diagnostics (scale probes): extra jobs, opt-in only.
+    if (sys.env.contains("GRAFT_CC_VERBOSE")) {
+      val row = grouped.agg(count(lit(1)), sum(size(col("nodes")))).head
+      val (nNodes, nMapRows) = (row.getLong(0), row.getLong(1))
+      val nReps = grouped.select(explode(col("nodes")).as("r"))
+        .agg(count_distinct(col("r"))).head.getLong(0)
+      System.err.println(s"[cc] contracted: nodes=$nNodes mapRows=$nMapRows " +
+        f"repNodes=$nReps ratio=${nReps.toDouble / math.max(nNodes, 1)}%.4f")
+    }
     val inner = runAuto(EdgeBuilder.starEdges(grouped), maxIterations,
       smallGraphThreshold)
     val labels = grouped
