@@ -721,12 +721,12 @@ FROM joined
     * The cut array MUST be materialized before the chunk-extraction
     * lambda touches it: CollapseProject happily inlines the `cuts`
     * alias into the lambda, where it is referenced per chunk element —
-    * re-running the full per-position boundary scan O(chunks × 4)
-    * times per document. Measured: 307s for the collapsed plan at
-    * sf0.1 vs ~8s staged (CdcProbe: boundary scan 4.3s, chunk pass
-    * 3.2s). `localCheckpoint` is the projection barrier the optimizer
-    * cannot collapse — the same lineage-cut discipline the CC loop
-    * uses.
+    * re-running the full boundary scan O(chunks) times per document
+    * (measured 307s collapsed vs ~8s staged at sf0.1 on the old
+    * md5-per-position scan; the hazard is cheaper but still O(chunks×n)
+    * with the rolling hash). `localCheckpoint` is the projection
+    * barrier the optimizer cannot collapse — the same lineage-cut
+    * discipline the CC loop uses.
     */
   private[queries] def cdcChunks(df: DataFrame): DataFrame = {
     df.where(length(col("text")) > 0)
