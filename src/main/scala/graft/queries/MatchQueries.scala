@@ -55,7 +55,12 @@ object MatchQueries {
     variants.as("x").join(variants.as("y"),
         col("x.blk") === col("y.blk") && col("x.name") < col("y.name"))
       .select(col("x.name").as("name_a"), col("y.name").as("name_b"))
-      .where(levenshtein(col("name_a"), col("name_b")) === 1)
+      // Thresholded levenshtein: banded O(L·t) instead of the full
+      // O(L²) DP — the verify runs on EVERY join candidate (~10 per
+      // variant row on digit-suffixed names), so it dominates the
+      // query. levenshtein(a,b,1) returns 1 iff the distance is
+      // exactly 1 (0 -> 0, >1 -> -1): the kept set is identical.
+      .where(levenshtein(col("name_a"), col("name_b"), 1) === 1)
       // With string keys a Hamming-1 pair matches on exactly one
       // variant; hashed keys make a double-match possible (two mask
       // positions colliding), so pin distinctness explicitly.
@@ -97,7 +102,7 @@ ORDER BY name_a, name_b
         col("x.blk") === col("y.blk") && col("x.name") < col("y.name"))
       .select(col("x.name").as("name_a"), col("y.name").as("name_b"))
       .dropDuplicates("name_a", "name_b")
-      .where(levenshtein(col("name_a"), col("name_b")) === 1)
+      .where(levenshtein(col("name_a"), col("name_b"), 1) === 1)
       .orderBy("name_a", "name_b")
   }
 
