@@ -119,7 +119,8 @@ object ConnectedComponents {
     }
   }
 
-  /** Two-phase CC — the 100 TB front door over [[run]].
+  /** Two-phase CC — the 100 TB front door over [[run]] WHEN the input
+    * layout cooperates (see the measured caveat below).
     *
     * Phase 1 contracts the graph with a partition-local union-find: one
     * `mapPartitions` pass, zero shuffles. Each task union-finds the
@@ -151,6 +152,14 @@ object ConnectedComponents {
     *
     * `iterations` reports the inner solve's fixpoint rounds (0 on the
     * driver path); `converged` is the inner solve's flag.
+    *
+    * Measured caveat (CCScaleProbe, SCALE.md round 4): contraction is a
+    * data-LAYOUT bet. Edges grouped by origin (per-order clique
+    * expansion, per-block generation) contract ~300:1 and the inner
+    * solve converges in one round; edges scattered round-robin contract
+    * only ~1.3:1, and the plain [[run]] fixpoint is as fast or faster
+    * up to ~100M edges. Both paths are label-exact under any
+    * partitioning, so the choice is pure performance.
     */
   def runContracted(edges: DataFrame, maxIterations: Int = 20,
                     smallGraphThreshold: Long = 4L << 20): CCResult = {
