@@ -597,7 +597,102 @@ SELECT a, cast(rank AS bigint) AS rank, b, common, jaccard_micros
 FROM ranked WHERE rank <= 3 ORDER BY a, rank
 """
 
+  /** graph_lpa: synchronous WEIGHTED label propagation — the cheap
+    * community-detection pass (no modularity optimization, no
+    * parameters) that segments a co-occurrence graph before anything
+    * heavier runs. Runs on the REPEAT-co-purchase backbone (pairs
+    * sharing ≥ 2 orders — the [[weightedProjection]] weights): the raw
+    * distinct-pair graph is a near-uniform dense ball on this corpus,
+    * where any majority vote floods to one label (measured: 1 community
+    * — exactly CC), so thresholding to the weighted backbone is what
+    * makes LPA mean something here, the standard projection-graph
+    * hygiene. Every node starts as its own label; each of 3
+    * synchronized rounds reassigns every node the label with the
+    * LARGEST total edge weight among its neighbors, ties broken by
+    * smallest label — which makes the (normally run-order-dependent)
+    * algorithm fully deterministic and therefore oracle-gradeable.
+    * Nodes outside the backbone keep their own label. Emitted as
+    * (label → community size).
+    *
+    * Scale: the weighted pair table is one map-side-combinable count
+    * over the bounded per-order expansion; per round, one join of the
+    * symmetrized backbone against the label table (same shuffle key
+    * every round), one (node, lbl) weight-sum, and a per-node top-1
+    * window whose partitions are degree-bounded. localCheckpoint per
+    * round truncates the 3-round lineage exactly as the CC fixpoint
+    * does. Fixed round count (not convergence-looped) is the
+    * production shape at 100 TB — synchronous LPA can oscillate, so
+    * real deployments cap rounds and grade the capped snapshot.
+    */
+  def lpa(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val weighted = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2)
+    val sym = weighted.select(col("u").as("node"), col("v").as("nbr"), col("w"))
+      .unionAll(weighted.select(col("v").as("node"), col("u").as("nbr"), col("w")))
+      .localCheckpoint(false)
+    var labels = allNodes(spark, sfDir).withColumn("lbl", col("node"))
+    for (_ <- 1 to 3) {
+      val votes = sym
+        .join(labels.select(col("node").as("nbr"), col("lbl")), "nbr")
+        .groupBy("node", "lbl").agg(sum(col("w")).as("score"))
+      val winners = votes
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("node").orderBy(col("score").desc, col("lbl"))))
+        .where(col("rn") === 1)
+        .select(col("node"), col("lbl").as("new_lbl"))
+      labels = labels
+        .join(winners, Seq("node"), "left")
+        .select(col("node"),
+                coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(false)
+    }
+    labels.groupBy(col("lbl").as("label"))
+      .agg(count(lit(1)).as("size"))
+      .orderBy("label")
+  }
+
+  private val lpaOracle: String = {
+    val rounds = (1 to 3).map { i =>
+      val prev = if (i == 1) "l0" else s"l${i - 1}"
+      s""",
+c$i AS MATERIALIZED (
+  SELECT s.node, l.lbl, sum(s.w) AS score
+  FROM sym s JOIN $prev l ON l.node = s.nbr GROUP BY 1, 2),
+w$i AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY score DESC, lbl) AS rn
+    FROM c$i) WHERE rn = 1),
+l$i AS MATERIALIZED (
+  SELECT p.node, coalesce(w.lbl, p.lbl) AS lbl
+  FROM $prev p LEFT JOIN w$i w ON w.node = p.node)"""
+    }.mkString
+    """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+wp AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+nodes AS (SELECT DISTINCT l_partkey AS node FROM li),
+sym AS MATERIALIZED (
+  SELECT u AS node, v AS nbr, w FROM wp
+  UNION ALL SELECT v, u, w FROM wp),
+l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes)""" + rounds + """
+SELECT lbl AS label, count(*) AS size FROM l3
+GROUP BY lbl ORDER BY lbl
+"""
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_lpa" -> (lpa _),
     "graph_link_prediction" -> (linkPrediction _),
     "graph_weighted_projection" -> (weightedProjection _),
     "graph_kcore" -> (kcore _),
@@ -635,6 +730,7 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
 """
 
   val oracles: Map[String, String] = Map(
+    "graph_lpa" -> lpaOracle,
     "graph_link_prediction" -> linkPredictionOracle,
     "graph_weighted_projection" -> weightedProjectionOracle,
     "graph_kcore" -> kcoreOracle,

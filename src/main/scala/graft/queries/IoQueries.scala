@@ -38,6 +38,21 @@ object IoQueries {
     aggregated(spark.read.json(dir))
   }
 
+  /** ORC round-trip — the other columnar interchange format a lakehouse
+    * ingests (Hive-era feeds are overwhelmingly ORC). Columnar + typed,
+    * so unlike the CSV/JSON trips nothing is schema-inferred: the
+    * read-back schema IS the written one, and the graded hash proves
+    * value-level losslessness through the second codec family. ORC
+    * carries the same predicate-pushdown/column-pruning contract as
+    * parquet in Spark's scan, so at 100 TB the choice is an
+    * interchange constraint, not a performance fork.
+    */
+  def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageDir(sfDir, "orc")
+    Tables.documents(spark, sfDir).write.mode("overwrite").orc(dir)
+    aggregated(spark.read.orc(dir))
+  }
+
   /** CSV round-trip with an explicit schema (header + default quoting;
     * the corpus text is comma/quote-free, so default options are
     * lossless — a corpus with embedded delimiters would pin
@@ -338,6 +353,7 @@ FROM documents GROUP BY lang ORDER BY lang
     "io_sorted_pruning" -> (sortedPruning _),
     "io_json_roundtrip" -> (jsonRoundtrip _),
     "io_csv_roundtrip" -> (csvRoundtrip _),
+    "io_orc_roundtrip" -> (orcRoundtrip _),
     "io_partitioned_pruning" -> (partitionedPruning _),
   )
 
@@ -350,6 +366,7 @@ FROM documents GROUP BY lang ORDER BY lang
     "io_sorted_pruning" -> sortedOracle,
     "io_json_roundtrip" -> oracle,
     "io_csv_roundtrip" -> oracle,
+    "io_orc_roundtrip" -> oracle,
     "io_partitioned_pruning" -> partitionedOracle,
   )
 }

@@ -576,7 +576,61 @@ SELECT cast(row_number() OVER (ORDER BY rk, source) AS bigint) AS position,
 FROM ranked QUALIFY position <= 60 ORDER BY position
 """
 
+  /** pipe_curriculum: curriculum ordering — shortest/simplest documents
+    * first in coarse difficulty stages, hash-shuffled WITHIN each stage
+    * (so a stage is not also sorted by length, which would correlate
+    * batch position with every length-covariate signal). Stage =
+    * fixed n_chars band (thresholds are corpus-independent constants —
+    * no quantile pass, so the stage of a document never changes when
+    * the corpus grows); within-stage order = md5-derived uniform, doc_id
+    * tiebreak. Emits the first 100 curriculum positions.
+    *
+    * Scale: the 100-row head is `orderBy.limit` =
+    * TakeOrderedAndProject (per-partition top-k, merged on the driver —
+    * never a global sort); positions are then ranked by a window over
+    * the 100 SURVIVORS only, so the single-partition WindowExec
+    * touches a constant-size input at any corpus size (unlike ranking
+    * first and filtering after, which would funnel the whole corpus
+    * through one partition).
+    */
+  def curriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    val stage = when(col("n_chars") < 200, 0)
+      .when(col("n_chars") < 400, 1)
+      .when(col("n_chars") < 600, 2)
+      .otherwise(3)
+    val h = conv(substring(
+        md5(concat(lit("cur:"), col("doc_id").cast("string"))), 1, 14),
+      16, 10).cast("bigint")
+    val top = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), stage.as("stage"), h.as("h"))
+      .orderBy(col("stage"), col("h"), col("doc_id"))
+      .limit(100)
+    top
+      .withColumn("position",
+        row_number().over(Window.orderBy(col("stage"), col("h"), col("doc_id")))
+          .cast("bigint"))
+      .select(col("position"), col("stage"), col("doc_id"))
+      .orderBy("position")
+  }
+
+  val curriculumOracle: String = """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN n_chars < 200 THEN 0
+              WHEN n_chars < 400 THEN 1
+              WHEN n_chars < 600 THEN 2
+              ELSE 3 END AS stage,
+         cast('0x' || substr(md5('cur:' || doc_id), 1, 14) AS bigint) AS h
+  FROM documents
+)
+SELECT cast(row_number() OVER (ORDER BY stage, h, doc_id) AS bigint)
+         AS position,
+       stage, doc_id
+FROM s QUALIFY position <= 100 ORDER BY position
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_curriculum" -> (curriculum _),
     "pipe_interleave" -> (interleave _),
     "pipe_dataset_card" -> (datasetCard _),
     "pipe_sorted_batches" -> (sortedBatches _),
@@ -594,6 +648,7 @@ FROM ranked QUALIFY position <= 60 ORDER BY position
   )
 
   val oracles: Map[String, String] = Map(
+    "pipe_curriculum" -> curriculumOracle,
     "pipe_interleave" -> interleaveOracle,
     "pipe_dataset_card" -> datasetCardOracle,
     "pipe_sorted_batches" -> sortedBatchesOracle,

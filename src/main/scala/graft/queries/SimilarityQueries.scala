@@ -498,7 +498,64 @@ SELECT vec_id,
 FROM q ORDER BY vec_id
 """
 
+  /** sim_mips_topk: maximum-inner-product retrieval for a bounded query
+    * set — the recommendation-scoring objective (user·item dot product,
+    * NOT cosine: a long vector should outrank a near-parallel short
+    * one, so the vectors are deliberately unnormalized). Query set =
+    * `vec_id % 50 == 25` — fixed-size, deterministic, disjoint from the
+    * cosine suite's query ids, O(|Q|·N) scan like [[topkBruteForce]].
+    * Scoring reuses the codegen'd [[graft.functions.DotProduct]];
+    * ranking is (ip desc, neighbor_id) — bit-identical doubles both
+    * engines (same left-to-right fold), so the order is deterministic.
+    *
+    * Scale: |Q| is constant, so the join is a broadcast of Q against a
+    * single pass over the corpus; the per-query top-5 is a bounded
+    * window per query key. The IVF/LSH families hold the sublinear
+    * slot; this pins exact MIPS semantics.
+    */
+  def mipsTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), (x: Column) => x.cast("double")).as("v"))
+    val q = vecs.toDF("query_id", "vq")
+      .where(col("query_id") % 50 === 25 && col("query_id") < 5000)
+    val c = vecs.toDF("neighbor_id", "vc")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("neighbor_id"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              dot(col("vq"), col("vc")).as("ip"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              round(col("ip"), 4).as("ip4"))
+      .orderBy("query_id", "rank")
+  }
+
+  val mipsTopkOracle: String = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+           AS ip
+  FROM v q JOIN v c
+    ON q.vec_id % 50 = 25 AND q.vec_id < 5000 AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, ip,
+         row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id)
+           AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, round(ip, 4) AS ip4
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_mips_topk" -> (mipsTopk _),
     "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_kmeans_step" -> (kmeansStep _),
     "sim_cosine_pairs" -> (cosinePairs _),
@@ -508,6 +565,7 @@ FROM q ORDER BY vec_id
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_mips_topk" -> mipsTopkOracle,
     "sim_quantize_int8" -> quantizeInt8Oracle,
     "sim_kmeans_step" -> kmeansStepOracle,
     "sim_cosine_pairs" -> cosinePairsOracle,

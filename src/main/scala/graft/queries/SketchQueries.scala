@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.KmvSketch
@@ -237,7 +238,104 @@ SELECT count(DISTINCT user_id) AS n_exact,
 FROM events
 """
 
+  /** sketch_theta_intersect: set-INTERSECTION cardinality from two
+    * bounded sketches — the audience-overlap estimator ("how many users
+    * both clicked and viewed") that KMV/HLL alone cannot answer
+    * (they only union well). Theta-sketch recipe over the same 56-bit
+    * md5 hash space as [[kmvDistinct]]: per set keep the k smallest
+    * distinct hashes and θ = k-th smallest (2⁵⁶ when |set| < k);
+    * θ∩ = min(θ_A, θ_B); the intersection SAMPLE is the common hashes
+    * below θ∩, and the estimate scales the sample by the kept fraction:
+    * `|sample| · 2⁵⁶ / θ∩` (decimal(38) product — `128·2⁵⁶ = 2⁶³`
+    * overflows int64 by one bit). The exact intersection rides along to
+    * pin accuracy, and θ/sample-size are emitted so the estimate is
+    * auditable.
+    *
+    * Scale: sketch construction here is a rank window per set over the
+    * DISTINCT hashes — one shuffle per set, same cost class as the
+    * exact countDistinct it replaces at k→∞. The production path at
+    * 100 TB extends [[graft.functions.KmvSketch]] to emit (θ, hash
+    * array) so the k-min selection partial-aggregates map-side into
+    * ≤ k longs per partition instead of sorting; the estimator
+    * arithmetic — what this query grades — is identical.
+    */
+  def thetaIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = KmvK
+    val full = lit(1L << 56)
+    val hs = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("click", "view"))
+      .select(col("event_type"), col("user_id"), h56(col("user_id")).as("h"))
+    val ranked = hs.select("event_type", "h").distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("h")))
+      .withColumn("nh", count(lit(1)).over(Window.partitionBy("event_type")))
+    val theta = ranked.groupBy("event_type")
+      .agg(max(when(col("rn") === k, col("h"))).as("hk"),
+           max(col("nh")).as("nh"))
+      .select(when(col("nh") < k, full).otherwise(col("hk")).as("th"))
+      .agg(min(col("th")).as("theta"))
+    val a = ranked.where(col("event_type") === "click" && col("rn") <= k)
+      .select("h")
+    val b = ranked.where(col("event_type") === "view" && col("rn") <= k)
+      .select("h")
+    val sample = a.join(b, "h").crossJoin(theta)
+      .where(col("h") < col("theta"))
+      .groupBy("theta").agg(count(lit(1)).as("n_sample"))
+    val exact = hs.select("user_id", "event_type").distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("nt"))
+      .where(col("nt") === 2)
+      .agg(count(lit(1)).as("n_exact"))
+    sample.crossJoin(exact)
+      .select(col("n_sample"), col("theta"),
+        expr(s"cast((cast(n_sample AS decimal(19,0)) * ${1L << 56}L)" +
+             " div theta AS bigint)").as("est_intersect"),
+        col("n_exact"))
+  }
+
+  val thetaIntersectOracle: String = s"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         cast('0x' || substr(md5(user_id::varchar), 1, 14) AS bigint) AS h
+  FROM events WHERE event_type IN ('click', 'view')
+),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS nh
+  FROM h
+),
+theta AS (
+  SELECT min(CASE WHEN nh < $KmvK THEN ${1L << 56}
+                  ELSE hk END) AS theta
+  FROM (SELECT event_type, max(nh) AS nh,
+               max(CASE WHEN rn = $KmvK THEN h END) AS hk
+        FROM ranked GROUP BY event_type)
+),
+sample AS (
+  SELECT t.theta, count(*) AS n_sample
+  FROM ranked a JOIN ranked b
+    ON a.h = b.h AND a.event_type = 'click' AND b.event_type = 'view'
+   AND a.rn <= $KmvK AND b.rn <= $KmvK
+  CROSS JOIN theta t
+  WHERE a.h < t.theta
+  GROUP BY t.theta
+),
+exact AS (
+  SELECT count(*) AS n_exact FROM (
+    SELECT user_id FROM (
+      SELECT DISTINCT user_id, event_type FROM events
+      WHERE event_type IN ('click', 'view'))
+    GROUP BY user_id HAVING count(*) = 2)
+)
+SELECT s.n_sample, s.theta,
+       cast((s.n_sample::hugeint * ${1L << 56}) // s.theta AS bigint)
+         AS est_intersect,
+       e.n_exact
+FROM sample s CROSS JOIN exact e
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_theta_intersect" -> (thetaIntersect _),
     "sketch_hll_union" -> (hllUnion _),
     "sketch_cms_topk" -> (cmsHeavyHitters _),
     "sketch_kmv_distinct" -> (kmvDistinct _),
@@ -246,6 +344,7 @@ FROM events
   )
 
   val oracles: Map[String, String] = Map(
+    "sketch_theta_intersect" -> thetaIntersectOracle,
     "sketch_hll_union" -> hllUnionOracle,
     "sketch_cms_topk" -> cmsOracle,
     "sketch_kmv_distinct" -> kmvOracle,

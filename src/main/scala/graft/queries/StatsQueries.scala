@@ -451,7 +451,162 @@ FROM orders o JOIN med m ON m.o_orderpriority = o.o_orderpriority
 GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
 """
 
+  /** stats_markov: first-order Markov transition matrix over each
+    * user's event sequence — the behavioral-model building block
+    * (session simulation, anomaly scoring, next-event prediction all
+    * start from this table). Per user, events are ordered by
+    * `(ts, event_id)` (event_id is unique, so the order — and hence
+    * `lead` — is fully deterministic); consecutive pairs are counted
+    * globally per (from, to) and the row-conditional probability
+    * P(to | from) is emitted in fixed-point micros via INTEGER
+    * division (`div` / `//`), exact on both engines.
+    *
+    * Scale: one keyed window (shuffle on user_id — the natural event
+    * partitioning) + one map-side-combinable count on a
+    * |types|²-bounded key space; the per-from totals ride a window
+    * over that tiny aggregate, not the events.
+    */
+  def markovTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val seq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = ev
+      .withColumn("to_type", lead(col("event_type"), 1).over(seq))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    trans
+      .withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy("from_type")))
+      .withColumn("p_micros", expr("(n * 1000000) div row_total"))
+      .select("from_type", "to_type", "n", "p_micros")
+      .orderBy("from_type", "to_type")
+  }
+
+  val markovTransitionsOracle: String = """
+WITH p AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+),
+t AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       (n * 1000000) // sum(n) OVER (PARTITION BY from_type) AS p_micros
+FROM t ORDER BY from_type, to_type
+"""
+
+  /** stats_chi2: chi-square test of independence for
+    * o_orderstatus × o_orderpriority, emitted per contingency cell:
+    * observed count, expected count (micros), and the cell's chi-square
+    * contribution (micros) — the categorical-drift / association audit
+    * between two dimensions. All arithmetic is exact: the squared
+    * deviation `(obs·N − rowTot·colTot)²` is formed in decimal(38,0)
+    * (hugeint in the oracle — headroom past sf30: obs·N ≤ (1.5e6)² at
+    * sf1, squared ≈ 5e24, ×10⁶ ≈ 5e30 of the 38-digit budget), and the
+    * division is INTEGER division, so both engines floor identically —
+    * no float ever enters the graded columns. The global chi2 is the
+    * sum of `contrib_micros`, recoverable exactly from the output.
+    *
+    * Scale: one map-side-combinable count on a bounded (status ×
+    * priority) key space; the row/col/grand totals are windows over
+    * that ≤|S|·|P|-row aggregate, not over orders.
+    */
+  def chi2(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.orders(spark, sfDir)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("obs"))
+    cells
+      .withColumn("row_tot",
+        sum(col("obs")).over(Window.partitionBy("o_orderstatus")))
+      .withColumn("col_tot",
+        sum(col("obs")).over(Window.partitionBy("o_orderpriority")))
+      .withColumn("n", sum(col("obs")).over(Window.partitionBy()))
+      .withColumn("d",
+        (col("obs").cast("decimal(19,0)") * col("n") -
+         col("row_tot").cast("decimal(19,0)") * col("col_tot"))
+          .cast("decimal(38,0)"))
+      .withColumn("e_micros",
+        expr("(cast(row_tot AS decimal(19,0)) * col_tot * 1000000) div n"))
+      .withColumn("contrib_micros",
+        expr("(d * d * 1000000) div " +
+             "(cast(row_tot AS decimal(19,0)) * col_tot * n)"))
+      .select("o_orderstatus", "o_orderpriority", "obs",
+              "e_micros", "contrib_micros")
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  val chi2Oracle: String = """
+WITH cells AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS obs
+  FROM orders GROUP BY 1, 2
+),
+t AS (
+  SELECT o_orderstatus, o_orderpriority, obs,
+         sum(obs) OVER (PARTITION BY o_orderstatus) AS row_tot,
+         sum(obs) OVER (PARTITION BY o_orderpriority) AS col_tot,
+         sum(obs) OVER () AS n
+  FROM cells
+)
+SELECT o_orderstatus, o_orderpriority, obs,
+       cast((row_tot::hugeint * col_tot * 1000000) // n AS bigint)
+         AS e_micros,
+       cast(((obs::hugeint * n - row_tot::hugeint * col_tot)
+             * (obs::hugeint * n - row_tot::hugeint * col_tot) * 1000000)
+            // (row_tot::hugeint * col_tot * n) AS bigint)
+         AS contrib_micros
+FROM t ORDER BY o_orderstatus, o_orderpriority
+"""
+
+  /** q51: decile profile of customer account balances — the standard
+    * distribution audit (each decile's population, bounds, and mass).
+    * `ntile(10)` over a fully deterministic order (integer cents, then
+    * c_custkey as the unique tiebreak) has identical bucket-boundary
+    * semantics on both engines (first `n mod 10` buckets get the extra
+    * row).
+    *
+    * Scale: a global ntile is a total sort — acceptable for a profile
+    * (one pass, rangepartition-sorted, no single-machine collect), but
+    * at 100 TB the same deciles come cheaper from
+    * `approx_percentile`-derived boundaries + one broadcast-bucket
+    * pass; [[histEquiWidth]] (q30) holds that slot. This query pins the
+    * EXACT-rank semantics.
+    */
+  def decileProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), cents(col("c_acctbal")).as("bal_c"))
+    c.withColumn("decile",
+        ntile(10).over(Window.orderBy(col("bal_c"), col("c_custkey"))))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_cust"),
+           min(col("bal_c")).as("min_c"),
+           max(col("bal_c")).as("max_c"),
+           sum(col("bal_c")).as("sum_c"))
+      .orderBy("decile")
+  }
+
+  val decileProfileOracle: String = """
+WITH c AS (
+  SELECT c_custkey,
+         cast(floor(c_acctbal * 100 + 0.5) AS bigint) AS bal_c
+  FROM customer
+),
+d AS (
+  SELECT bal_c, ntile(10) OVER (ORDER BY bal_c, c_custkey) AS decile
+  FROM c
+)
+SELECT decile, count(*) AS n_cust, min(bal_c) AS min_c,
+       max(bal_c) AS max_c, sum(bal_c) AS sum_c
+FROM d GROUP BY decile ORDER BY decile
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_markov_transitions" -> (markovTransitions _),
+    "stats_chi2" -> (chi2 _),
+    "q51_decile_profile" -> (decileProfile _),
     "q50_mad_robust" -> (madRobust _),
     "q45_anomaly" -> (anomaly _),
     "q44_profile" -> (profile _),
@@ -463,6 +618,9 @@ GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_markov_transitions" -> markovTransitionsOracle,
+    "stats_chi2" -> chi2Oracle,
+    "q51_decile_profile" -> decileProfileOracle,
     "q50_mad_robust" -> madRobustOracle,
     "q45_anomaly" -> anomalyOracle,
     "q44_profile" -> profileOracle,

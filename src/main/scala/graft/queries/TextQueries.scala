@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents`: quality statistics,
@@ -420,7 +421,53 @@ FROM d JOIN model m ON m.w1 = d.w1 AND m.w2 = d.w2
 GROUP BY d.doc_id ORDER BY doc_id
 """
 
+  /** text_zipf: corpus rank-frequency table — the Zipf audit every
+    * corpus health check runs (a natural corpus has rank·freq roughly
+    * constant; a bot-flooded or templated one doesn't). Top 30 terms by
+    * (count desc, word asc — fully deterministic), with the rank, the
+    * rank·freq product, and the corpus share in fixed-point ppm via
+    * integer division.
+    *
+    * Scale: explode → one map-side-combinable count per term → global
+    * top-30 via TakeOrderedAndProject (no full sort). The grand total
+    * is ONE scalar agg action over the term table (the bm25Topk
+    * broadcast-scalar pattern) folded into the plan as a literal —
+    * cheaper than a vocab-wide single-partition window, and the token
+    * count it re-derives is O(vocab), not O(corpus).
+    */
+  def zipf(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val total = terms.agg(sum(col("freq"))).head.getLong(0)
+    terms.orderBy(col("freq").desc, col("word")).limit(30)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("word"))))
+      .select(col("rank"), col("word"), col("freq"),
+        (col("rank") * col("freq")).as("rank_x_freq"),
+        expr(s"(freq * 1000000) div ${total}L").as("share_ppm"))
+      .orderBy("rank")
+  }
+
+  val zipfOracle: String = """
+WITH t AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+c AS (SELECT word, count(*) AS freq FROM t GROUP BY word),
+tot AS (SELECT sum(freq) AS total FROM c),
+r AS (
+  SELECT word, freq,
+         row_number() OVER (ORDER BY freq DESC, word) AS rank
+  FROM c
+)
+SELECT rank, word, freq, rank * freq AS rank_x_freq,
+       cast((freq * 1000000) // (SELECT total FROM tot) AS bigint)
+         AS share_ppm
+FROM r WHERE rank <= 30 ORDER BY rank
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf" -> (zipf _),
     "text_lm_quality" -> (lmQuality _),
     "text_bigram_lm" -> (bigramLm _),
     "text_bm25_topk" -> (bm25Topk _),
@@ -457,6 +504,7 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
 """
 
   val oracles: Map[String, String] = Map(
+    "text_zipf" -> zipfOracle,
     "text_tfidf_topk" -> tfidfTopkOracle,
     "text_bm25_topk" -> bm25TopkOracle,
     "text_bigram_lm" -> bigramLmOracle,

@@ -28,9 +28,16 @@ class PlanShapeSpec extends SparkSpec {
   // sim_ann_ivf: its two nested-loop joins broadcast the FIXED-SIZE
   // centroid table (nlist is independent of N), so they are linear in
   // N — the exemption is justified, not a smell.
+  // sketch_theta_intersect: its two nested-loop joins attach ONE-ROW
+  // scalar tables (the global theta and the exact-intersection count)
+  // to the sample aggregate — a broadcast of exactly one row each, the
+  // plan-side equivalent of bm25Topk's driver-scalar literal.
+  // sim_mips_topk: bounded-query-set exact baseline like
+  // sim_topk_bruteforce — O(|Q|·N) with |Q| fixed, never O(N²).
   private val quadraticBaselines = Set(
     "sim_cosine_pairs", "sim_topk_bruteforce", "dedup_embedding_clusters",
-    "sim_ann_ivf", "dedup_ann_recall")
+    "sim_ann_ivf", "dedup_ann_recall", "sketch_theta_intersect",
+    "sim_mips_topk")
 
   private val sideEffecting = (n: String) =>
     n.startsWith("io_") || n.startsWith("stream_")
