@@ -95,12 +95,20 @@ object GraphQueries {
     * degrades automatically to two O(m) AQE-planned joins, still never
     * an O(m^{3/2}) shuffle.
     */
-  def triangleTop(spark: SparkSession, sfDir: String): DataFrame = {
+  def triangleTop(spark: SparkSession, sfDir: String): DataFrame =
+    perNodeTriangles(spark, sfDir)
+      .orderBy(col("n_tri").desc, col("node")).limit(20)
+
+  /** Per-node triangle participation counts, shared by [[triangleTop]]
+    * and [[clusteringCoeff]]. Degree-oriented wedge join: src is the
+    * smaller endpoint under (deg, id) order, so every triangle is
+    * enumerated exactly once and each adjacency list is carried once.
+    */
+  private def perNodeTriangles(spark: SparkSession, sfDir: String): DataFrame = {
     val e = undirectedEdges(spark, sfDir)
     val deg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    // Orient by (deg, id): src is the smaller endpoint under that order.
     val withDeg = e
       .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
       .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
@@ -123,11 +131,82 @@ object GraphQueries {
         adj.select(col("node").as("dst"), col("nbrs").as("nd")), m), "dst")
       .select(col("src"), col("dst"),
               explode(array_intersect(col("ns"), col("nd"))).as("w"))
-    val perNode = tris
+    tris
       .select(explode(array(col("src"), col("dst"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
-    perNode.orderBy(col("n_tri").desc, col("node")).limit(20)
   }
+
+  /** graph_clustering_coeff: the clustering-vs-degree curve — per
+    * degree band (band = ⌊log₂ d⌋), how many nodes, their mean local
+    * clustering coefficient `c(v) = 2·tri(v) / (d(v)·(d(v)−1))` in
+    * fixed-point ppm, and the triangle mass (nodes with d ≥ 2). This is
+    * the graph-shape audit every network study runs first: flat-in-d ⇒
+    * transitive community structure; c(d) ~ 1/d ⇒ hub-and-spoke — the
+    * difference decides whether neighborhood-based recommendation is
+    * even meaningful. All integer arithmetic: the log₂ band is the
+    * BINARY-STRING length of the degree (`bin`/`length` — exact on both
+    * engines, no libm), the mean is an integer-division of ppm sums.
+    *
+    * Scale: per-node triangle counts come from the SAME degree-oriented
+    * triangle join as [[triangleTop]] (adjacency carried once,
+    * size-guarded broadcast, never O(m^1.5) memory); the curve is a
+    * log₂-bounded aggregate (≤64 rows at any scale).
+    */
+  def clusteringCoeff(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = undirectedEdges(spark, sfDir)
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val perNode = perNodeTriangles(spark, sfDir)
+    deg.where(col("deg") >= 2)
+      .join(perNode, Seq("node"), "left")
+      .select(col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .select(
+        (length(bin(col("deg"))) - 1).cast("bigint").as("deg_band"),
+        col("n_tri"),
+        expr("(n_tri * 2000000) div (deg * (deg - 1))").as("coeff_ppm"))
+      .groupBy("deg_band")
+      .agg(count(lit(1)).as("n_nodes"),
+           expr("sum(coeff_ppm) div count(1)").as("mean_coeff_ppm"),
+           sum(col("n_tri")).as("tri_sum"))
+      .orderBy("deg_band")
+  }
+
+  // lazy: declared above edgesCte in the file, referenced from the
+  // oracles map below it — laziness sidesteps the val-init order.
+  private lazy val clusteringCoeffOracle: String = edgesCte + """
+, tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+pernode AS (
+  SELECT node, count(*) AS n_tri FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY node
+),
+coeff AS (
+  SELECT length(bin(d.deg)) - 1 AS deg_band,
+         coalesce(p.n_tri, 0) AS n_tri,
+         (coalesce(p.n_tri, 0) * 2000000) // (d.deg * (d.deg - 1))
+           AS coeff_ppm
+  FROM deg d LEFT JOIN pernode p ON p.node = d.node
+  WHERE d.deg >= 2
+)
+SELECT cast(deg_band AS bigint) AS deg_band, count(*) AS n_nodes,
+       cast(sum(coeff_ppm) // count(*) AS bigint) AS mean_coeff_ppm,
+       sum(n_tri) AS tri_sum
+FROM coeff GROUP BY deg_band ORDER BY deg_band
+"""
 
   /** Component-size histogram — the "how fragmented is this corpus"
     * question a dedup pipeline asks of its cluster assignments before
@@ -692,6 +771,7 @@ GROUP BY lbl ORDER BY lbl
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_clustering_coeff" -> (clusteringCoeff _),
     "graph_lpa" -> (lpa _),
     "graph_link_prediction" -> (linkPrediction _),
     "graph_weighted_projection" -> (weightedProjection _),
@@ -730,6 +810,7 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
 """
 
   val oracles: Map[String, String] = Map(
+    "graph_clustering_coeff" -> clusteringCoeffOracle,
     "graph_lpa" -> lpaOracle,
     "graph_link_prediction" -> linkPredictionOracle,
     "graph_weighted_projection" -> weightedProjectionOracle,

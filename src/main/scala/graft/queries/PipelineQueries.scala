@@ -629,7 +629,53 @@ SELECT cast(row_number() OVER (ORDER BY stage, h, doc_id) AS bigint)
 FROM s QUALIFY position <= 100 ORDER BY position
 """
 
+  /** pipe_bpe_merges: one BPE merge step — the top adjacent
+    * character-pair counts across the corpus vocabulary, which is
+    * exactly the statistic a byte-pair-encoding tokenizer trainer
+    * computes per merge iteration (rank 1 IS the next merge; the top 20
+    * are emitted so the gate pins the whole candidate frontier, ties
+    * broken by pair text). Counts are per occurrence, weighted by word
+    * frequency implicitly (every occurrence of a word contributes its
+    * pairs — the streaming formulation of the classic dictionary
+    * weighting).
+    *
+    * Scale: explode → explode is two narrow generators (no shuffle
+    * until the count); the pair key space is bounded (|charset|²), so
+    * the aggregation is map-side-combinable into a tiny table, and
+    * top-20 is a TakeOrderedAndProject. A full BPE trainer is this
+    * query in a loop with a merge-apply step between iterations.
+    */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+    pairs.groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("pair"))).cast("int"))
+      .select("rank", "pair", "n")
+      .orderBy("rank")
+  }
+
+  val bpeMergesOracle: String = """
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+p AS (
+  SELECT unnest([substr(w, i, 2) for i in range(1, length(w))]) AS pair
+  FROM w WHERE length(w) >= 2
+),
+c AS (SELECT pair, count(*) AS n FROM p GROUP BY pair)
+SELECT cast(row_number() OVER (ORDER BY n DESC, pair) AS int) AS rank,
+       pair, n
+FROM c QUALIFY rank <= 20 ORDER BY rank
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_bpe_merges" -> (bpeMerges _),
     "pipe_curriculum" -> (curriculum _),
     "pipe_interleave" -> (interleave _),
     "pipe_dataset_card" -> (datasetCard _),
@@ -648,6 +694,7 @@ FROM s QUALIFY position <= 100 ORDER BY position
   )
 
   val oracles: Map[String, String] = Map(
+    "pipe_bpe_merges" -> bpeMergesOracle,
     "pipe_curriculum" -> curriculumOracle,
     "pipe_interleave" -> interleaveOracle,
     "pipe_dataset_card" -> datasetCardOracle,

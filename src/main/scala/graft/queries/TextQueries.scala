@@ -466,7 +466,58 @@ SELECT rank, word, freq, rank * freq AS rank_x_freq,
 FROM r WHERE rank <= 30 ORDER BY rank
 """
 
+  /** text_char_gini: per-document character-distribution Gini impurity
+    * `1 − Σ pᵢ²` in fixed-point ppm — a diversity/quality signal (low
+    * impurity ⇒ the doc is dominated by few characters: padding,
+    * repeated filler, binary-ish junk) with the same filtering role as
+    * Shannon entropy but RATIONAL arithmetic: `Σ cᵢ²·10⁶ / L²` needs
+    * only integer multiply and one integer division, so the graded
+    * value is bit-exact cross-engine — entropy's `log` is libm
+    * territory, where the last-ulp rounding differs between engines
+    * (the SCALE.md no-`ln`-in-graded-output rule).
+    *
+    * Scale: one explode to characters (narrow), one (doc, char) count,
+    * one per-doc sum — all map-side-combinable; the char explode is
+    * O(corpus bytes), the same cost class as any tokenizer pass.
+    * Overflow: cᵢ ≤ L ≤ 2³¹ chars/doc keeps cᵢ²·10⁶ in decimal(38)
+    * comfortably; int64 alone holds to L ≈ 3M chars/doc, so the
+    * decimal cast is the generic-corpus belt-and-braces.
+    */
+  def charGini(spark: SparkSession, sfDir: String): DataFrame = {
+    val chars = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(split(col("text"), "")).as("ch"))
+    chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("len"),
+           count(lit(1)).as("n_distinct_chars"),
+           sum(col("c").cast("decimal(19,0)") * col("c"))
+             .cast("decimal(38,0)").as("ss"))
+      .select(col("doc_id"), col("len"), col("n_distinct_chars"),
+        expr("cast(1000000 - (ss * 1000000) div " +
+             "(cast(len AS decimal(19,0)) * len) AS bigint)")
+          .as("gini_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val charGiniOracle: String = """
+WITH ch AS (
+  SELECT doc_id,
+         unnest([substr(text, i, 1) for i in range(1, length(text) + 1)])
+           AS ch
+  FROM documents
+),
+c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch)
+SELECT doc_id,
+       sum(c) AS len,
+       count(*) AS n_distinct_chars,
+       cast(1000000 - (sum(c::hugeint * c) * 1000000)
+            // (sum(c)::hugeint * sum(c)) AS bigint) AS gini_ppm
+FROM c GROUP BY doc_id ORDER BY doc_id
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_char_gini" -> (charGini _),
     "text_zipf" -> (zipf _),
     "text_lm_quality" -> (lmQuality _),
     "text_bigram_lm" -> (bigramLm _),
@@ -504,6 +555,7 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
 """
 
   val oracles: Map[String, String] = Map(
+    "text_char_gini" -> charGiniOracle,
     "text_zipf" -> zipfOracle,
     "text_tfidf_topk" -> tfidfTopkOracle,
     "text_bm25_topk" -> bm25TopkOracle,

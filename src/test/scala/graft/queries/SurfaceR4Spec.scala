@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants of the round-4 surface additions that the hash gate
+  * cannot see: determinism under physical layout changes, estimator
+  * accuracy against exact truth, and value-domain bounds.
+  */
+class SurfaceR4Spec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("graph_lpa is deterministic and covers every node exactly once") {
+    val a = GraphQueries.all("graph_lpa")(spark, sf).collect()
+    val b = GraphQueries.all("graph_lpa")(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "two runs disagree — tie-break is not total")
+    val nNodes = Tables.lineitem(spark, sf)
+      .select(col("l_partkey")).distinct().count()
+    assert(a.map(_.getLong(1)).sum == nNodes,
+      "community sizes must partition the node set")
+    // The backbone threshold must yield real structure, not one flood.
+    assert(a.length > 1, "LPA collapsed to a single community")
+  }
+
+  test("sketch_theta_intersect estimate is within 25% of exact truth") {
+    val row = SketchQueries.all("sketch_theta_intersect")(spark, sf).head()
+    val est = row.getAs[Long]("est_intersect").toDouble
+    val exact = row.getAs[Long]("n_exact").toDouble
+    assert(exact > 0, "fixture lost its click∩view overlap")
+    // k=128 KMV-style sketch: relative error ~1/sqrt(k) ≈ 9%; 25% is
+    // a 3-sigma-ish bound that still catches estimator regressions.
+    assert(math.abs(est - exact) / exact < 0.25,
+      s"theta estimate $est vs exact $exact drifted")
+  }
+
+  test("stats_chi2 cells reconstruct the marginals exactly") {
+    val rows = StatsQueries.all("stats_chi2")(spark, sf).collect()
+    val n = rows.map(_.getAs[Long]("obs")).sum
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(n == nOrders, "contingency cells must partition the table")
+    // Every contribution is non-negative and expected counts positive.
+    assert(rows.forall(_.getAs[Long]("contrib_micros") >= 0L))
+    assert(rows.forall(_.getAs[Long]("e_micros") > 0L))
+  }
+
+  test("stats_markov transition probabilities sum to ~1 per from-state") {
+    val rows = StatsQueries.all("stats_markov_transitions")(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (from, grp) =>
+      val pSum = grp.map(_.getAs[Long]("p_micros")).sum
+      // Integer division floors each term: sum ∈ (1e6 - |targets|, 1e6].
+      assert(pSum > 1000000L - grp.length && pSum <= 1000000L,
+        s"$from: probability micros sum $pSum out of bounds")
+    }
+  }
+
+  test("text_char_gini stays in [0, 1e6) and hits known endpoints") {
+    import spark.implicits._
+    // Endpoint check on a controlled corpus written as parquet so the
+    // query's own reader path is exercised.
+    val dir = java.nio.file.Files.createTempDirectory("gini").toString
+    Seq((1L, "aaaa", "en", "s", 4L), (2L, "abcd", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextQueries.all("text_char_gini")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("gini_ppm"))
+      .toMap
+    assert(r(1L) == 0L, "single-char doc must have zero impurity")
+    assert(r(2L) == 750000L, "uniform 4-char doc must be 1 - 4/16 = 750000 ppm")
+    val real = TextQueries.all("text_char_gini")(spark, sf).collect()
+    assert(real.forall { x =>
+      val g = x.getAs[Long]("gini_ppm"); g >= 0L && g < 1000000L
+    })
+  }
+
+  test("pipe_bpe_merges rank 1 really is the corpus argmax pair") {
+    val top = PipelineQueries.all("pipe_bpe_merges")(spark, sf).collect()
+    assert(top.length == 20 && top.head.getAs[Int]("rank") == 1)
+    val counts = top.map(_.getAs[Long]("n"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "merge candidates must be count-descending")
+  }
+
+  test("graph_clustering_coeff bands bound the coefficient domain") {
+    val rows = GraphQueries.all("graph_clustering_coeff")(spark, sf).collect()
+    assert(rows.length > 1, "degree-band curve collapsed to one band")
+    assert(rows.forall { r =>
+      val c = r.getAs[Long]("mean_coeff_ppm"); c >= 0L && c <= 1000000L
+    })
+    assert(rows.forall(_.getAs[Long]("deg_band") >= 1L))
+    // Triangle mass must exist on this fixture graph.
+    val triTotal = rows.map(_.getAs[Long]("tri_sum")).sum
+    assert(triTotal > 0, "fixture graph lost its triangles")
+  }
+
+  test("sim_mips_topk ranking is by raw inner product, not cosine") {
+    val rows = SimilarityQueries.all("sim_mips_topk")(spark, sf).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (_, grp) =>
+      val ips = grp.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("ip4"))
+      assert(ips.zip(ips.tail).forall { case (a, b) => a >= b },
+        "per-query neighbors must be ip-descending")
+    }
+  }
+}
