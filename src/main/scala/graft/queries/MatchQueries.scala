@@ -115,13 +115,101 @@ WHERE levenshtein(a.name, b.name) = 1
 ORDER BY name_a, name_b
 """
 
+  /** er_entity_clusters: the resolution step AFTER matching — the
+    * edit-distance-1 match pairs ([[fuzzyIndelPairs]]' deletion
+    * neighborhood, which is complete for Levenshtein ≤ 1: substitutions
+    * share a deletion position, indels share the shorter string)
+    * become edges of an identity graph over
+    * distinct part names, and the same alternating-star CC engine that
+    * clusters documents (reference ConnectedComponent.scala:42-279)
+    * collapses them into entities. This is the full record-linkage
+    * pipeline shape on one engine: candidate generation → verify →
+    * transitive closure → canonicalization (canonical = lexicographic
+    * min of the cluster). Emitted as the entity-SIZE histogram with a
+    * content pin: per size, the entity count and the sum of the
+    * canonicals' md5-derived hashes (mod 10⁹ so the sum stays in int64
+    * at any corpus size) — so the gate verifies not just how much
+    * merged but exactly WHICH names became canonicals.
+    *
+    * Part names, not customer names: zero-padded sequential ids form a
+    * fully-connected digit-substitution lattice (measured: every
+    * customer name collapses into ONE entity — a true but useless
+    * closure); the multi-word part vocabulary merges sparsely, which is
+    * the regime entity resolution exists for.
+    *
+    * Node ids are xxhash64(name) — CC runs on 8-byte keys, names join
+    * back once at the end (the TrigramHashes key discipline; a 64-bit
+    * collision across distinct names is ~10⁻¹¹ at millions of names
+    * and would only over-merge, never crash). Self-pairs make
+    * singleton entities visible, same contract as the dedup clusters
+    * (reference `:193-197`).
+    *
+    * Scale: pair generation is the bounded wildcard/deletion index
+    * above; CC is [[graft.cc.ConnectedComponents.runAuto]] — driver
+    * union-find under 4M edges, the distributed alternating fixpoint
+    * past it; the histogram is two aggs on the component key.
+    */
+  def entityClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.cc.ConnectedComponents
+    val names = Tables.part(spark, sfDir)
+      .select(col("p_name").as("name")).distinct()
+    val ids = names.select(col("name"), xxhash64(col("name")).as("id"))
+    val pairs = fuzzyIndelPairs(spark, sfDir)
+    val edges = pairs
+      .join(ids.select(col("name").as("name_a"), col("id").as("src")), "name_a")
+      .join(ids.select(col("name").as("name_b"), col("id").as("dst")), "name_b")
+      .select("src", "dst")
+    val selfPairs = ids.select(col("id").as("src"), col("id").as("dst"))
+    val res = ConnectedComponents.runAuto(edges.union(selfPairs),
+      maxIterations = 20)
+    require(res.converged, "entity CC did not converge")
+    val h9 = conv(substring(md5(col("canonical")), 1, 14), 16, 10)
+      .cast("bigint") % 1000000000L
+    ids.join(res.assignments.toDF("id", "comp"), "id")
+      .groupBy("comp")
+      .agg(min(col("name")).as("canonical"), count(lit(1)).as("n_members"))
+      .groupBy("n_members")
+      .agg(count(lit(1)).as("n_entities"), sum(h9).as("canon_hashsum"))
+      .orderBy("n_members")
+  }
+
+  /** Min-label transitive closure in SQL: comp labels walk down to the
+    * lexicographic minimum reachable name, which IS the canonical.
+    */
+  val entityClustersOracle: String = """
+WITH RECURSIVE n AS (SELECT DISTINCT p_name AS name FROM part),
+p AS (
+  SELECT a.name AS na, b.name AS nb
+  FROM n a JOIN n b
+    ON abs(len(a.name) - len(b.name)) <= 1 AND a.name < b.name
+  WHERE levenshtein(a.name, b.name) = 1
+),
+e AS (SELECT na AS x, nb AS y FROM p UNION SELECT nb, na FROM p),
+walk(name, comp) AS (
+  SELECT name, name FROM n
+  UNION
+  SELECT e.x, w.comp FROM e JOIN walk w ON w.name = e.y AND w.comp < e.x
+),
+lab AS (SELECT name, min(comp) AS comp FROM walk GROUP BY name),
+ent AS (
+  SELECT comp, min(name) AS canonical, count(*) AS n_members
+  FROM lab GROUP BY comp
+)
+SELECT n_members, count(*) AS n_entities,
+       sum(cast('0x' || substr(md5(canonical), 1, 14) AS bigint)
+           % 1000000000) AS canon_hashsum
+FROM ent GROUP BY n_members ORDER BY n_members
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_fuzzy_pairs" -> (fuzzyPairs _),
     "er_fuzzy_indel" -> (fuzzyIndelPairs _),
+    "er_entity_clusters" -> (entityClusters _),
   )
 
   val oracles: Map[String, String] = Map(
     "er_fuzzy_pairs" -> fuzzyPairsOracle,
     "er_fuzzy_indel" -> fuzzyIndelOracle,
+    "er_entity_clusters" -> entityClustersOracle,
   )
 }

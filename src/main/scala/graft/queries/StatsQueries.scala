@@ -603,7 +603,121 @@ SELECT decile, count(*) AS n_cust, min(bal_c) AS min_c,
 FROM d GROUP BY decile ORDER BY decile
 """
 
+  /** stats_benford: first-significant-digit distribution of order
+    * totals against Benford's law — the classic fraud / synthetic-data
+    * audit (organically-grown magnitudes follow log10(1+1/d); invented
+    * numbers don't). The first digit is taken from the STRING form of
+    * the integer cents (pure string/integer ops — exact cross-engine);
+    * observed shares are integer-division ppm; the expected shares are
+    * the nine Benford constants ×10⁶ as literals — IDENTICAL literals
+    * on both engines, so no log10 is ever evaluated (they sum to
+    * exactly 1,000,000). Emitted per digit with the signed deviation.
+    *
+    * Scale: one map-side-combinable 9-key count; the total rides a
+    * window over the 9-row aggregate.
+    */
+  def benford(spark: SparkSession, sfDir: String): DataFrame = {
+    val expected = array(Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L).map(lit): _*)
+    val digits = Tables.orders(spark, sfDir)
+      .select(cents(col("o_totalprice")).as("c"))
+      .where(col("c") > 0)
+      .select(substring(col("c").cast("string"), 1, 1).cast("int").as("digit"))
+    digits.groupBy("digit").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        expr("(n * 1000000) div total").as("obs_ppm"),
+        element_at(expected, col("digit")).as("exp_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .orderBy("digit")
+  }
+
+  val benfordOracle: String = """
+WITH d AS (
+  SELECT cast(substr(cast(cast(floor(o_totalprice * 100 + 0.5) AS bigint)
+                          AS varchar), 1, 1) AS int) AS digit
+  FROM orders WHERE floor(o_totalprice * 100 + 0.5) > 0
+),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit)
+SELECT digit, n,
+       (n * 1000000) // sum(n) OVER () AS obs_ppm,
+       ([301030, 176091, 124939, 96910, 79181,
+         66947, 57992, 51153, 45757])[digit] AS exp_ppm,
+       (n * 1000000) // sum(n) OVER ()
+         - ([301030, 176091, 124939, 96910, 79181,
+             66947, 57992, 51153, 45757])[digit] AS dev_ppm
+FROM c ORDER BY digit
+"""
+
+  /** stats_gini_concentration: revenue-concentration audit — the exact
+    * Gini coefficient of per-customer revenue (the Lorenz-curve
+    * statistic every marketplace health report carries) plus the top-
+    * decile revenue share. Both from the closed form over the sorted
+    * revenue vector: `G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx)` with rank i
+    * ascending on (revenue, custkey) — fully deterministic; all sums in
+    * decimal(38,0) (hugeint in the oracle), emitted in integer-division
+    * ppm, so the graded values are exact at any scale (Σi·xᵢ leaves
+    * int64 around sf1).
+    *
+    * Scale: one keyed agg for per-customer revenue, then a global rank
+    * — a total sort, the exact-statistic profile-class cost that q51
+    * documents; the streaming-friendly alternative (quantile-bucketed
+    * approximate Lorenz) trades exactness the gate requires.
+    */
+  def giniConcentration(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+    val ranked = rev
+      .withColumn("i", row_number().over(
+        Window.orderBy(col("rev"), col("o_custkey"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    ranked
+      .agg(
+        max(col("n")).as("n_cust"),
+        sum(col("rev").cast("decimal(19,0)")).cast("decimal(38,0)").as("sx"),
+        sum(col("i").cast("decimal(19,0)") * col("rev"))
+          .cast("decimal(38,0)").as("six"),
+        sum(when(col("i") > expr("n - n div 10"),
+          col("rev")).otherwise(lit(0L))
+          .cast("decimal(19,0)")).cast("decimal(38,0)").as("topx"))
+      .select(col("n_cust"),
+        expr("cast(((2 * six - (n_cust + 1) * sx) * 1000000)" +
+             " div (cast(n_cust AS decimal(19,0)) * sx) AS bigint)")
+          .as("gini_ppm"),
+        expr("cast((topx * 1000000) div sx AS bigint)")
+          .as("top_decile_share_ppm"))
+  }
+
+  val giniConcentrationOracle: String = """
+WITH rev AS (
+  SELECT o_custkey,
+         sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) AS rev
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT rev,
+         row_number() OVER (ORDER BY rev, o_custkey) AS i,
+         count(*) OVER () AS n
+  FROM rev
+),
+s AS (
+  SELECT max(n) AS n_cust,
+         sum(rev::hugeint) AS sx,
+         sum(i::hugeint * rev) AS six,
+         sum(CASE WHEN i > n - n // 10 THEN rev::hugeint ELSE 0 END) AS topx
+  FROM ranked
+)
+SELECT n_cust,
+       cast(((2 * six - (n_cust + 1) * sx) * 1000000)
+            // (n_cust::hugeint * sx) AS bigint) AS gini_ppm,
+       cast((topx * 1000000) // sx AS bigint) AS top_decile_share_ppm
+FROM s
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_benford" -> (benford _),
+    "stats_gini_concentration" -> (giniConcentration _),
     "stats_markov_transitions" -> (markovTransitions _),
     "stats_chi2" -> (chi2 _),
     "q51_decile_profile" -> (decileProfile _),
@@ -618,6 +732,8 @@ FROM d GROUP BY decile ORDER BY decile
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_benford" -> benfordOracle,
+    "stats_gini_concentration" -> giniConcentrationOracle,
     "stats_markov_transitions" -> markovTransitionsOracle,
     "stats_chi2" -> chi2Oracle,
     "q51_decile_profile" -> decileProfileOracle,
