@@ -340,7 +340,107 @@ JOIN customer c ON c.c_custkey = (e.user_id % (SELECT nc FROM n)) + 1
 GROUP BY 1, 2 ORDER BY c_mktsegment, event_type
 """
 
+  /** stream_late_data: watermark LATE-DROP semantics, graded. The
+    * events table is replayed as three controlled micro-batches
+    * (`maxFilesPerTrigger = 1`, file order pinned by mtime): batch 0 is
+    * the NEWEST two hours of events, batch 1 an EMPTY spacer file,
+    * batch 2 everything older — i.e. the old rows arrive after the
+    * watermark has already advanced past them, the canonical late-data
+    * scenario. Under append mode with a 1-minute watermark:
+    *
+    *  - batch 0 commits max event time; the watermark value
+    *    `max(ts) − 1 min` becomes OPERATIVE one batch later (watermark
+    *    propagation is delayed by one micro-batch — measured with
+    *    [[graft.tools.LateDataProbe]]: without the spacer the late
+    *    batch still runs with an inactive watermark and NOTHING is
+    *    dropped), which is what the spacer batch absorbs;
+    *  - batch 2: every row belongs to an hourly window whose end is
+    *    below the watermark → DROPPED by the stateful operator
+    *    (`numRowsDroppedByWatermark` > 0), never entering state;
+    *  - emission: exactly the batch-0 windows with
+    *    `window_end ≤ watermark` (newer windows stay unfinalized in
+    *    state and are never emitted by the finite replay).
+    *
+    * The oracle replicates that emit/drop arithmetic from the raw
+    * table, so a hash match PROVES the engine's watermark behavior —
+    * not just its aggregation arithmetic. All cutoffs are derived from
+    * `max(ts)` (µs arithmetic identical in both engines); the 1-minute
+    * delay sits mid-window, so no window end ever equals the watermark
+    * and the ≤/< boundary convention cannot flip the result.
+    *
+    * Scale: the same pipeline unbounded is the production shape
+    * (watermark bounds state; late rows are dropped at the operator,
+    * not buffered); the two-file staging is one narrow filtered write
+    * each, coalesced to one file so batch composition is exact.
+    */
+  def lateData(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts: long ns
+    val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
+    val splitNs = maxNs - 2L * 3600 * 1000000000L
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_stream",
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_"), "late_data")
+    // Fresh staging every run: stale files would change batch layout.
+    if (java.nio.file.Files.exists(dir)) {
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+    }
+    val stage = dir.resolve("in")
+    def writeHalf(pred: org.apache.spark.sql.Column, name: String,
+                  mtimeMs: Long): Unit = {
+      val tmp = dir.resolve(s"tmp_$name")
+      raw.where(pred).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.createDirectories(stage)
+      val dst = stage.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    val now = System.currentTimeMillis()
+    writeHalf(col("ts") >= splitNs, "newest_first", now - 120000L)
+    writeHalf(lit(false), "spacer_empty", now - 60000L)
+    writeHalf(col("ts") < splitNs, "older_late", now)
+    val schema = raw.schema
+    runToCompletion(spark, sub =>
+      sub.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n")),
+      "append")
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+              col("event_type"), col("n"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Emit/drop arithmetic mirror: on-time rows are `ts ≥ max − 2 h`;
+    * a window is emitted iff its end ≤ `max − 1 min`.
+    */
+  val lateDataOracle: String = """
+WITH m AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+on_time AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start, event_type
+  FROM events, m
+  WHERE epoch_us(ts) >= m.max_us - 7200000000
+)
+SELECT window_start, event_type, count(*) AS n
+FROM on_time, m
+WHERE (window_start + 3600) * 1000000 <= m.max_us - 60000000
+GROUP BY window_start, event_type, m.max_us
+ORDER BY window_start, event_type
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_late_data" -> (lateData _),
     "stream_static_join" -> (staticJoin _),
     "stream_interval_join" -> (intervalJoin _),
     "stream_dedup" -> (dedupCounts _),
@@ -351,6 +451,7 @@ GROUP BY 1, 2 ORDER BY c_mktsegment, event_type
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_late_data" -> lateDataOracle,
     "stream_static_join" -> staticJoinOracle,
     "stream_interval_join" -> intervalJoinOracle,
     "stream_dedup" -> dedupCountsOracle,
