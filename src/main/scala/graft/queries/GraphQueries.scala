@@ -779,7 +779,66 @@ GROUP BY lbl ORDER BY lbl
 """
   }
 
+  /** graph_assortativity: degree assortativity — does this graph wire
+    * hub-to-hub (r > 0, social-network-like) or hub-to-leaf (r < 0,
+    * infrastructure-like)? The single number that, with
+    * [[clusteringCoeff]]'s curve, pins the co-occurrence topology class.
+    * Pearson correlation of endpoint degrees over the SYMMETRIZED edge
+    * list; by symmetry the x and y marginals are identical, so
+    * `r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²)` — ratio of two exact
+    * integer moments, NO square root. Emitted as the two decimal(38)
+    * moments (exact at any scale) plus `r6`, the rounded double of
+    * their ratio computed with an identical expression tree on both
+    * engines (one IEEE division of identical inputs — bit-exact;
+    * integer-DIVISION fixed point is avoided here because the
+    * numerator can be negative and `div`-vs-`//` differ on negative
+    * rounding).
+    *
+    * Scale: two shuffles (degree, then degree-join back to edges) and
+    * one global moment aggregation — all map-side-combinable.
+    */
+  def assortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = undirectedEdges(spark, sfDir)
+    val sym = e.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
+    val deg = sym.groupBy("node").agg(count(lit(1)).as("d"))
+    val xy = sym
+      .join(deg, "node")
+      .join(deg.select(col("node").as("nbr"), col("d").as("dn")), "nbr")
+      .select(col("d").cast("decimal(19,0)").as("x"),
+              col("dn").cast("decimal(19,0)").as("y"))
+    xy.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("decimal(38,0)").as("sx"),
+        sum(col("x") * col("y")).cast("decimal(38,0)").as("sxy"),
+        sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"))
+      .select(col("n"),
+        expr("n * sxy - sx * sx").cast("decimal(38,0)").as("num"),
+        expr("n * sxx - sx * sx").cast("decimal(38,0)").as("den"))
+      .select(col("n"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("r6"))
+  }
+
+  // lazy: declared above edgesCte (see clusteringCoeffOracle note).
+  private lazy val assortativityOracle: String = edgesCte + """
+, sym AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT node, count(*) AS d FROM sym GROUP BY node),
+xy AS (
+  SELECT a.d::hugeint AS x, b.d::hugeint AS y
+  FROM sym s JOIN deg a ON a.node = s.node JOIN deg b ON b.node = s.nbr
+),
+m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy
+)
+SELECT n, round((n * sxy - sx * sx)::double / (n * sxx - sx * sx)::double, 6)
+         AS r6
+FROM m
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_assortativity" -> (assortativity _),
     "graph_clustering_coeff" -> (clusteringCoeff _),
     "graph_lpa" -> (lpa _),
     "graph_link_prediction" -> (linkPrediction _),
@@ -819,6 +878,7 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
 """
 
   val oracles: Map[String, String] = Map(
+    "graph_assortativity" -> assortativityOracle,
     "graph_clustering_coeff" -> clusteringCoeffOracle,
     "graph_lpa" -> lpaOracle,
     "graph_link_prediction" -> linkPredictionOracle,

@@ -516,7 +516,82 @@ SELECT doc_id,
 FROM c GROUP BY doc_id ORDER BY doc_id
 """
 
+  /** text_source_drift: per-source vocabulary drift — the chi-square
+    * distance of each source's word distribution from the corpus
+    * distribution over the global top-50 vocabulary, the data-drift
+    * monitor a mixed-corpus pipeline runs per ingest batch ("did this
+    * source's language shift?"). Distributions are first quantized to
+    * integer ppm (`c·10⁶ div total`), then the statistic
+    * `Σ (p−q)² div q` is computed on the ppm values — so every graded
+    * number is bounded by construction (ppm ≤ 10⁶) and the arithmetic
+    * never leaves int64 at ANY corpus size, the headroom-by-design
+    * alternative to decimal widening.
+    *
+    * Scale: one explode+count for corpus vocab (top-50 =
+    * TakeOrderedAndProject), one (source, word) count filtered to the
+    * 50-word vocab (the join broadcast-sizes itself), and the
+    * source × vocab completion is a ≤|sources|·50-row cross of two tiny
+    * aggregates — the windows ride on that completion table, never on
+    * the corpus.
+    */
+  def sourceDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+    val vocab = terms.groupBy("word").agg(count(lit(1)).as("cw"))
+      .orderBy(col("cw").desc, col("word")).limit(50)
+    val cells = terms.join(vocab.select("word"), "word")
+      .groupBy("source", "word").agg(count(lit(1)).as("csw"))
+    val sources = Tables.documents(spark, sfDir)
+      .select("source").distinct()
+    val full = sources.crossJoin(vocab)
+      .join(cells, Seq("source", "word"), "left")
+      .na.fill(0L, Seq("csw"))
+    full
+      .withColumn("ts", sum(col("csw")).over(Window.partitionBy("source")))
+      .withColumn("t", sum(col("cw")).over(Window.partitionBy("source")))
+      .withColumn("p_ppm", expr("(csw * 1000000) div ts"))
+      .withColumn("q_ppm", expr("(cw * 1000000) div t"))
+      .groupBy("source")
+      .agg(max(col("ts")).as("vocab_tokens"),
+           sum(expr("((p_ppm - q_ppm) * (p_ppm - q_ppm)) div q_ppm"))
+             .as("drift_score"))
+      .orderBy("source")
+  }
+
+  val sourceDriftOracle: String = """
+WITH terms AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+),
+vocab AS (
+  SELECT word, count(*) AS cw FROM terms GROUP BY word
+  ORDER BY cw DESC, word LIMIT 50
+),
+cells AS (
+  SELECT t.source, t.word, count(*) AS csw
+  FROM terms t JOIN vocab v ON v.word = t.word
+  GROUP BY t.source, t.word
+),
+full_grid AS (
+  SELECT s.source, v.word, v.cw, coalesce(c.csw, 0) AS csw
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN vocab v
+  LEFT JOIN cells c ON c.source = s.source AND c.word = v.word
+),
+ppm AS (
+  SELECT source, csw, cw,
+         sum(csw) OVER (PARTITION BY source) AS ts,
+         sum(cw) OVER (PARTITION BY source) AS t
+  FROM full_grid
+)
+SELECT source, max(ts) AS vocab_tokens,
+       sum((((csw * 1000000) // ts - (cw * 1000000) // t)
+            * ((csw * 1000000) // ts - (cw * 1000000) // t))
+           // ((cw * 1000000) // t)) AS drift_score
+FROM ppm GROUP BY source ORDER BY source
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_source_drift" -> (sourceDrift _),
     "text_char_gini" -> (charGini _),
     "text_zipf" -> (zipf _),
     "text_lm_quality" -> (lmQuality _),
@@ -555,6 +630,7 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
 """
 
   val oracles: Map[String, String] = Map(
+    "text_source_drift" -> sourceDriftOracle,
     "text_char_gini" -> charGiniOracle,
     "text_zipf" -> zipfOracle,
     "text_tfidf_topk" -> tfidfTopkOracle,

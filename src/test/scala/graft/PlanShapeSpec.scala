@@ -34,10 +34,13 @@ class PlanShapeSpec extends SparkSpec {
   // plan-side equivalent of bm25Topk's driver-scalar literal.
   // sim_mips_topk: bounded-query-set exact baseline like
   // sim_topk_bruteforce — O(|Q|·N) with |Q| fixed, never O(N²).
+  // text_source_drift: its cross join completes the |sources| × 50
+  // (distinct-sources × top-50-vocab) grid — a product of two BOUNDED
+  // aggregates, constant-size at any corpus scale.
   private val quadraticBaselines = Set(
     "sim_cosine_pairs", "sim_topk_bruteforce", "dedup_embedding_clusters",
     "sim_ann_ivf", "dedup_ann_recall", "sketch_theta_intersect",
-    "sim_mips_topk")
+    "sim_mips_topk", "text_source_drift")
 
   private val sideEffecting = (n: String) =>
     n.startsWith("io_") || n.startsWith("stream_")
