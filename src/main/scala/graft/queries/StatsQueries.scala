@@ -715,7 +715,196 @@ SELECT n_cust,
 FROM s
 """
 
+  /** stats_ks_test: two-sample Kolmogorov–Smirnov distance between the
+    * order-total distributions of finished (`F`) vs open (`O`) orders —
+    * the standard distribution-drift gate a pipeline runs between a
+    * reference and a candidate data slice. The D statistic is kept
+    * EXACT by never dividing: with the two samples' inclusive ECDF
+    * counts `cumA/cumB` over the merged value grid,
+    * `D = max |cumA/nA − cumB/nB| = max |nB·cumA − nA·cumB| / (nA·nB)`,
+    * and the graded columns are the integer numerator at its argmax
+    * (ties broken toward the smallest value) plus a ppm quotient via
+    * integer division. Products stay under int64 far past sf1
+    * (nB·cumA ≤ nA·nB ≈ 10¹² at sf1).
+    *
+    * Scale: one histogram aggregation on integer cents (distinct-value
+    * cardinality, not row count), one ordered window over that
+    * histogram — the same global-sort cost class as the exact Gini
+    * above; a sketch-based KS (KLL ECDFs) is the approximate
+    * alternative when even the value grid is too large to sort.
+    */
+  def ksTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .where(col("o_orderstatus").isin("F", "O"))
+      .select(col("o_orderstatus").as("g"), cents(col("o_totalprice")).as("v"))
+    val hist = o.groupBy("v").agg(
+      sum(when(col("g") === "F", 1L).otherwise(0L)).as("ca"),
+      sum(when(col("g") === "O", 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    hist
+      .select(col("v"),
+        sum(col("ca")).over(w).as("cuma"),
+        sum(col("cb")).over(w).as("cumb"))
+      .withColumn("na", max(col("cuma")).over(tot))
+      .withColumn("nb", max(col("cumb")).over(tot))
+      .select(col("na"), col("nb"), col("v").as("at_cents"),
+        abs(col("nb") * col("cuma") - col("na") * col("cumb")).as("d_num"))
+      .withColumn("d_ppm", expr("(d_num * 1000000) div (na * nb)"))
+      .orderBy(col("d_num").desc, col("at_cents"))
+      .limit(1)
+  }
+
+  val ksTestOracle: String = """
+WITH o AS (
+  SELECT o_orderstatus AS g,
+         cast(floor(o_totalprice * 100 + 0.5) AS bigint) AS v
+  FROM orders WHERE o_orderstatus IN ('F', 'O')
+),
+hist AS (
+  SELECT v,
+         sum(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS cb
+  FROM o GROUP BY v
+),
+cum AS (
+  SELECT v,
+         sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+         sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb
+  FROM hist
+),
+sc AS (
+  SELECT max(cuma) OVER () AS na, max(cumb) OVER () AS nb,
+         v AS at_cents,
+         abs(max(cumb) OVER () * cuma - max(cuma) OVER () * cumb) AS d_num
+  FROM cum
+)
+SELECT na, nb, at_cents, d_num,
+       (d_num * 1000000) // (na * nb) AS d_ppm
+FROM sc ORDER BY d_num DESC, at_cents LIMIT 1
+"""
+
+  /** stats_mannwhitney: Mann–Whitney rank-sum U between purchase and
+    * click event values — the nonparametric location-shift test (does
+    * one slice stochastically dominate the other?) that survives the
+    * heavy tails a t-test chokes on. Tie-corrected U is computed by
+    * the counting identity (each A-observation contributes one per
+    * strictly-smaller B plus ½ per equal B), doubled to stay integral:
+    * `2·U_A = Σ_v ca(v)·(2·cumB<(v) + cb(v))`. The complement
+    * `2·U_B = 2·nA·nB − 2·U_A` and a ppm effect size
+    * (`U_A/(nA·nB)` — the common-language effect size / AUC) are
+    * emitted alongside. All integer; headroom 2·nA·nB ≈ 10¹² at sf1.
+    *
+    * Scale: identical cost shape to the KS gate — histogram agg plus
+    * one ordered window over distinct values.
+    */
+  def mannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("purchase", "click"))
+      .select(col("event_type").as("g"), cents(col("value")).as("v"))
+    val hist = e.groupBy("v").agg(
+      sum(when(col("g") === "purchase", 1L).otherwise(0L)).as("ca"),
+      sum(when(col("g") === "click", 1L).otherwise(0L)).as("cb"))
+    val below = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cumb_less", coalesce(sum(col("cb")).over(below), lit(0L)))
+      .agg(
+        sum(col("ca")).as("na"),
+        sum(col("cb")).as("nb"),
+        sum(col("ca") * (lit(2L) * col("cumb_less") + col("cb"))).as("u2_a"))
+      .select(col("na"), col("nb"), col("u2_a"),
+        (lit(2L) * col("na") * col("nb") - col("u2_a")).as("u2_b"),
+        expr("(u2_a * 1000000) div (2 * na * nb)").as("auc_ppm"))
+  }
+
+  val mannWhitneyOracle: String = """
+WITH e AS (
+  SELECT event_type AS g,
+         cast(floor(value * 100 + 0.5) AS bigint) AS v
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+hist AS (
+  SELECT v,
+         sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS cb
+  FROM e GROUP BY v
+),
+c AS (
+  SELECT ca, cb,
+         coalesce(sum(cb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cumb_less
+  FROM hist
+),
+s AS (
+  SELECT sum(ca) AS na, sum(cb) AS nb,
+         sum(ca * (2 * cumb_less + cb)) AS u2_a
+  FROM c
+)
+SELECT na, nb, u2_a,
+       2 * na * nb - u2_a AS u2_b,
+       (u2_a * 1000000) // (2 * na * nb) AS auc_ppm
+FROM s
+"""
+
+  /** stats_cusum: CUSUM changepoint scan over the daily event-count
+    * series — the classic "did the feed's volume regime shift, and
+    * when?" monitor. The mean-centered cumulative sum
+    * `S_k = Σ_{i≤k}(x_i − x̄)` is scaled by the day count N to stay
+    * integral (`N·S_k = N·cum_k − k·T`), and the five days with the
+    * largest |N·S_k| (ties toward the earlier day) are emitted — the
+    * top candidate is the estimated changepoint, the runners-up show
+    * whether the shift is a spike or a plateau edge. Headroom:
+    * N·cum ≤ 730·(2·10⁶) ≈ 1.5·10⁹ at sf1.
+    *
+    * Scale: the daily series is one map-side-combinable count (≤ a few
+    * thousand rows regardless of event volume); the scan is a window
+    * over that tiny series, so the statistic is effectively free at
+    * any event scale.
+    */
+  def cusum(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("x"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    daily
+      .select(col("day"), col("x"),
+        sum(col("x")).over(w).as("cum"),
+        row_number().over(Window.orderBy("day")).cast("long").as("k"))
+      .withColumn("n_days", count(lit(1)).over(tot))
+      .withColumn("total", sum(col("x")).over(tot))
+      .select(col("day"), col("x"), col("n_days"), col("total"),
+        (col("n_days") * col("cum") - col("k") * col("total")).as("s_scaled"))
+      .orderBy(abs(col("s_scaled")).desc, col("day"))
+      .limit(5)
+  }
+
+  val cusumOracle: String = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS x
+  FROM events GROUP BY 1
+),
+scan AS (
+  SELECT day, x,
+         sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum,
+         row_number() OVER (ORDER BY day) AS k,
+         count(*) OVER () AS n_days,
+         sum(x) OVER () AS total
+  FROM daily
+)
+SELECT day, x, n_days, total,
+       n_days * cum - k * total AS s_scaled
+FROM scan ORDER BY abs(n_days * cum - k * total) DESC, day LIMIT 5
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_ks_test" -> (ksTest _),
+    "stats_mannwhitney" -> (mannWhitney _),
+    "stats_cusum" -> (cusum _),
     "stats_benford" -> (benford _),
     "stats_gini_concentration" -> (giniConcentration _),
     "stats_markov_transitions" -> (markovTransitions _),
@@ -732,6 +921,9 @@ FROM s
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_ks_test" -> ksTestOracle,
+    "stats_mannwhitney" -> mannWhitneyOracle,
+    "stats_cusum" -> cusumOracle,
     "stats_benford" -> benfordOracle,
     "stats_gini_concentration" -> giniConcentrationOracle,
     "stats_markov_transitions" -> markovTransitionsOracle,

@@ -102,4 +102,56 @@ class SurfaceR4Spec extends SparkSpec {
         "per-query neighbors must be ip-descending")
     }
   }
+
+  private def cents(x: Double): Long = math.floor(x * 100 + 0.5).toLong
+
+  test("stats_ks_test matches a brute-force two-sample D on the raw rows") {
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderstatus"), col("o_totalprice")).collect()
+    val a = o.filter(_.getString(0) == "F").map(r => cents(r.getDouble(1))).sorted
+    val b = o.filter(_.getString(0) == "O").map(r => cents(r.getDouble(1))).sorted
+    def cum(xs: Array[Long], v: Long): Long = xs.count(_ <= v).toLong
+    val grid = (a ++ b).distinct
+    val dNum = grid.map(v => math.abs(b.length * cum(a, v) - a.length * cum(b, v))).max
+    val row = StatsQueries.all("stats_ks_test")(spark, sf).head()
+    assert(row.getAs[Long]("na") == a.length.toLong)
+    assert(row.getAs[Long]("nb") == b.length.toLong)
+    assert(row.getAs[Long]("d_num") == dNum,
+      s"KS numerator ${row.getAs[Long]("d_num")} != brute-force $dNum")
+  }
+
+  test("stats_mannwhitney matches brute-force 2U and the U_A+U_B identity") {
+    val e = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+    val a = e.filter(_.getString(0) == "purchase").map(r => cents(r.getDouble(1)))
+    val b = e.filter(_.getString(0) == "click").map(r => cents(r.getDouble(1)))
+    val u2 = a.map(x => 2L * b.count(_ < x) + b.count(_ == x)).sum
+    val row = StatsQueries.all("stats_mannwhitney")(spark, sf).head()
+    assert(row.getAs[Long]("u2_a") == u2,
+      s"2U ${row.getAs[Long]("u2_a")} != brute-force $u2")
+    assert(row.getAs[Long]("u2_a") + row.getAs[Long]("u2_b") ==
+      2L * a.length * b.length)
+  }
+
+  test("stats_cusum top row is the global argmax of |N*S_k|") {
+    val daily = Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getAs[Long]("day"), r.getAs[Long]("x")))
+      .sortBy(_._1)
+    val n = daily.length.toLong
+    val total = daily.map(_._2).sum
+    var cum = 0L
+    val s = daily.zipWithIndex.map { case ((day, x), i) =>
+      cum += x; (day, n * cum - (i + 1) * total)
+    }
+    val best = s.maxBy { case (day, v) => (math.abs(v), -day) }
+    val rows = StatsQueries.all("stats_cusum")(spark, sf).collect()
+    assert(rows.length == 5)
+    assert(rows.head.getAs[Long]("day") == best._1)
+    assert(rows.head.getAs[Long]("s_scaled") == best._2)
+    val absVals = rows.map(r => math.abs(r.getAs[Long]("s_scaled")))
+    assert(absVals.zip(absVals.tail).forall { case (x, y) => x >= y },
+      "top-5 must be |s|-descending")
+  }
 }
