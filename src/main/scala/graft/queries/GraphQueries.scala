@@ -837,7 +837,92 @@ SELECT n, round((n * sxy - sx * sx)::double / (n * sxx - sx * sx)::double, 6)
 FROM m
 """
 
+  /** graph_walk: deterministic pseudo-random walks — 4 steps from each
+    * of the 20 highest-degree nodes, the sampling primitive behind
+    * node2vec-style embedding corpora and graph-exploration probes. A
+    * true random walk is ungradeable, so the step rule is a HASH walk:
+    * from `cur` at step `s`, the successor is the neighbor minimizing
+    * `(cur·1000003 + nbr·8191 + 127·s) mod 999983` — uniform-ish over
+    * neighbors, pure int64 arithmetic on both engines, and made
+    * tie-free by packing the neighbor id into the minimized key
+    * (`mix·10⁷ + nbr`, valid while ids < 10⁷ — partkeys are ~2·10⁶ at
+    * sf1; a larger keyspace widens the pack factor). Walks can never
+    * strand: the graph is undirected, so every reached node has at
+    * least its return edge.
+    *
+    * Scale: each step is one equi-join of the 20-row frontier
+    * (broadcast — bounded by construction) against the edge list plus
+    * a 20-group argmin; cost is 4 broadcast probes of the edge table,
+    * no matter how large the graph. The walk count is the knob: 10⁶
+    * simultaneous walks make the frontier a normal shuffled join key.
+    */
+  def walk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = undirectedEdges(spark, sfDir)
+    val d = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+    val deg = d.groupBy("src").agg(count(lit(1)).as("deg"))
+    val starts = deg
+      .orderBy(col("deg").desc, col("src"))
+      .limit(20)
+      .select(col("src").as("walk_id"), col("src").as("node"))
+    var frontier = starts
+    val hops = (1 to 4).map { s =>
+      val enc = ((col("node") * lit(1000003L) + col("dst") * lit(8191L) +
+        lit(127L * s)) % lit(999983L)) * lit(10000000L) + col("dst")
+      frontier = d
+        .join(broadcast(frontier), col("src") === col("node"))
+        .select(col("walk_id"), enc.as("enc"))
+        .groupBy("walk_id").agg(min(col("enc")).as("enc"))
+        .select(col("walk_id"), (col("enc") % lit(10000000L)).as("node"))
+      frontier.withColumn("step", lit(s))
+    }
+    hops.foldLeft(starts.withColumn("step", lit(0)))(_ unionAll _)
+      .select(col("walk_id"), col("step"), col("node"))
+      .orderBy("walk_id", "step")
+  }
+
+  private lazy val walkOracle: String = edgesCte + """
+, d AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e
+),
+deg AS (SELECT src, count(*) AS deg FROM d GROUP BY src),
+starts AS MATERIALIZED (
+  SELECT src AS walk_id, src AS node FROM deg ORDER BY deg DESC, src LIMIT 20
+),
+s1 AS MATERIALIZED (
+  SELECT walk_id,
+         min(((node * 1000003 + dst * 8191 + 127) % 999983)
+             * 10000000 + dst) % 10000000 AS node
+  FROM d JOIN starts ON d.src = starts.node GROUP BY walk_id
+),
+s2 AS MATERIALIZED (
+  SELECT walk_id,
+         min(((node * 1000003 + dst * 8191 + 254) % 999983)
+             * 10000000 + dst) % 10000000 AS node
+  FROM d JOIN s1 ON d.src = s1.node GROUP BY walk_id
+),
+s3 AS MATERIALIZED (
+  SELECT walk_id,
+         min(((node * 1000003 + dst * 8191 + 381) % 999983)
+             * 10000000 + dst) % 10000000 AS node
+  FROM d JOIN s2 ON d.src = s2.node GROUP BY walk_id
+),
+s4 AS MATERIALIZED (
+  SELECT walk_id,
+         min(((node * 1000003 + dst * 8191 + 508) % 999983)
+             * 10000000 + dst) % 10000000 AS node
+  FROM d JOIN s3 ON d.src = s3.node GROUP BY walk_id
+)
+SELECT walk_id, 0 AS step, node FROM starts
+UNION ALL SELECT walk_id, 1, node FROM s1
+UNION ALL SELECT walk_id, 2, node FROM s2
+UNION ALL SELECT walk_id, 3, node FROM s3
+UNION ALL SELECT walk_id, 4, node FROM s4
+ORDER BY walk_id, step
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_walk" -> (walk _),
     "graph_assortativity" -> (assortativity _),
     "graph_clustering_coeff" -> (clusteringCoeff _),
     "graph_lpa" -> (lpa _),
@@ -878,6 +963,7 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
 """
 
   val oracles: Map[String, String] = Map(
+    "graph_walk" -> walkOracle,
     "graph_assortativity" -> assortativityOracle,
     "graph_clustering_coeff" -> clusteringCoeffOracle,
     "graph_lpa" -> lpaOracle,

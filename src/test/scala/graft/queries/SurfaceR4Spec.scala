@@ -133,6 +133,38 @@ class SurfaceR4Spec extends SparkSpec {
       2L * a.length * b.length)
   }
 
+  test("q52_attribution partitions every purchase and conserves revenue") {
+    val rows = StatsQueries.all("q52_attribution")(spark, sf).collect()
+    val purchases = Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .select(col("value")).collect().map(r => cents(r.getDouble(0)))
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum == purchases.length.toLong,
+      "attribution buckets must partition the purchase set")
+    assert(rows.map(_.getAs[Long]("cents_total")).sum == purchases.sum,
+      "attributed revenue must equal total purchase revenue")
+    val types = rows.map(_.getAs[String]("touch_type")).toSet
+    assert(types.subsetOf(Set("view", "click", "signup", "(none)")))
+  }
+
+  test("graph_walk steps traverse real edges from the top-degree starts") {
+    val rows = GraphQueries.all("graph_walk")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("walk_id"), r.getAs[Int]("step"),
+                 r.getAs[Long]("node")))
+    assert(rows.count(_._2 == 0) == 20, "expected 20 walk starts")
+    assert(rows.length == 100, "each walk must emit steps 0..4")
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .groupBy(_.getLong(0)).values.map(_.map(_.getLong(1)).toSet)
+    val edges = li.flatMap(s => for (a <- s; b <- s; if a < b) yield (a, b)).toSet
+    rows.groupBy(_._1).foreach { case (_, walk) =>
+      val path = walk.sortBy(_._2).map(_._3)
+      path.zip(path.tail).foreach { case (a, b) =>
+        assert(a != b && edges.contains((a min b, a max b)),
+          s"walk hop $a -> $b is not a co-purchase edge")
+      }
+    }
+  }
+
   test("stats_cusum top row is the global argmax of |N*S_k|") {
     val daily = Tables.events(spark, sf)
       .select(expr("unix_micros(ts) div 86400000000").as("day"))
