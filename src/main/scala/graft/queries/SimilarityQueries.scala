@@ -554,7 +554,89 @@ SELECT query_id, rank, neighbor_id, round(ip, 4) AS ip4
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
 
+  /** sim_pq_assign: product-quantization encoding — the memory layout
+    * IVF-PQ indexes (FAISS-style) use to hold billion-vector corpora in
+    * RAM: the 64-dim vector splits into 8 contiguous 8-dim subvectors,
+    * each encoded independently as its nearest centroid from a 4-entry
+    * per-subspace codebook, compressing 256 float bytes to 8 code
+    * bits·8. Graded output is the per-(subspace, code) occupancy and
+    * total distortion — the codebook-health profile a PQ training loop
+    * monitors (a dead code or a distortion-hogging cell means retrain).
+    *
+    * Exactness: vectors enter as the SAME global-smax int8 codes the
+    * sim_quantize_int8 gate pins; the codebook is a fixed integer
+    * formula `cb(s,c,j) = ((131·s + 37·c + 11·j) mod 256) − 128`
+    * (deterministic, engine-neutral — standing in for trained
+    * centroids, which would arrive as literals exactly like
+    * kmeans_step's), so distances, argmins (tie → lower code), and
+    * distortion sums are pure int64 arithmetic with ~5·10⁵ headroom
+    * per cell.
+    *
+    * Scale shape: assignment is a NARROW projection (the 4·8·8 codebook
+    * is compile-time literal — the production analogue broadcasts it),
+    * followed by one 32-group map-side-combinable aggregation; no
+    * join, no explode on the hot path. Per 100 TB scan: one pass.
+    */
+  def pqAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val smax = emb.select(
+      max(expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
+        .as("m")).first().getDouble(0)
+    val codes = emb.select(col("vec_id"),
+      expr(s"transform(embedding, x -> cast(greatest(-127.0, least(127.0," +
+        s" floor(cast(x as double) / $smax * 127.0 + 0.5))) as bigint))")
+        .as("q"))
+    def cb(s: Int, c: Int, j: Int): Long = ((131 * s + 37 * c + 11 * j) % 256) - 128
+    val subBest = (0 until 8).map { s =>
+      val cands = (0 until 4).map { c =>
+        val d = (0 until 8).map { j =>
+          val t = element_at(col("q"), s * 8 + j + 1) - lit(cb(s, c, j))
+          t * t
+        }.reduce(_ + _)
+        struct(d.as("d"), lit(c.toLong).as("code"))
+      }
+      struct(lit(s.toLong).as("sub"), array_min(array(cands: _*)).as("best"))
+    }
+    codes
+      .select(explode(array(subBest: _*)).as("a"))
+      .groupBy(col("a.sub").as("sub"), col("a.best.code").as("code"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("a.best.d")).as("distortion"))
+      .orderBy("sub", "code")
+  }
+
+  val pqAssignOracle: String = """
+WITH s AS (
+  SELECT max(list_max(list_transform(embedding, x -> abs(x::double)))) AS smax
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> cast(greatest(-127.0, least(127.0,
+           floor(x::double / s.smax * 127.0 + 0.5))) AS bigint)) AS q
+  FROM embeddings, s
+),
+d AS (
+  SELECT vec_id, sub.s AS sub, cc.c AS code,
+         sum((q.q[sub.s * 8 + jj.j + 1]
+              - (((131 * sub.s + 37 * cc.c + 11 * jj.j) % 256) - 128))
+             * (q.q[sub.s * 8 + jj.j + 1]
+              - (((131 * sub.s + 37 * cc.c + 11 * jj.j) % 256) - 128))) AS d
+  FROM q,
+       (SELECT unnest(range(0, 8)) AS s) sub,
+       (SELECT unnest(range(0, 4)) AS c) cc,
+       (SELECT unnest(range(0, 8)) AS j) jj
+  GROUP BY vec_id, sub.s, cc.c
+),
+a AS (
+  SELECT vec_id, sub, min(d * 4 + code) AS enc
+  FROM d GROUP BY vec_id, sub
+)
+SELECT sub, enc % 4 AS code, count(*) AS n_vecs, sum(enc // 4) AS distortion
+FROM a GROUP BY sub, enc % 4 ORDER BY sub, code
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_assign" -> (pqAssign _),
     "sim_mips_topk" -> (mipsTopk _),
     "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_kmeans_step" -> (kmeansStep _),
@@ -565,6 +647,7 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_pq_assign" -> pqAssignOracle,
     "sim_mips_topk" -> mipsTopkOracle,
     "sim_quantize_int8" -> quantizeInt8Oracle,
     "sim_kmeans_step" -> kmeansStepOracle,

@@ -373,15 +373,18 @@ GROUP BY 1, 2 ORDER BY c_mktsegment, event_type
     * not buffered); the two-file staging is one narrow filtered write
     * each, coalesced to one file so batch composition is exact.
     */
-  def lateData(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts: long ns
-    val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
-    val splitNs = maxNs - 2L * 3600 * 1000000000L
+  /** Stage a controlled-batch replay: each (predicate, name) becomes
+    * one single-file micro-batch of `events.parquet` rows, file order
+    * pinned by ascending mtime (consumed with `maxFilesPerTrigger=1`).
+    * The staging dir is wiped first — stale files would change batch
+    * layout. Returns the stage path.
+    */
+  private def stageBatches(spark: SparkSession, sfDir: String, tag: String,
+      raw: DataFrame,
+      parts: Seq[(org.apache.spark.sql.Column, String)]): String = {
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_stream",
-      sfDir.replaceAll("[^A-Za-z0-9._-]", "_"), "late_data")
-    // Fresh staging every run: stale files would change batch layout.
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_"), tag)
     if (java.nio.file.Files.exists(dir)) {
       val walk = java.nio.file.Files.walk(dir)
       try walk.sorted(java.util.Comparator.reverseOrder())
@@ -389,8 +392,8 @@ GROUP BY 1, 2 ORDER BY c_mktsegment, event_type
       finally walk.close()
     }
     val stage = dir.resolve("in")
-    def writeHalf(pred: org.apache.spark.sql.Column, name: String,
-                  mtimeMs: Long): Unit = {
+    val now = System.currentTimeMillis()
+    parts.zipWithIndex.foreach { case ((pred, name), i) =>
       val tmp = dir.resolve(s"tmp_$name")
       raw.where(pred).coalesce(1)
         .write.mode("overwrite").parquet(tmp.toString)
@@ -401,17 +404,26 @@ GROUP BY 1, 2 ORDER BY c_mktsegment, event_type
       val dst = stage.resolve(s"$name.parquet")
       java.nio.file.Files.move(part, dst)
       java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+        java.nio.file.attribute.FileTime.fromMillis(
+          now - 60000L * (parts.length - 1 - i)))
     }
-    val now = System.currentTimeMillis()
-    writeHalf(col("ts") >= splitNs, "newest_first", now - 120000L)
-    writeHalf(lit(false), "spacer_empty", now - 60000L)
-    writeHalf(col("ts") < splitNs, "older_late", now)
+    stage.toString
+  }
+
+  def lateData(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts: long ns
+    val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
+    val splitNs = maxNs - 2L * 3600 * 1000000000L
+    val stage = stageBatches(spark, sfDir, "late_data", raw, Seq(
+      (col("ts") >= splitNs) -> "newest_first",
+      lit(false) -> "spacer_empty",
+      (col("ts") < splitNs) -> "older_late"))
     val schema = raw.schema
     runToCompletion(spark, sub =>
       sub.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(stage.toString)
+        .parquet(stage)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .withWatermark("ts", "1 minute")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -439,7 +451,103 @@ GROUP BY window_start, event_type, m.max_us
 ORDER BY window_start, event_type
 """
 
+  /** stream_outer_join: stream-stream LEFT OUTER interval join with
+    * watermark-driven state eviction, graded. Clicks join purchases by
+    * the same user within the following hour; a click with no purchase
+    * must STILL be emitted (null-padded) — but only once the watermark
+    * proves no future purchase can match, i.e. when
+    * `click_ts + 1 h < watermark`. That eviction-time emission is the
+    * semantics this query pins (the inner interval join is
+    * stream_interval_join's).
+    *
+    * Replay is two controlled batches: all events, then an empty
+    * spacer file — the spacer absorbs the one-micro-batch watermark
+    * propagation delay (measured with LateDataProbe, see [[lateData]]),
+    * so the final watermark — `least(max click_ts, max buy_ts) − 1 min`,
+    * the MIN across the two watermarked sources, because the slowest
+    * stream gates eviction — is OPERATIVE in a batch that can evict.
+    * End state: matched pairs emitted in batch 0; unmatched clicks
+    * whose `click_ts + 1 h` lies below that watermark emitted
+    * null-padded in batch 1; younger unmatched clicks still sit in
+    * state when the finite replay ends (exactly as unbounded operation
+    * would leave them). The oracle replays that arithmetic relationally
+    * (anti-join + age cutoff), so a hash match proves the engine's
+    * outer-join eviction rule, not just join arithmetic. The 1-minute
+    * delay lands strictly inside the event stream's microsecond
+    * jitter, so the </≤ boundary convention cannot flip a row.
+    *
+    * Scale: state is bounded by the 1 h + 1 min horizon per side —
+    * the production shape for unbounded feeds; both sides shuffle on
+    * user_id once.
+    */
+  def outerJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts: long ns
+    val stage = stageBatches(spark, sfDir, "outer_join", raw, Seq(
+      (lit(true): org.apache.spark.sql.Column) -> "all_events",
+      lit(false) -> "spacer_empty"))
+    val schema = raw.schema
+    runToCompletion(spark, { sub =>
+        def src() = sub.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val clicks = src().where(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"))
+          .withWatermark("click_ts", "1 minute")
+        val buys = src().where(col("event_type") === "purchase")
+          .select(col("user_id").as("buy_user"), col("ts").as("buy_ts"))
+          .withWatermark("buy_ts", "1 minute")
+        clicks.join(buys,
+          col("user_id") === col("buy_user") &&
+          col("buy_ts") >= col("click_ts") &&
+          col("buy_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+          "leftOuter")
+      }, "append")
+      .groupBy("user_id")
+      .agg(count(col("buy_ts")).as("n_pairs"),
+           sum(when(col("buy_ts").isNull, 1L).otherwise(0L)).as("n_expired"))
+      .orderBy("user_id")
+  }
+
+  /** Relational mirror of the eviction rule: matched = the inner
+    * interval join; expired = clicks with NO match whose join horizon
+    * `click + 1 h` is strictly below the final watermark. With TWO
+    * watermarked sources the global watermark is the MIN across them:
+    * `least(max click_ts, max buy_ts) − 1 min` (the slowest stream
+    * gates eviction — Spark's multi-source watermark policy).
+    */
+  val outerJoinOracle: String = """
+WITH c AS (SELECT user_id, epoch_us(ts) AS cus FROM events
+      WHERE event_type = 'click'),
+p AS (SELECT user_id, epoch_us(ts) AS pus FROM events
+      WHERE event_type = 'purchase'),
+m AS (SELECT least((SELECT max(cus) FROM c), (SELECT max(pus) FROM p))
+             AS max_us),
+matched AS (
+  SELECT c.user_id, count(*) AS n
+  FROM c JOIN p ON p.user_id = c.user_id
+              AND p.pus >= c.cus AND p.pus <= c.cus + 3600000000
+  GROUP BY c.user_id
+),
+expired AS (
+  SELECT c.user_id, count(*) AS n
+  FROM c, m
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p WHERE p.user_id = c.user_id
+      AND p.pus >= c.cus AND p.pus <= c.cus + 3600000000)
+    AND c.cus + 3600000000 < m.max_us - 60000000
+  GROUP BY c.user_id
+)
+SELECT coalesce(ma.user_id, ex.user_id) AS user_id,
+       coalesce(ma.n, 0) AS n_pairs,
+       coalesce(ex.n, 0) AS n_expired
+FROM matched ma FULL OUTER JOIN expired ex ON ex.user_id = ma.user_id
+ORDER BY user_id
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_outer_join" -> (outerJoin _),
     "stream_late_data" -> (lateData _),
     "stream_static_join" -> (staticJoin _),
     "stream_interval_join" -> (intervalJoin _),
@@ -451,6 +559,7 @@ ORDER BY window_start, event_type
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_outer_join" -> outerJoinOracle,
     "stream_late_data" -> lateDataOracle,
     "stream_static_join" -> staticJoinOracle,
     "stream_interval_join" -> intervalJoinOracle,

@@ -165,6 +165,40 @@ class SurfaceR4Spec extends SparkSpec {
     }
   }
 
+  test("sim_pq_assign occupancies partition the corpus in every subspace") {
+    val rows = SimilarityQueries.all("sim_pq_assign")(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    rows.groupBy(_.getAs[Long]("sub")).foreach { case (sub, grp) =>
+      assert(grp.map(_.getAs[Long]("n_vecs")).sum == n,
+        s"subspace $sub: every vector must be assigned exactly one code")
+    }
+    assert(rows.map(_.getAs[Long]("sub")).toSet == (0L to 7L).toSet)
+    assert(rows.forall { r =>
+      val c = r.getAs[Long]("code"); c >= 0L && c <= 3L
+    })
+    assert(rows.forall(_.getAs[Long]("distortion") >= 0L))
+  }
+
+  test("stream_outer_join pair count equals the batch interval join's") {
+    val rows = graft.streaming.StreamingQueries
+      .all("stream_outer_join")(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("us"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("cus"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("us").as("pus"))
+    val nPairs = c.join(p, col("user_id") === col("pu") &&
+      col("pus") >= col("cus") &&
+      col("pus") <= col("cus") + lit(3600000000L)).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == nPairs,
+      "outer join must emit exactly the inner-join matches as pairs")
+    val nClicks = c.count()
+    val nExpired = rows.map(_.getAs[Long]("n_expired")).sum
+    assert(nExpired > 0L, "fixture must contain expired unmatched clicks")
+    assert(nExpired <= nClicks)
+  }
+
   test("stats_cusum top row is the global argmax of |N*S_k|") {
     val daily = Tables.events(spark, sf)
       .select(expr("unix_micros(ts) div 86400000000").as("day"))
