@@ -1295,7 +1295,71 @@ SELECT user_id, event_id, ts_us,
 FROM s ORDER BY user_id, ts_us, event_id
 """
 
+  /** q53_rolling_slope: 7-observation rolling OLS trend of daily order
+    * revenue — the "is this series rising and how fast" detector a
+    * volume monitor runs, as a pure window computation. With the
+    * regressor fixed to in-window position i = 0..6, the slope
+    * denominator is the constant 7·Σi² − (Σi)² = 196 and the numerator
+    * needs only two windowed sums: `A = Σ y` and `B = Σ r·y` (r the
+    * global row number), because Σ i·y = B − (r−6)·A. So
+    * `slope = (7·(B − (r−6)·A) − 21·A) / 196` — integer cents
+    * end-to-end, emitted as `num div 196` (truncation toward zero,
+    * which Spark's `div` and DuckDB's `//` share even for negative
+    * slopes). Only full windows emit. Headroom:
+    * B ≤ n_days²·max_daily_cents ≈ 10¹⁶ at sf1.
+    *
+    * Scale: the daily series is one map-side-combinable aggregation;
+    * the window runs over that tiny series. The single-partition
+    * window is fine BECAUSE the series is bounded by the calendar —
+    * a per-entity variant would partition by the entity key.
+    */
+  def q53RollingSlope(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("bigint"))
+        .as("y"))
+    val ord = Window.orderBy("d")
+    val w7 = ord.rowsBetween(-6, 0)
+    daily
+      .select(col("d"), col("y"), row_number().over(ord).cast("long").as("r"))
+      .select(col("d"), col("y"), col("r"),
+        count(lit(1)).over(w7).as("cnt"),
+        sum(col("y")).over(w7).as("a"),
+        sum(col("y") * col("r")).over(w7).as("b"))
+      .where(col("cnt") === 7)
+      .select(col("d"), col("y"),
+        // `div` truncates toward zero — and so does DuckDB's `//`
+        // (verified: -7 // 2 = -3), so negative slopes floor alike.
+        expr("(7 * (b - (r - 6) * a) - 21 * a) div 196")
+          .as("slope_cents_per_day"))
+      .orderBy("d")
+  }
+
+  val q53Oracle: String = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) AS y
+  FROM orders GROUP BY 1
+),
+rn AS (
+  SELECT d, y, row_number() OVER (ORDER BY d) AS r FROM daily
+),
+win AS (
+  SELECT d, y, r,
+         count(*) OVER w7 AS cnt,
+         sum(y) OVER w7 AS a,
+         sum(y * r) OVER w7 AS b
+  FROM rn
+  WINDOW w7 AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT d, y,
+       cast((7 * (b - (r - 6) * a) - 21 * a) // 196 AS bigint)
+         AS slope_cents_per_day
+FROM win WHERE cnt = 7 ORDER BY d
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_rolling_slope" -> (q53RollingSlope _),
     "q49_locf" -> (q49Locf _),
     "q48_map_hofs" -> (q48MapHofs _),
     "q46_bitmap_distinct" -> (q46BitmapDistinct _),
@@ -1355,6 +1419,7 @@ FROM s ORDER BY user_id, ts_us, event_id
     "q46_bitmap_distinct" -> q46Oracle,
     "q47_listagg" -> q47Oracle,
     "q48_map_hofs" -> q48Oracle,
+    "q53_rolling_slope" -> q53Oracle,
     "q49_locf" -> q49Oracle,
     "q26_gapfill" -> q26Oracle,
     "q27_full_outer" -> q27Oracle,

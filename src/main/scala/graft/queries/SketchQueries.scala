@@ -334,7 +334,83 @@ SELECT s.n_sample, s.theta,
 FROM sample s CROSS JOIN exact e
 """
 
+  /** sketch_bloom_fp: Bloom-filter false-positive audit with fully
+    * deterministic hashing — build a 2¹⁶-bit, k=3 filter over the
+    * customer keyspace, probe it with keys GUARANTEED absent
+    * (orderkeys shifted past any custkey), and grade the exact
+    * false-positive count and rate. Spark's own runtime bloom pruning
+    * (q37_bloom_join) is engine-internal and unauditable cross-engine;
+    * this pins the sketch's CONTRACT — zero false negatives by
+    * construction, false positives counted exactly — with hashes both
+    * engines compute identically: `h_i(x) = ((a_i·x + b_i) mod
+    * 2147483647) mod 2¹⁶` (products ≤ 2³¹·|keys| stay in int64).
+    *
+    * Scale: the filter is materialized as a DISTINCT (hash-position)
+    * table — ≤ m rows regardless of build size — and probing is one
+    * equi-join of the probes' k positions against it (here a broadcast:
+    * 65536 rows ≪ any threshold), counting probes with all k hit. At
+    * 100 TB both sides are one scan each; the m-row bitmap table is
+    * the shuffle-free shared asset.
+    */
+  def bloomFp(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = 65536L
+    val p = 2147483647L
+    val as = Seq(2654435761L % p, 2246822519L % p, 3266489917L % p)
+    val bs = Seq(1013904223L, 374761393L, 668265263L)
+    def positions(key: org.apache.spark.sql.Column) =
+      array(as.zip(bs).map { case (a, b) =>
+        pmod(pmod(key * lit(a) + lit(b), lit(p)), lit(m))
+      }: _*)
+    val bits = Tables.customer(spark, sfDir)
+      .select(explode(positions(col("c_custkey"))).as("pos"))
+      .distinct()
+    val probes = Tables.orders(spark, sfDir)
+      .select((col("o_orderkey") + lit(100000000L)).as("k"))
+      .select(col("k"), explode(positions(col("k"))).as("pp"))
+    probes
+      .join(broadcast(bits), probes("pp") === bits("pos"), "left")
+      .groupBy("k")
+      .agg(sum(when(col("pos").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .agg(count(lit(1)).as("n_probes"),
+           sum(when(col("hits") === 3, 1L).otherwise(0L)).as("n_fp"))
+      .select(lit(65536L).as("m_bits"), lit(3L).as("k_hashes"),
+        col("n_probes"), col("n_fp"),
+        expr("(n_fp * 1000000) div n_probes").as("fp_ppm"))
+  }
+
+  val bloomFpOracle: String = """
+WITH bits AS (
+  SELECT DISTINCT pos FROM (
+    SELECT ((c_custkey * a.a + a.b) % 2147483647) % 65536 AS pos
+    FROM customer,
+         (VALUES (2654435761 % 2147483647, 1013904223),
+                 (2246822519 % 2147483647, 374761393),
+                 (3266489917 % 2147483647, 668265263)) AS a(a, b)
+  )
+),
+probes AS (
+  SELECT o_orderkey + 100000000 AS k,
+         (((o_orderkey + 100000000) * a.a + a.b) % 2147483647) % 65536 AS pp
+  FROM orders,
+       (VALUES (2654435761 % 2147483647, 1013904223),
+               (2246822519 % 2147483647, 374761393),
+               (3266489917 % 2147483647, 668265263)) AS a(a, b)
+),
+hits AS (
+  SELECT k, sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS hits
+  FROM probes p LEFT JOIN bits b ON b.pos = p.pp
+  GROUP BY k
+)
+SELECT 65536 AS m_bits, 3 AS k_hashes,
+       count(*) AS n_probes,
+       sum(CASE WHEN hits = 3 THEN 1 ELSE 0 END) AS n_fp,
+       (sum(CASE WHEN hits = 3 THEN 1 ELSE 0 END) * 1000000) // count(*)
+         AS fp_ppm
+FROM hits
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_bloom_fp" -> (bloomFp _),
     "sketch_theta_intersect" -> (thetaIntersect _),
     "sketch_hll_union" -> (hllUnion _),
     "sketch_cms_topk" -> (cmsHeavyHitters _),
@@ -344,6 +420,7 @@ FROM sample s CROSS JOIN exact e
   )
 
   val oracles: Map[String, String] = Map(
+    "sketch_bloom_fp" -> bloomFpOracle,
     "sketch_theta_intersect" -> thetaIntersectOracle,
     "sketch_hll_union" -> hllUnionOracle,
     "sketch_cms_topk" -> cmsOracle,

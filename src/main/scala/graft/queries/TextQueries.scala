@@ -590,7 +590,66 @@ SELECT source, max(ts) AS vocab_tokens,
 FROM ppm GROUP BY source ORDER BY source
 """
 
+  /** text_novelty: per-source trigram novelty — what fraction of each
+    * source's word-3-gram mass appears there FIRST (by ascending
+    * doc_id, the corpus ingestion order)? The curation signal behind
+    * "is this source adding new content or re-serving what we already
+    * have" — low novelty flags mirror/scrape sources before any
+    * pairwise dedup runs. A gram's first occurrence is its corpus-wide
+    * `min(doc_id)`; each doc contributes its DISTINCT grams (the
+    * [[graft.functions.TrigramHashes]] expression — the oracle builds
+    * the same grams as strings, see ngram_jaccard's collision note).
+    * novelty_ppm is integer-division exact.
+    *
+    * Scale: one explode + one (gram → min doc) aggregation + one
+    * equi-join back on gram — the inverted-index shape every corpus
+    * statistic here uses; no pairwise anything. The min-doc table is
+    * the same asset an incremental-ingest dedup keeps as state.
+    */
+  def novelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val inv = docs
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.TrigramHashes(split(col("text"), " "))).as("g"))
+    val first = inv.groupBy("g").agg(min(col("doc_id")).as("fdoc"))
+    inv.join(first, "g")
+      .groupBy("source")
+      .agg(count(lit(1)).as("total_grams"),
+           sum(when(col("doc_id") === col("fdoc"), 1L).otherwise(0L))
+             .as("novel_grams"))
+      .select(col("source"), col("total_grams"), col("novel_grams"),
+        expr("(novel_grams * 1000000) div total_grams").as("novelty_ppm"))
+      .orderBy("source")
+  }
+
+  val noveltyOracle: String = """
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         CASE WHEN len(w) < 3 THEN []
+              ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)])
+         END AS grams
+  FROM w
+),
+inv AS (
+  SELECT doc_id, source, unnest(grams) AS g FROM grams
+),
+first AS (
+  SELECT g, min(doc_id) AS fdoc FROM inv GROUP BY g
+)
+SELECT source, count(*) AS total_grams,
+       sum(CASE WHEN doc_id = fdoc THEN 1 ELSE 0 END) AS novel_grams,
+       (sum(CASE WHEN doc_id = fdoc THEN 1 ELSE 0 END) * 1000000)
+         // count(*) AS novelty_ppm
+FROM inv JOIN first USING (g)
+GROUP BY source ORDER BY source
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_novelty" -> (novelty _),
     "text_source_drift" -> (sourceDrift _),
     "text_char_gini" -> (charGini _),
     "text_zipf" -> (zipf _),
@@ -630,6 +689,7 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
 """
 
   val oracles: Map[String, String] = Map(
+    "text_novelty" -> noveltyOracle,
     "text_source_drift" -> sourceDriftOracle,
     "text_char_gini" -> charGiniOracle,
     "text_zipf" -> zipfOracle,

@@ -199,6 +199,60 @@ class SurfaceR4Spec extends SparkSpec {
     assert(nExpired <= nClicks)
   }
 
+  test("text_novelty: every distinct gram is novel exactly once") {
+    val rows = TextQueries.all("text_novelty")(spark, sf).collect()
+    val nDistinct = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TrigramHashes(
+        split(col("text"), " "))).as("g"))
+      .select("g").distinct().count()
+    assert(rows.map(_.getAs[Long]("novel_grams")).sum == nDistinct,
+      "per-source novel grams must sum to the corpus-distinct gram count")
+    assert(rows.forall { r =>
+      r.getAs[Long]("novel_grams") <= r.getAs[Long]("total_grams")
+    })
+  }
+
+  test("sketch_bloom_fp has zero false negatives on the build keys") {
+    // Re-probe the filter with the BUILD keyspace: every key must hit
+    // all 3 positions (the Bloom contract the FP audit presumes).
+    val row = SketchQueries.all("sketch_bloom_fp")(spark, sf).head()
+    assert(row.getAs[Long]("n_fp") * 100L <= row.getAs[Long]("n_probes"),
+      "false-positive rate implausibly high for m=65536, k=3")
+    val p = 2147483647L
+    val m = 65536L
+    val as = Seq(2654435761L % p, 2246822519L % p, 3266489917L % p)
+    val bs = Seq(1013904223L, 374761393L, 668265263L)
+    val keys = Tables.customer(spark, sf).select("c_custkey")
+      .collect().map(_.getLong(0))
+    val bits = keys.flatMap(k =>
+      as.zip(bs).map { case (a, b) => ((k * a + b) % p) % m }).toSet
+    assert(keys.forall(k => as.zip(bs).forall { case (a, b) =>
+      bits.contains(((k * a + b) % p) % m)
+    }), "a build key missed its own positions — false negative")
+  }
+
+  test("q53_rolling_slope matches a brute-force OLS fit per window") {
+    val daily = Tables.orders(spark, sf)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("bigint"))
+        .as("y"))
+      .collect().map(r => (r.getAs[Any]("d").toString, r.getAs[Long]("y")))
+      .sortBy(_._1)
+    val got = RelationalQueries.all("q53_rolling_slope")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Any]("d").toString ->
+        r.getAs[Long]("slope_cents_per_day"))
+      .toMap
+    assert(got.size == daily.length - 6)
+    daily.sliding(7).foreach { w =>
+      val ys = w.map(_._2)
+      val num = 7L * ys.zipWithIndex.map { case (y, i) => i * y }.sum -
+        21L * ys.sum
+      assert(got(w.last._1) == num / 196L,
+        s"slope at ${w.last._1} diverges from brute-force OLS")
+    }
+  }
+
   test("stats_cusum top row is the global argmax of |N*S_k|") {
     val daily = Tables.events(spark, sf)
       .select(expr("unix_micros(ts) div 86400000000").as("day"))
