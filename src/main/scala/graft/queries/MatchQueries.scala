@@ -201,13 +201,82 @@ SELECT n_members, count(*) AS n_entities,
 FROM ent GROUP BY n_members ORDER BY n_members
 """
 
+  /** er_blocking_audit: blocking-key quality report — BEFORE running
+    * any pairwise matcher, a linkage pipeline audits its candidate
+    * blocking strategies: how many blocks, how big is the worst block,
+    * how many candidate pairs survive (Σ b·(b−1)/2), and what fraction
+    * of the naive all-pairs space that is. A strategy whose max block
+    * is O(N) has degenerated to quadratic — exactly what
+    * prefix-blocking does on corpora with a shared prefix (see the
+    * wildcard-index scaladoc above). Audited here over part names:
+    * `first_token` (the classic) vs `len_band` (length ÷ 4) —
+    * all-integer arithmetic, pairs in ppm of N·(N−1)/2.
+    *
+    * Scale: two keyed counts plus a ≤|blocks|-row rollup each; the
+    * audit never materializes a candidate pair. Headroom: Σb² ≤ N² in
+    * the ppm product → decimal(38,0) guard from ~10⁸ names up.
+    */
+  def blockingAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = Tables.part(spark, sfDir).select(col("p_name")).distinct()
+    def audit(strategy: String, key: org.apache.spark.sql.Column) = {
+      val blocks = names.groupBy(key.as("k")).agg(count(lit(1)).as("b"))
+      // sp = Σ b·(b−1) (twice the candidate pairs) stays integral all
+      // the way: cand = sp div 2, ppm = sp·10⁶ div (n·(n−1)).
+      blocks.agg(
+          count(lit(1)).as("n_blocks"),
+          max(col("b")).as("max_block"),
+          sum(col("b").cast("decimal(19,0)") * (col("b") - 1))
+            .cast("decimal(38,0)").as("sp"),
+          sum(col("b")).as("n"))
+        .select(lit(strategy).as("strategy"), col("n_blocks"),
+          col("max_block"),
+          expr("cast(sp div 2 as bigint)").as("cand_pairs"),
+          expr("cast((sp * 1000000) div (cast(n as decimal(19,0)) * (n - 1))" +
+               " as bigint)").as("pairs_ppm"))
+    }
+    audit("first_token", split(col("p_name"), " ").getItem(0))
+      .unionAll(audit("len_band", (length(col("p_name")) / 4).cast("int")))
+      .orderBy("strategy")
+  }
+
+  val blockingAuditOracle: String = """
+WITH names AS (SELECT DISTINCT p_name FROM part),
+b1 AS (
+  SELECT string_split(p_name, ' ')[1] AS k, count(*) AS b
+  FROM names GROUP BY 1
+),
+b2 AS (
+  SELECT cast(length(p_name) // 4 AS int) AS k, count(*) AS b
+  FROM names GROUP BY 1
+),
+a1 AS (
+  SELECT 'first_token' AS strategy, count(*) AS n_blocks,
+         max(b) AS max_block,
+         sum(b::hugeint * (b - 1)) AS sp, sum(b) AS n
+  FROM b1
+),
+a2 AS (
+  SELECT 'len_band' AS strategy, count(*) AS n_blocks,
+         max(b) AS max_block,
+         sum(b::hugeint * (b - 1)) AS sp, sum(b) AS n
+  FROM b2
+),
+u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+SELECT strategy, n_blocks, max_block,
+       cast(sp // 2 AS bigint) AS cand_pairs,
+       cast((sp * 1000000) // (n::hugeint * (n - 1)) AS bigint) AS pairs_ppm
+FROM u ORDER BY strategy
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_blocking_audit" -> (blockingAudit _),
     "er_fuzzy_pairs" -> (fuzzyPairs _),
     "er_fuzzy_indel" -> (fuzzyIndelPairs _),
     "er_entity_clusters" -> (entityClusters _),
   )
 
   val oracles: Map[String, String] = Map(
+    "er_blocking_audit" -> blockingAuditOracle,
     "er_fuzzy_pairs" -> fuzzyPairsOracle,
     "er_fuzzy_indel" -> fuzzyIndelOracle,
     "er_entity_clusters" -> entityClustersOracle,

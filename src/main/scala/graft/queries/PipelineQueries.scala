@@ -674,7 +674,57 @@ SELECT cast(row_number() OVER (ORDER BY n DESC, pair) AS int) AS rank,
 FROM c QUALIFY rank <= 20 ORDER BY rank
 """
 
+  /** pipe_epoch_shuffle: seeded per-epoch reshuffle — multi-epoch
+    * training must present the corpus in a DIFFERENT but REPRODUCIBLE
+    * order each epoch (same order across restarts and workers; no RNG
+    * state to checkpoint). Order key = `(doc_id·M_epoch) mod
+    * 1000000007` with a DISTINCT large multiplier per epoch — a shared
+    * multiplier with an additive or small-delta epoch term only
+    * rotates values mod p, leaving the relative order unchanged away
+    * from the wrap (both caught by the distinct-orders spec); same
+    * hash-not-random discipline as pipe_train_split. Tie-broken by
+    * doc_id. Graded witness: the first 10 docs of each of 3
+    * epochs — enough to pin that epochs permute differently and
+    * identically on both engines.
+    *
+    * Scale: the full-order materialization is a sort by the mix key —
+    * in production the key is computed in the reader and ordering is
+    * per-shard (sort within output files), so no global sort ever
+    * runs; the graded top-10-per-epoch is a bounded window.
+    */
+  def epochShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("epoch").orderBy("mix", "doc_id")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(sequence(lit(0L), lit(2L))).as("epoch"))
+      .withColumn("mix",
+        (col("doc_id") * element_at(
+          array(lit(2654435761L), lit(1779033703L), lit(3144134277L)),
+          (col("epoch") + 1).cast("int"))) % lit(1000000007L))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select(col("epoch"), col("rank").cast("bigint").as("rank"),
+        col("doc_id"))
+      .orderBy("epoch", "rank")
+  }
+
+  val epochShuffleOracle: String = """
+WITH x AS (
+  SELECT doc_id, e.epoch,
+         (doc_id * ([2654435761, 1779033703, 3144134277])[e.epoch + 1])
+           % 1000000007 AS mix
+  FROM documents, (SELECT unnest([0, 1, 2]) AS epoch) e
+),
+r AS (
+  SELECT epoch, doc_id,
+         row_number() OVER (PARTITION BY epoch ORDER BY mix, doc_id) AS rank
+  FROM x
+)
+SELECT epoch, cast(rank AS bigint) AS rank, doc_id
+FROM r WHERE rank <= 10 ORDER BY epoch, rank
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_epoch_shuffle" -> (epochShuffle _),
     "pipe_bpe_merges" -> (bpeMerges _),
     "pipe_curriculum" -> (curriculum _),
     "pipe_interleave" -> (interleave _),
@@ -694,6 +744,7 @@ FROM c QUALIFY rank <= 20 ORDER BY rank
   )
 
   val oracles: Map[String, String] = Map(
+    "pipe_epoch_shuffle" -> epochShuffleOracle,
     "pipe_bpe_merges" -> bpeMergesOracle,
     "pipe_curriculum" -> curriculumOracle,
     "pipe_interleave" -> interleaveOracle,

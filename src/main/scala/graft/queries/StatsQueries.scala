@@ -911,6 +911,73 @@ SELECT na, nb, u2_a,
 FROM s
 """
 
+  /** stats_autocorr: lag-1 autocorrelation of the daily revenue series
+    * — the "is today like yesterday" persistence statistic that decides
+    * whether a forecast needs an AR term. Exactness follows the
+    * q29_stats_moments recipe: the sums S=Σy, S2=Σy², C=Σyₜ·yₜ₊₁ are
+    * EXACT (decimal(38,0) / hugeint — order-independent under parallel
+    * aggregation), and the ratio
+    * `r₁ = (n²C − nS(2S−y₁−yₙ) + (n−1)S²) / (n(nS2 − S²))`
+    * (the mean-centered expansion cleared of the 1/n fractions) is
+    * evaluated in doubles with IDENTICAL expression text on both
+    * engines — same inputs, same op order, same bits — and floored to
+    * micros. Headroom ≈ 10³⁰ of decimal38's 10³⁸ at sf1.
+    *
+    * Scale: one map-side-combinable daily rollup; the lag join is a
+    * `lead` window over the bounded calendar series.
+    */
+  def autocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(cents(col("o_totalprice"))).as("y"))
+    val led = daily
+      .withColumn("y2", lead(col("y"), 1).over(Window.orderBy("day")))
+    val m = led.agg(
+      count(lit(1)).as("n"),
+      sum(col("y")).as("s"),
+      sum(col("y").cast("decimal(19,0)") * col("y"))
+        .cast("decimal(38,0)").as("s2"),
+      sum(col("y").cast("decimal(19,0)") * col("y2"))
+        .cast("decimal(38,0)").as("c"),
+      min_by(col("y"), col("day")).as("y1"),
+      max_by(col("y"), col("day")).as("yn"))
+    val num = "(cast(n as double) * cast(n as double) * cast(c as double) - " +
+      "cast(n as double) * cast(s as double) * " +
+      "(2.0 * cast(s as double) - cast(y1 as double) - cast(yn as double)) + " +
+      "(cast(n as double) - 1.0) * cast(s as double) * cast(s as double))"
+    val den = "(cast(n as double) * (cast(n as double) * cast(s2 as double) - " +
+      "cast(s as double) * cast(s as double)))"
+    m.select(col("n").as("n_days"),
+      expr(s"cast(floor(1000000.0 * $num / $den) as bigint)").as("r1_micros"))
+  }
+
+  val autocorrOracle: String = """
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) AS y
+  FROM orders GROUP BY 1
+),
+led AS (
+  SELECT day, y, lead(y) OVER (ORDER BY day) AS y2 FROM daily
+),
+m AS (
+  SELECT count(*) AS n, sum(y) AS s,
+         sum(y::hugeint * y) AS s2,
+         sum(y::hugeint * y2) AS c,
+         arg_min(y, day) AS y1, arg_max(y, day) AS yn
+  FROM led
+)
+SELECT n AS n_days,
+       cast(floor(1000000.0 *
+         (cast(n AS double) * cast(n AS double) * cast(c AS double) -
+          cast(n AS double) * cast(s AS double) *
+          (2.0 * cast(s AS double) - cast(y1 AS double) - cast(yn AS double)) +
+          (cast(n AS double) - 1.0) * cast(s AS double) * cast(s AS double)) /
+         (cast(n AS double) * (cast(n AS double) * cast(s2 AS double) -
+          cast(s AS double) * cast(s AS double)))) AS bigint) AS r1_micros
+FROM m
+"""
+
   /** stats_cusum: CUSUM changepoint scan over the daily event-count
     * series — the classic "did the feed's volume regime shift, and
     * when?" monitor. The mean-centered cumulative sum
@@ -965,6 +1032,7 @@ FROM scan ORDER BY abs(n_days * cum - k * total) DESC, day LIMIT 5
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_attribution" -> (attribution _),
+    "stats_autocorr" -> (autocorr _),
     "stats_ks_test" -> (ksTest _),
     "stats_mannwhitney" -> (mannWhitney _),
     "stats_cusum" -> (cusum _),
@@ -985,6 +1053,7 @@ FROM scan ORDER BY abs(n_days * cum - k * total) DESC, day LIMIT 5
 
   val oracles: Map[String, String] = Map(
     "q52_attribution" -> attributionOracle,
+    "stats_autocorr" -> autocorrOracle,
     "stats_ks_test" -> ksTestOracle,
     "stats_mannwhitney" -> mannWhitneyOracle,
     "stats_cusum" -> cusumOracle,

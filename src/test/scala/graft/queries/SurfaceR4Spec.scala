@@ -253,6 +253,46 @@ class SurfaceR4Spec extends SparkSpec {
     }
   }
 
+  test("stats_autocorr stays in [-1, 1] and matches brute force") {
+    val row = StatsQueries.all("stats_autocorr")(spark, sf).head()
+    val r1 = row.getAs[Long]("r1_micros")
+    assert(r1 >= -1000000L && r1 <= 1000000L)
+    val daily = Tables.orders(spark, sf)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("bigint"))
+        .as("y"))
+      .collect().map(r => (r.getAs[Any]("day").toString, r.getAs[Long]("y")))
+      .sortBy(_._1).map(_._2.toDouble)
+    val m = daily.sum / daily.length
+    val num = daily.zip(daily.tail).map { case (a, b) => (a - m) * (b - m) }.sum
+    val den = daily.map(y => (y - m) * (y - m)).sum
+    assert(math.abs(r1 / 1e6 - num / den) < 1e-4,
+      s"r1 ${r1 / 1e6} vs brute-force ${num / den}")
+  }
+
+  test("er_blocking_audit pair counts are consistent with block sizes") {
+    val rows = MatchQueries.all("er_blocking_audit")(spark, sf).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val mx = r.getAs[Long]("max_block")
+      assert(r.getAs[Long]("cand_pairs") >= mx * (mx - 1) / 2,
+        "candidate pairs must at least cover the largest block")
+      assert(r.getAs[Long]("pairs_ppm") <= 1000000L)
+    }
+  }
+
+  test("pipe_epoch_shuffle epochs are deterministic and distinct") {
+    val a = PipelineQueries.all("pipe_epoch_shuffle")(spark, sf).collect()
+    val b = PipelineQueries.all("pipe_epoch_shuffle")(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "reshuffle must be reproducible")
+    val byEpoch = a.groupBy(_.getAs[Long]("epoch"))
+      .map { case (e, g) => e -> g.sortBy(_.getAs[Long]("rank"))
+        .map(_.getAs[Long]("doc_id")).toSeq }
+    assert(byEpoch.size == 3)
+    assert(byEpoch.values.toSet.size == 3,
+      "different epochs must present different head orders")
+  }
+
   test("stats_cusum top row is the global argmax of |N*S_k|") {
     val daily = Tables.events(spark, sf)
       .select(expr("unix_micros(ts) div 86400000000").as("day"))
