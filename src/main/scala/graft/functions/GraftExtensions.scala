@@ -31,6 +31,12 @@ object GraftFunctions {
      (children: Seq[Expression]) => {
        require(children.length == 1, "graft_cdc_cuts takes exactly 1 argument")
        CdcCuts(children.head)
+     }),
+    (FunctionIdentifier("graft_pq_assign"),
+     new ExpressionInfo(classOf[PqAssign].getName, "graft_pq_assign"),
+     (children: Seq[Expression]) => {
+       require(children.length == 1, "graft_pq_assign takes exactly 1 argument")
+       PqAssign(children.head)
      }))
 
   def inject(ext: SparkSessionExtensions): Unit =

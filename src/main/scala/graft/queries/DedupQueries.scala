@@ -113,6 +113,114 @@ ORDER BY doc_id
       .select(col("a"), col("b"))
   }
 
+  /** dedup_minhash_est: MinHash estimator-accuracy gate — the sketch
+    * family's missing audit row (CMS has never-under, HLL/theta/KMV
+    * have error bands, Bloom has its FP count). For the 20
+    * highest-overlap band-collision candidate pairs, grade the
+    * signature-agreement Jaccard estimate (`matches/16` in ppm)
+    * side-by-side with the EXACT token Jaccard — the numbers a dedup
+    * operator compares when tuning bands × rows against a recall
+    * target. Everything is md5/integer arithmetic, so both columns
+    * hash-gate exactly.
+    *
+    * Scale: signatures are one map-side agg over the token explosion
+    * (the same shape the clustering path memoizes); candidates come
+    * from the same capped band buckets; the top-20 is a bounded sort
+    * over the candidate set, which the bucket cap keeps linear.
+    */
+  def minhashEst(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = docTokens(spark, sfDir).localCheckpoint()
+    val exploded = toks.select(col("doc_id"), explode(col("tokens")).as("token"))
+    val sigCols = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("token")))).as(s"s$i"))
+    val sigs = exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"s$i")): _*).as("sig"))
+      .localCheckpoint()
+    val bandCols = (0 until NumHashes / BandSize).map { j =>
+      val parts = (j * BandSize until (j + 1) * BandSize)
+        .map(i => element_at(col("sig"), i + 1))
+      concat(lit(s"$j:"), md5(concat_ws("|", parts: _*)))
+    }
+    val bands = sigs.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("band"))
+    val coldBands = bands.join(
+      Hints.maybeBroadcast(
+        bands.groupBy("band").count().where(col("count") <= MaxBucket),
+        bands.count())
+        .select("band"),
+      "band")
+    val cand = coldBands.as("x").join(coldBands.as("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .dropDuplicates()
+    val matches = (0 until NumHashes).map(i =>
+      when(element_at(col("sa"), i + 1) === element_at(col("sb"), i + 1), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    cand
+      .join(sigs.toDF("a", "sa"), "a")
+      .join(sigs.toDF("b", "sb"), "b")
+      .join(toks.toDF("a", "ta"), "a")
+      .join(toks.toDF("b", "tb"), "b")
+      .select(col("a"), col("b"), matches.as("m"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
+        (size(col("ta")) + size(col("tb")) -
+          size(array_intersect(col("ta"), col("tb")))).cast("long").as("uni"))
+      .select(col("a"), col("b"),
+        expr(s"(m * 1000000) div $NumHashes").as("est_ppm"),
+        expr("(inter * 1000000) div uni").as("exact_ppm"))
+      .orderBy(col("exact_ppm").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  val minhashEstOracle: String = s"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+),
+sigs AS (
+  SELECT doc_id, i,
+         min(md5(i || ':' || token)) AS sig
+  FROM toks, unnest(range(0, $NumHashes)) AS u(i)
+  GROUP BY doc_id, i
+),
+sigl AS (
+  SELECT doc_id, list(sig ORDER BY i) AS sl FROM sigs GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id,
+         (i // $BandSize) || ':' || md5(string_agg(sig, '|' ORDER BY i)) AS band
+  FROM sigs
+  GROUP BY doc_id, (i // $BandSize)
+),
+cold AS (
+  SELECT band FROM bands GROUP BY band HAVING count(*) <= $MaxBucket
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
+  WHERE x.band IN (SELECT band FROM cold)
+),
+tsets AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents
+),
+scored AS (
+  SELECT a, b,
+         len(list_filter(range(1, $NumHashes + 1),
+             i -> sa.sl[i] = sb.sl[i])) AS m,
+         len(list_intersect(ta.ts, tb.ts)) AS inter,
+         len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)) AS uni
+  FROM cand JOIN sigl sa ON cand.a = sa.doc_id
+            JOIN sigl sb ON cand.b = sb.doc_id
+            JOIN tsets ta ON cand.a = ta.doc_id
+            JOIN tsets tb ON cand.b = tb.doc_id
+)
+SELECT a, b,
+       (m * 1000000) // $NumHashes AS est_ppm,
+       (inter * 1000000) // uni AS exact_ppm
+FROM scored ORDER BY exact_ppm DESC, a, b LIMIT 20
+"""
+
   /** Cluster assignment for every document: CC over verified pairs plus
     * a self-pair per doc (singletons stay their own cluster).
     *
@@ -812,6 +920,7 @@ ORDER BY doc_a, doc_b
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cdc_chunks" -> (cdcChunkPairs _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_minhash_est" -> (minhashEst _),
     "dedup_minhash_clusters" -> (dedupMinhashClusters _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_clusters" -> (dedupSimhashClusters _),
@@ -824,6 +933,7 @@ ORDER BY doc_a, doc_b
   val oracles: Map[String, String] = Map(
     "dedup_cdc_chunks" -> cdcChunkPairsOracle,
     "dedup_exact" -> dedupExactOracle,
+    "dedup_minhash_est" -> minhashEstOracle,
     "dedup_minhash_clusters" -> dedupMinhashOracle,
     "dedup_simhash" -> dedupSimhashOracle,
     "dedup_simhash_clusters" -> dedupSimhashClustersOracle,

@@ -572,10 +572,14 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
     * distortion sums are pure int64 arithmetic with ~5·10⁵ headroom
     * per cell.
     *
-    * Scale shape: assignment is a NARROW projection (the 4·8·8 codebook
-    * is compile-time literal — the production analogue broadcasts it),
-    * followed by one 32-group map-side-combinable aggregation; no
-    * join, no explode on the hot path. Per 100 TB scan: one pass.
+    * Scale shape: assignment is a NARROW projection through the
+    * codegen'd [[graft.functions.PqAssign]] expression (the same
+    * kernel declared as an unrolled 8×4×8 expression tree generated a
+    * >64 KB method — Janino rejects it and the stage silently fell
+    * back to interpreted eval; the custom expression is three tight
+    * loops that stay inside WholeStageCodegen), followed by one
+    * 32-group map-side-combinable aggregation; no join, no wide
+    * explode on the hot path. Per 100 TB scan: one pass.
     */
   def pqAssign(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
@@ -586,21 +590,12 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
       expr(s"transform(embedding, x -> cast(greatest(-127.0, least(127.0," +
         s" floor(cast(x as double) / $smax * 127.0 + 0.5))) as bigint))")
         .as("q"))
-    def cb(s: Int, c: Int, j: Int): Long = ((131 * s + 37 * c + 11 * j) % 256) - 128
-    val subBest = (0 until 8).map { s =>
-      val cands = (0 until 4).map { c =>
-        val d = (0 until 8).map { j =>
-          val t = element_at(col("q"), s * 8 + j + 1) - lit(cb(s, c, j))
-          t * t
-        }.reduce(_ + _)
-        struct(d.as("d"), lit(c.toLong).as("code"))
-      }
-      struct(lit(s.toLong).as("sub"), array_min(array(cands: _*)).as("best"))
-    }
     codes
-      .select(explode(array(subBest: _*)).as("a"))
-      .groupBy(col("a.sub").as("sub"), col("a.best.code").as("code"))
-      .agg(count(lit(1)).as("n_vecs"), sum(col("a.best.d")).as("distortion"))
+      .select(posexplode(graft.functions.PqAssign(col("q"))))
+      .select(col("pos").cast("long").as("sub"),
+        (col("col") % 4).as("code"), expr("col div 4").as("dmin"))
+      .groupBy("sub", "code")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("dmin")).as("distortion"))
       .orderBy("sub", "code")
   }
 

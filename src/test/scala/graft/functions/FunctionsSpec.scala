@@ -57,6 +57,41 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql.toSet.subsetOf(custom(0)))
   }
 
+  test("PqAssign codegen matches interpreted eval and a Scala reference") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // Deterministic pseudo-codes in [-127, 127].
+    val codes = Array.tabulate(64)(i => ((i * 37 + 11) % 255 - 127).toLong)
+    def cb(sub: Int, c: Int, j: Int): Long =
+      ((131 * sub + 37 * c + 11 * j) % 256) - 128
+    val expected = (0 until 8).map { sub =>
+      val (d, c) = (0 until 4).map { c =>
+        ((0 until 8).map { j =>
+          val t = codes(sub * 8 + j) - cb(sub, c, j); t * t
+        }.sum, c)
+      }.minBy { case (d, c) => (d, c) }
+      d * 4 + c
+    }
+    val df = Seq(Tuple1(codes)).toDF("q")
+    val viaColumn = df.select(PqAssign(col("q")).as("a"))
+      .as[Seq[Long]].collect()(0)
+    assert(viaColumn == expected, "codegen path diverges from reference")
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("pq_probe")
+    val viaSql = spark.sql("SELECT graft_pq_assign(q) FROM pq_probe")
+      .as[Seq[Long]].collect()(0)
+    assert(viaSql == expected, "SQL registration path diverges")
+    // Interpreted path (eval): force by calling nullSafeEval directly.
+    val interp = graft.functions.PqAssign(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        codes.toSeq, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+    assert(interp == expected, "interpreted eval diverges")
+  }
+
   test("null input propagates to null; mismatched types rejected at analysis") {
     val s = spark
     import s.implicits._
