@@ -285,7 +285,73 @@ SELECT node AS doc_id, min(comp) AS cluster FROM walk GROUP BY node
 ORDER BY doc_id
 """
 
+  final case class AudioWindows(doc_id: Long, n_windows: Int,
+                                peak_idx: Int, peak_energy: Long,
+                                mean_energy: Long)
+
+  /** media_audio_energy: fixed-stride window energy over the audio
+    * payloads — the loudness profile an audio-curation pass computes to
+    * drop silence/clipping and to pick segment boundaries. Windows are
+    * 256 bytes, full windows only; per doc the graded row carries the
+    * window count, the peak window (argmax energy, tie → earliest) and
+    * the mean energy. The "samples" are the stub codec's bytes (ASCII
+    * text re-encoded, see the object scaladoc), so DuckDB recomputes
+    * energies byte-for-byte with `ord(substr(...))`.
+    *
+    * Scale: the window scan crosses the same per-partition codec
+    * boundary as every media query (real codecs batch here); output is
+    * one row per doc — no shuffle at all until the gate's orderBy.
+    */
+  def mediaAudioEnergy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .filter(col("meta.media_type") === "audio")
+      .mapPartitions(_.flatMap { row =>
+        val b = row.payload
+        val nw = b.length / 256
+        if (nw == 0) Iterator.empty
+        else {
+          var peakIdx = 0
+          var peakE = Long.MinValue
+          var total = 0L
+          var w = 0
+          while (w < nw) {
+            var e = 0L
+            var i = w * 256
+            val end = i + 256
+            while (i < end) { e += (b(i) & 0xff); i += 1 }
+            if (e > peakE) { peakE = e; peakIdx = w }
+            total += e
+            w += 1
+          }
+          Iterator.single(AudioWindows(row.doc_id, nw, peakIdx, peakE,
+            total / nw))
+        }
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val mediaAudioEnergyOracle: String = """
+WITH audio AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+),
+w AS (
+  SELECT doc_id, t.w AS widx,
+         list_sum(list_transform(range(1, 257),
+           i -> ord(substr(text, t.w * 256 + i, 1)))) AS energy
+  FROM audio, unnest(range(0, length(text) // 256)) AS t(w)
+)
+SELECT doc_id, cast(count(*) AS int) AS n_windows,
+       cast(999999 - max(energy * 1000000 + (999999 - widx)) % 1000000
+            AS int) AS peak_idx,
+       max(energy * 1000000 + (999999 - widx)) // 1000000 AS peak_energy,
+       sum(energy) // count(*) AS mean_energy
+FROM w GROUP BY doc_id ORDER BY doc_id
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_audio_energy" -> (mediaAudioEnergy _),
     "media_phash_clusters" -> (mediaPhashClusters _),
     "media_features" -> (mediaFeatures _),
     "media_frame_sample" -> (mediaFrameSample _),
@@ -293,6 +359,7 @@ ORDER BY doc_id
   )
 
   val oracles: Map[String, String] = Map(
+    "media_audio_energy" -> mediaAudioEnergyOracle,
     "media_phash_clusters" -> mediaPhashClustersOracle,
     "media_features" -> mediaFeaturesOracle,
     "media_frame_sample" -> mediaFrameSampleOracle,

@@ -92,6 +92,47 @@ FROM documents WHERE lang IN ('en', 'zh')
 GROUP BY lang, source ORDER BY lang, source
 """
 
+  /** io_dpp_pruning: DYNAMIC partition pruning — the 100 TB star-join
+    * pattern where the partition filter on the fact table is not known
+    * until runtime, because it comes from the DIM side of a join (here
+    * a lang-dimension table whose `tier` column selects the keep set).
+    * Catalyst plans a dynamic-pruning subquery on the fact scan: the
+    * broadcast dim is evaluated first and only the surviving `lang=`
+    * directories are read — `io_partitioned_pruning` pins the STATIC
+    * half of this contract, IoQueriesSpec pins the plan (a
+    * `dynamicpruning` PartitionFilter on the scan). At 100 TB this is
+    * the difference between scanning the fact table and scanning the
+    * dim-selected slice, with no literal filter anywhere in user code.
+    */
+  def dppPruning(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageDir(sfDir, "dpp")
+    Tables.documents(spark, sfDir)
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // The dim's keep-set is data-dependent (read from the corpus), so
+    // the optimizer cannot constant-fold it into a static filter.
+    val dim = Tables.documents(spark, sfDir)
+      .select(col("lang")).distinct()
+      .withColumn("tier",
+        when(length(col("lang")) === 2 && col("lang") < lit("es"),
+          lit("keep")).otherwise(lit("drop")))
+    fact.join(broadcast(dim.where(col("tier") === "keep")), "lang")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang", "source")
+  }
+
+  private val dppOracle = """
+WITH dim AS (
+  SELECT DISTINCT lang FROM documents
+  WHERE length(lang) = 2 AND lang < 'es'
+)
+SELECT d.lang, d.source, count(*) AS n_docs,
+       cast(sum(d.n_chars) AS bigint) AS total_chars
+FROM documents d JOIN dim USING (lang)
+GROUP BY d.lang, d.source ORDER BY lang, source
+"""
+
   private val oracle = """
 SELECT lang, count(*) AS n_docs,
        cast(sum(n_chars) AS bigint) AS total_chars,
@@ -354,6 +395,7 @@ FROM documents GROUP BY lang ORDER BY lang
     "io_json_roundtrip" -> (jsonRoundtrip _),
     "io_csv_roundtrip" -> (csvRoundtrip _),
     "io_orc_roundtrip" -> (orcRoundtrip _),
+    "io_dpp_pruning" -> (dppPruning _),
     "io_partitioned_pruning" -> (partitionedPruning _),
   )
 
@@ -367,6 +409,7 @@ FROM documents GROUP BY lang ORDER BY lang
     "io_json_roundtrip" -> oracle,
     "io_csv_roundtrip" -> oracle,
     "io_orc_roundtrip" -> oracle,
+    "io_dpp_pruning" -> dppOracle,
     "io_partitioned_pruning" -> partitionedOracle,
   )
 }

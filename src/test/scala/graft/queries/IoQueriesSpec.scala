@@ -41,6 +41,14 @@ class IoQueriesSpec extends SparkSpec {
     assert(pf.exists(_.contains("lang")), s"no lang partition filter in:\n$plan")
   }
 
+  test("dpp pruning plans a dynamic-pruning subquery on the fact scan") {
+    val result = IoQueries.dppPruning(spark, sfDir)
+    result.collect() // force execution so AQE finalizes the plan
+    val plan = result.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic-pruning filter on the fact scan in:\n$plan")
+  }
+
   test("csv roundtrip preserves every row verbatim") {
     val s = spark
     val docs = Tables.documents(s, sfDir)
