@@ -546,7 +546,87 @@ FROM matched ma FULL OUTER JOIN expired ex ON ex.user_id = ma.user_id
 ORDER BY user_id
 """
 
+  /** stream_update_mode: UPDATE output-mode semantics, graded. Append
+    * emits a window once, complete re-emits everything; update emits
+    * exactly the keys whose state CHANGED in each micro-batch — the
+    * contract a downstream upsert sink (key-value store, OLAP upsert
+    * table) depends on. Two controlled batches: the older events, then
+    * the newest two hours. The memory sink in update mode appends each
+    * trigger's changed rows, so the graded table is
+    *
+    *  - batch 0: every (hour, type) window of the older half, with
+    *    half-time counts;
+    *  - batch 1: ONLY the windows the newest slice touches — re-emitted
+    *    with their updated (= final, since the replay ends) counts;
+    *    untouched windows are NOT re-emitted (that silence is the
+    *    update-mode contract, and what the oracle's second leg mirrors
+    *    with its semi-join);
+    *  - the final no-data batch emits nothing (no state change).
+    *
+    * A window spanning both halves therefore appears TWICE with
+    * different counts — both rows graded. No watermark: update mode
+    * emission is change-driven, not watermark-driven (the eviction
+    * interaction is stream_late_data's and stream_outer_join's beat).
+    *
+    * Scale: identical state shape to stream_windowed_counts; update
+    * mode bounds per-trigger output by the changed-key set, which is
+    * what makes continuous upsert feeds viable at 100 TB/day.
+    */
+  def updateMode(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts: long ns
+    val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
+    val splitNs = maxNs - 2L * 3600 * 1000000000L
+    val stage = stageBatches(spark, sfDir, "update_mode", raw, Seq(
+      (col("ts") < splitNs) -> "older_first",
+      (col("ts") >= splitNs) -> "newest_second"))
+    val schema = raw.schema
+    runToCompletion(spark, sub =>
+      sub.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n")),
+      "update")
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+              col("event_type"), col("n"))
+      .orderBy("window_start", "event_type", "n")
+  }
+
+  /** Mirror: batch-0 rows are the older half's windows at half-time
+    * counts; batch-1 rows are the FINAL counts of exactly the windows
+    * the newest slice touches.
+    */
+  val updateModeOracle: String = """
+WITH m AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+ev AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start, event_type,
+         epoch_us(ts) AS us
+  FROM events
+),
+h0 AS (
+  SELECT window_start, event_type, count(*) AS n
+  FROM ev, m WHERE us < m.max_us - 7200000000
+  GROUP BY 1, 2
+),
+touched AS (
+  SELECT DISTINCT window_start, event_type
+  FROM ev, m WHERE us >= m.max_us - 7200000000
+),
+tot AS (
+  SELECT window_start, event_type, count(*) AS n FROM ev GROUP BY 1, 2
+)
+SELECT window_start, event_type, n FROM h0
+UNION ALL
+SELECT t.window_start, t.event_type, t.n
+FROM tot t JOIN touched u
+  ON u.window_start = t.window_start AND u.event_type = t.event_type
+ORDER BY window_start, event_type, n
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_update_mode" -> (updateMode _),
     "stream_outer_join" -> (outerJoin _),
     "stream_late_data" -> (lateData _),
     "stream_static_join" -> (staticJoin _),
@@ -559,6 +639,7 @@ ORDER BY user_id
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_update_mode" -> updateModeOracle,
     "stream_outer_join" -> outerJoinOracle,
     "stream_late_data" -> lateDataOracle,
     "stream_static_join" -> staticJoinOracle,
