@@ -451,6 +451,75 @@ FROM orders o JOIN med m ON m.o_orderpriority = o.o_orderpriority
 GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
 """
 
+  /** stats_winsorized: winsorized mean per order priority — the
+    * outlier-robust center a revenue report uses when a few whale
+    * orders would otherwise drag the arithmetic mean (the robust-stats
+    * companion to q50's median/MAD). Unlike q50 (which rides
+    * interpolated percentiles and rounds), the clamp bounds here are
+    * EXACT ORDER STATISTICS picked by integer rank arithmetic —
+    * `r_lo = ⌈n/20⌉`, `r_hi = ⌈19n/20⌉` (the 5th/95th percentile
+    * positions) — so every graded value is pure integer cents: no
+    * interpolation, no float boundary, no rounding convention to
+    * disagree on.
+    *
+    * Scale: one ranked window per group (shuffle on the group key),
+    * one ≤|groups|-row bound table broadcast back, one aggregation.
+    */
+  def winsorized(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").as("g"), cents(col("o_totalprice")).as("c"),
+        col("o_orderkey"))
+    val grp = Window.partitionBy("g")
+    val ranked = o
+      .withColumn("rn", row_number().over(
+        grp.orderBy(col("c"), col("o_orderkey"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(grp))
+    val bounds = ranked
+      .groupBy("g")
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n + 19) div 20"), col("c"))).as("lo"),
+        max(when(col("rn") === expr("(19 * n + 19) div 20"), col("c"))).as("hi"))
+    o.join(broadcast(bounds), "g")
+      .groupBy("g")
+      .agg(max(col("n")).as("n"),
+        max(col("lo")).as("lo_cents"),
+        max(col("hi")).as("hi_cents"),
+        sum(greatest(col("lo"), least(col("hi"), col("c")))).as("wsum"),
+        sum(col("c")).as("rsum"))
+      .select(col("g").as("o_orderpriority"), col("n"),
+        col("lo_cents"), col("hi_cents"),
+        expr("wsum div n").as("wins_mean_cents"),
+        expr("rsum div n").as("raw_mean_cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  val winsorizedOracle: String = """
+WITH o AS (
+  SELECT o_orderpriority AS g,
+         cast(floor(o_totalprice * 100 + 0.5) AS bigint) AS c,
+         o_orderkey
+  FROM orders
+),
+ranked AS (
+  SELECT g, c,
+         row_number() OVER (PARTITION BY g ORDER BY c, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM o
+),
+bounds AS (
+  SELECT g, max(n) AS n,
+         max(CASE WHEN rn = (n + 19) // 20 THEN c END) AS lo,
+         max(CASE WHEN rn = (19 * n + 19) // 20 THEN c END) AS hi
+  FROM ranked GROUP BY g
+)
+SELECT o.g AS o_orderpriority, max(b.n) AS n,
+       max(b.lo) AS lo_cents, max(b.hi) AS hi_cents,
+       sum(greatest(b.lo, least(b.hi, o.c))) // max(b.n) AS wins_mean_cents,
+       sum(o.c) // max(b.n) AS raw_mean_cents
+FROM o JOIN bounds b ON b.g = o.g
+GROUP BY o.g ORDER BY o_orderpriority
+"""
+
   /** stats_markov: first-order Markov transition matrix over each
     * user's event sequence — the behavioral-model building block
     * (session simulation, anomaly scoring, next-event prediction all
@@ -1033,6 +1102,7 @@ FROM scan ORDER BY abs(n_days * cum - k * total) DESC, day LIMIT 5
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_attribution" -> (attribution _),
     "stats_autocorr" -> (autocorr _),
+    "stats_winsorized" -> (winsorized _),
     "stats_ks_test" -> (ksTest _),
     "stats_mannwhitney" -> (mannWhitney _),
     "stats_cusum" -> (cusum _),
@@ -1054,6 +1124,7 @@ FROM scan ORDER BY abs(n_days * cum - k * total) DESC, day LIMIT 5
   val oracles: Map[String, String] = Map(
     "q52_attribution" -> attributionOracle,
     "stats_autocorr" -> autocorrOracle,
+    "stats_winsorized" -> winsorizedOracle,
     "stats_ks_test" -> ksTestOracle,
     "stats_mannwhitney" -> mannWhitneyOracle,
     "stats_cusum" -> cusumOracle,
