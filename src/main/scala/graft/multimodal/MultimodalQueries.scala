@@ -350,7 +350,87 @@ SELECT doc_id, cast(count(*) AS int) AS n_windows,
 FROM w GROUP BY doc_id ORDER BY doc_id
 """
 
+  final case class SceneCut(doc_id: Long, frame_idx: Int, prev_energy: Long,
+                            energy: Long, jump: Long)
+
+  /** media_scene_cuts: shot-boundary detection over the video payloads —
+    * the frame-differencing pass a video-curation pipeline runs to split
+    * footage into scenes before sampling training frames (one frame per
+    * scene beats every-Nth-frame: it never oversamples a static shot).
+    * Per video, ALL `n_frames` fixed-stride frames are decoded and their
+    * energies (byte sums) compared consecutively; frame k is a cut iff
+    * `|e_k − e_{k−1}| · 10 > flen · 25` — i.e. the mean per-byte jump
+    * exceeds 2.5, a threshold that fires on ~⅓ of the stub corpus's
+    * frames (all-integer arithmetic, so the boundary is exact in both
+    * engines). Emits one row per detected cut with the energy pair and
+    * the jump.
+    *
+    * Scale: consecutive-frame differencing is per-DOC state, so the
+    * whole detection runs inside the per-partition codec pass — zero
+    * shuffles before the gate's orderBy; a real pipeline swaps the
+    * byte-sum energy for a histogram/SSIM distance at exactly this
+    * loop. (The even-frame [[mediaFrameSample]] slices can't feed this
+    * query — cuts need ADJACENT frames, so the codec emits all of
+    * them here.)
+    */
+  def mediaSceneCuts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .filter(col("meta.media_type") === "video" && col("meta.n_frames") >= 2)
+      .mapPartitions(_.flatMap { row =>
+        val b = row.payload
+        val nf = row.meta.n_frames
+        val flen = b.length / nf
+        if (flen == 0) Iterator.empty
+        else {
+          val energies = Array.tabulate(nf) { k =>
+            var e = 0L; var i = k * flen; val end = i + flen
+            while (i < end) { e += (b(i) & 0xff); i += 1 }
+            e
+          }
+          (1 until nf).iterator.flatMap { k =>
+            val jump = math.abs(energies(k) - energies(k - 1))
+            if (jump * 10 > flen.toLong * 25)
+              Iterator.single(SceneCut(row.doc_id, k, energies(k - 1),
+                energies(k), jump))
+            else Iterator.empty
+          }
+        }
+      })
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val mediaSceneCutsOracle: String = """
+WITH v AS (
+  SELECT doc_id, text, cast(doc_id % 7 + 1 AS int) AS nf,
+         cast(length(text) // (doc_id % 7 + 1) AS int) AS flen
+  FROM documents
+  WHERE doc_id % 3 = 2 AND doc_id % 7 + 1 >= 2
+    AND length(text) // (doc_id % 7 + 1) > 0
+),
+fe AS (
+  SELECT doc_id, cast(u.k AS int) AS frame_idx, flen,
+         cast(list_sum(list_transform(range(1, flen + 1),
+           i -> ord(substr(text, cast(u.k * flen + i AS int), 1)))) AS bigint)
+           AS energy
+  FROM v, unnest(range(0, nf)) AS u(k)
+),
+d AS (
+  SELECT doc_id, frame_idx, flen, energy,
+         lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_energy
+  FROM fe
+)
+SELECT doc_id, frame_idx, prev_energy, energy,
+       abs(energy - prev_energy) AS jump
+FROM d
+WHERE prev_energy IS NOT NULL
+  AND abs(energy - prev_energy) * 10 > flen * 25
+ORDER BY doc_id, frame_idx
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_scene_cuts" -> (mediaSceneCuts _),
     "media_audio_energy" -> (mediaAudioEnergy _),
     "media_phash_clusters" -> (mediaPhashClusters _),
     "media_features" -> (mediaFeatures _),
@@ -359,6 +439,7 @@ FROM w GROUP BY doc_id ORDER BY doc_id
   )
 
   val oracles: Map[String, String] = Map(
+    "media_scene_cuts" -> mediaSceneCutsOracle,
     "media_audio_energy" -> mediaAudioEnergyOracle,
     "media_phash_clusters" -> mediaPhashClustersOracle,
     "media_features" -> mediaFeaturesOracle,

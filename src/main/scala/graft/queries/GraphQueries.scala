@@ -386,6 +386,92 @@ FROM coeff GROUP BY deg_band ORDER BY deg_band
       .orderBy("d")
   }
 
+  /** graph_shortest_path: multi-source WEIGHTED shortest paths with a
+    * fixed hop budget — the bounded-radius search a recommender runs
+    * around a seed set ("everything within 6 co-purchase hops, by
+    * weighted distance"). Semantics are explicitly "cheapest path using
+    * AT MOST 6 edges" — a hop-bounded distance is a complete, honest
+    * query in itself (the [[khopHist]] contract), so there is no
+    * data-dependent iteration count for an oracle to silently disagree
+    * on. Edge weight is the deterministic integer `(u + v) % 9 + 1`
+    * (both engines compute it identically; all arithmetic is int64);
+    * sources are `node % 97 == 0` — a fixed hash-spread seed set.
+    *
+    * This is textbook Pregel/Bellman-Ford relaxation expressed in
+    * DataFrames: per round, one join of the O(|V|) distance table into
+    * the (checkpointed, never reshuffled) directed edge list + one
+    * map-side-combinable `min` — the same shape as [[pageRankTop]]'s
+    * iteration, with the distance table size-guard-broadcast
+    * ([[Hints.maybeBroadcast]]) so a graph whose reached set outgrows
+    * the cap degrades to an AQE shuffle join, never a crash. The
+    * per-round `localCheckpoint` truncates the 6-deep lineage exactly
+    * like the CC fixpoint does ([[graft.cc.ConnectedComponents]]).
+    * Output is the distance histogram — O(max weight × hops) = ≤55
+    * rows at any corpus size.
+    */
+  def shortestPath(spark: SparkSession, sfDir: String): DataFrame = {
+    val hops = 6
+    val e = undirectedEdges(spark, sfDir)
+    val w = expr("(src + dst) % 9 + 1")
+    val dedges = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      .select(col("src"), col("dst"), w.as("w"))
+      .localCheckpoint(false)
+    val twoM = dedges.count()
+    var dist = allNodes(spark, sfDir)
+      .where(col("node") % 97 === 0)
+      .select(col("node"), lit(0L).as("d"))
+      .localCheckpoint(false)
+    for (_ <- 1 to hops) {
+      val relaxed = dedges
+        .join(Hints.maybeBroadcast(dist.withColumnRenamed("node", "src"), twoM),
+          Seq("src"))
+        .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+      dist = dist.unionAll(relaxed)
+        .groupBy("node").agg(min(col("d")).as("d"))
+        .localCheckpoint(false)
+    }
+    dist.groupBy("d").agg(count(lit(1)).as("n_nodes")).orderBy("d")
+  }
+
+  /** Oracle for [[shortestPath]]: the same 6 relaxation rounds unrolled
+    * as materialized CTEs (DuckDB 1.0 re-expands non-materialized CTE
+    * chains exponentially — the graph_kcore lesson).
+    */
+  private lazy val shortestPathOracle: String = edgesCte + """
+, dir AS MATERIALIZED (
+  SELECT u AS src, v AS dst, (u + v) % 9 + 1 AS w FROM e
+  UNION ALL
+  SELECT v AS src, u AS dst, (u + v) % 9 + 1 AS w FROM e
+),
+d0 AS (SELECT node, cast(0 AS bigint) AS d FROM nodes WHERE node % 97 = 0),
+d1 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+  SELECT node, d FROM d0
+  UNION ALL SELECT dir.dst, d0.d + dir.w FROM d0 JOIN dir ON dir.src = d0.node
+) GROUP BY node),
+d2 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+  SELECT node, d FROM d1
+  UNION ALL SELECT dir.dst, d1.d + dir.w FROM d1 JOIN dir ON dir.src = d1.node
+) GROUP BY node),
+d3 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+  SELECT node, d FROM d2
+  UNION ALL SELECT dir.dst, d2.d + dir.w FROM d2 JOIN dir ON dir.src = d2.node
+) GROUP BY node),
+d4 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+  SELECT node, d FROM d3
+  UNION ALL SELECT dir.dst, d3.d + dir.w FROM d3 JOIN dir ON dir.src = d3.node
+) GROUP BY node),
+d5 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+  SELECT node, d FROM d4
+  UNION ALL SELECT dir.dst, d4.d + dir.w FROM d4 JOIN dir ON dir.src = d4.node
+) GROUP BY node),
+d6 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+  SELECT node, d FROM d5
+  UNION ALL SELECT dir.dst, d5.d + dir.w FROM d5 JOIN dir ON dir.src = d5.node
+) GROUP BY node)
+SELECT d, count(*) AS n_nodes FROM d6 GROUP BY d ORDER BY d
+"""
+
   private val edgesCte = """
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 e AS (
@@ -933,6 +1019,7 @@ ORDER BY walk_id, step
     "graph_triangle_top" -> (triangleTop _),
     "graph_pagerank_top" -> (pageRankTop _),
     "graph_khop_hist" -> (khopHist _),
+    "graph_shortest_path" -> (shortestPath _),
     "cc_size_hist" -> (ccSizeHist _),
     "cc_incremental" -> (ccIncremental _),
   )
@@ -974,6 +1061,7 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
     "graph_triangle_top" -> triangleTopOracle,
     "graph_pagerank_top" -> pageRankOracle,
     "graph_khop_hist" -> khopOracle,
+    "graph_shortest_path" -> shortestPathOracle,
     "cc_size_hist" -> ccSizeHistOracle,
     "cc_incremental" -> ccIncrementalOracle,
   )

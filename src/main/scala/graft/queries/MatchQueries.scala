@@ -201,6 +201,101 @@ SELECT n_members, count(*) AS n_entities,
 FROM ent GROUP BY n_members ORDER BY n_members
 """
 
+  /** er_golden: SURVIVORSHIP — the merge step after transitive closure
+    * turns match pairs into entities: each multi-name entity must emit
+    * ONE golden record, chosen by a deterministic business rule. Here
+    * the rule is "highest retail price wins, ties to the lowest part
+    * key" (the usual most-complete/most-trusted-source proxy), applied
+    * over every part RECORD whose name landed in a ≥2-name entity
+    * ([[entityClusters]] stops at the histogram; this emits the
+    * per-entity merge result a downstream consumer actually loads).
+    * Emitted per entity: the canonical (lexicographic-min member
+    * name), the surviving record's key and price cents, and the
+    * record/name counts the merge collapsed.
+    *
+    * Exactness: the argmax is `min(struct(-price_cents, partkey))` —
+    * the same total-order trick as [[graft.queries.TextQueries]]'s
+    * repetition winner; the oracle replays it as a rank window with
+    * the identical (price DESC, key ASC) order. All int64.
+    *
+    * Scale: the identity graph and CC are shared shapes with
+    * [[entityClusters]]; the record join is a hash join on the name,
+    * and the survivorship agg is one map-side-combinable pass over
+    * records keyed by component.
+    */
+  def golden(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.cc.ConnectedComponents
+    val part = Tables.part(spark, sfDir)
+    val names = part.select(col("p_name").as("name")).distinct()
+    val ids = names.select(col("name"), xxhash64(col("name")).as("id"))
+    val pairs = fuzzyIndelPairs(spark, sfDir)
+    val edges = pairs
+      .join(ids.select(col("name").as("name_a"), col("id").as("src")), "name_a")
+      .join(ids.select(col("name").as("name_b"), col("id").as("dst")), "name_b")
+      .select("src", "dst")
+    val selfPairs = ids.select(col("id").as("src"), col("id").as("dst"))
+    val res = ConnectedComponents.runAuto(edges.union(selfPairs),
+      maxIterations = 20)
+    require(res.converged, "entity CC did not converge")
+    val labeled = ids.join(res.assignments.toDF("id", "comp"), "id")
+      .select(col("name"), col("comp"))
+    val records = part.select(col("p_name").as("name"),
+      col("p_partkey").cast("bigint").as("partkey"),
+      floor(col("p_retailprice") * 100 + lit(0.5)).cast("bigint")
+        .as("price_cents"))
+    records.join(labeled, "name")
+      .groupBy("comp")
+      .agg(min(col("name")).as("canonical"),
+           countDistinct(col("name")).as("n_names"),
+           count(lit(1)).as("n_records"),
+           min(struct((-col("price_cents")).as("np"), col("partkey"),
+             col("price_cents"))).as("_win"))
+      .where(col("n_names") >= 2)
+      .select(col("canonical"), col("n_names"), col("n_records"),
+        col("_win.partkey").as("golden_partkey"),
+        col("_win.price_cents").as("golden_price_cents"))
+      .orderBy("canonical")
+  }
+
+  val goldenOracle: String = """
+WITH RECURSIVE n AS (SELECT DISTINCT p_name AS name FROM part),
+p AS (
+  SELECT a.name AS na, b.name AS nb
+  FROM n a JOIN n b
+    ON abs(len(a.name) - len(b.name)) <= 1 AND a.name < b.name
+  WHERE levenshtein(a.name, b.name) = 1
+),
+e AS (SELECT na AS x, nb AS y FROM p UNION SELECT nb, na FROM p),
+walk(name, comp) AS (
+  SELECT name, name FROM n
+  UNION
+  SELECT e.x, w.comp FROM e JOIN walk w ON w.name = e.y AND w.comp < e.x
+),
+lab AS (SELECT name, min(comp) AS comp FROM walk GROUP BY name),
+rec AS (
+  SELECT lab.comp, part.p_name AS name,
+         cast(p_partkey AS bigint) AS partkey,
+         cast(floor(p_retailprice * 100 + 0.5) AS bigint) AS price_cents
+  FROM part JOIN lab ON lab.name = part.p_name
+),
+ranked AS (
+  SELECT comp, name, partkey, price_cents,
+         row_number() OVER (PARTITION BY comp
+                            ORDER BY price_cents DESC, partkey ASC) AS rn
+  FROM rec
+),
+agg AS (
+  SELECT comp, min(name) AS canonical,
+         count(DISTINCT name) AS n_names, count(*) AS n_records
+  FROM rec GROUP BY comp
+)
+SELECT a.canonical, a.n_names, a.n_records,
+       r.partkey AS golden_partkey, r.price_cents AS golden_price_cents
+FROM agg a JOIN ranked r ON r.comp = a.comp AND r.rn = 1
+WHERE a.n_names >= 2
+ORDER BY a.canonical
+"""
+
   /** er_blocking_audit: blocking-key quality report — BEFORE running
     * any pairwise matcher, a linkage pipeline audits its candidate
     * blocking strategies: how many blocks, how big is the worst block,
@@ -273,6 +368,7 @@ FROM u ORDER BY strategy
     "er_fuzzy_pairs" -> (fuzzyPairs _),
     "er_fuzzy_indel" -> (fuzzyIndelPairs _),
     "er_entity_clusters" -> (entityClusters _),
+    "er_golden" -> (golden _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -280,5 +376,6 @@ FROM u ORDER BY strategy
     "er_fuzzy_pairs" -> fuzzyPairsOracle,
     "er_fuzzy_indel" -> fuzzyIndelOracle,
     "er_entity_clusters" -> entityClustersOracle,
+    "er_golden" -> goldenOracle,
   )
 }

@@ -1358,7 +1358,59 @@ SELECT d, y,
 FROM win WHERE cnt = 7 ORDER BY d
 """
 
+  /** q54_window_distinct: per-event DISTINCT-count over a trailing
+    * 1-hour RANGE frame — "how many distinct event types did this user
+    * produce in the last hour, as of each event" (the behavioral-breadth
+    * signal a fraud screen computes; a burst of many TYPES is a
+    * different animal from a burst of many events, which q12 already
+    * covers). Spark has no `count(DISTINCT …) OVER`, so the engine
+    * expresses it as `size(collect_set(…))` over the frame — the
+    * canonical rewrite — while the DuckDB oracle uses its native
+    * windowed DISTINCT aggregate: two different engine mechanisms, one
+    * graded answer. The frame bound rides `unix_micros(ts)` with a
+    * −3,600,000,000 lower bound on BOTH sides (integer microseconds, so
+    * frame membership is exact — casting to whole seconds would shift
+    * boundary events between engines).
+    *
+    * Scale: the window partitions by user_id — per-user frames, no
+    * global sort — and the graded output is the per-user reduction
+    * (max / sum of the per-event counts), one further map-side-
+    * combinable aggregation. collect_set's in-frame state is bounded by
+    * the type alphabet (5 here), not the event volume.
+    */
+  def q54WindowDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .select(col("user_id"),
+        size(collect_set(col("event_type")).over(w)).cast("long")
+          .as("types_1h"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+           max(col("types_1h")).as("max_types_1h"),
+           sum(col("types_1h")).as("sum_types_1h"))
+      .orderBy("user_id")
+  }
+
+  val q54Oracle: String = """
+WITH t AS (
+  SELECT user_id,
+         cast(count(DISTINCT event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+         ) AS bigint) AS types_1h
+  FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       max(types_1h) AS max_types_1h, sum(types_1h) AS sum_types_1h
+FROM t GROUP BY user_id ORDER BY user_id
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_window_distinct" -> (q54WindowDistinct _),
     "q53_rolling_slope" -> (q53RollingSlope _),
     "q49_locf" -> (q49Locf _),
     "q48_map_hofs" -> (q48MapHofs _),
@@ -1405,6 +1457,7 @@ FROM win WHERE cnt = 7 ORDER BY d
   )
 
   val oracles: Map[String, String] = Map(
+    "q54_window_distinct" -> q54Oracle,
     "q28_salted_join" -> q28Oracle,
     "q34_grouping_sets" -> q34Oracle,
     "q35_lateral_topn" -> q35Oracle,

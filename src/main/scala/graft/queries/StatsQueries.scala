@@ -1099,7 +1099,80 @@ SELECT day, x, n_days, total,
 FROM scan ORDER BY abs(n_days * cum - k * total) DESC, day LIMIT 5
 """
 
+  /** stats_theilsen: Theil–Sen robust trend of daily revenue per order
+    * priority — the median of all pairwise day-to-day slopes. Unlike
+    * the OLS fits (q53's rolling slope, q6's forecast), a single whale
+    * day can't drag this estimator: its breakdown point is 29%, which
+    * is why monitoring pipelines prefer it for revenue/latency series.
+    *
+    * Exactness: slopes are fixed-point integers
+    * `(Δcents · 10⁶) div Δdays` (truncation toward zero — `div` and
+    * DuckDB's `//` agree on negatives, the q53 contract), and the
+    * median is an EXACT ORDER STATISTIC — rank ⌈n/2⌉ by (slope, pair
+    * id) via row_number — not an interpolated percentile, so every
+    * graded value is pure int64 (headroom: daily cents ≲ 10¹⁰ at sf1,
+    * ×10⁶ ≪ 2⁶³).
+    *
+    * Scale: the pairwise self-join is on the DAILY series — O(days²)
+    * with days bounded by the CALENDAR (~2.4k for this corpus), not by
+    * corpus size; the reduction from N orders to the daily series is
+    * one map-side-combinable aggregation. This is the same
+    * bounded-by-construction argument as the sim_* query sets: the
+    * quadratic factor cannot grow with data volume.
+    */
+  def theilSen(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority").as("g"),
+               col("o_orderdate").as("d"))
+      .agg(sum(cents(col("o_totalprice"))).as("y"))
+      .select(col("g"),
+        datediff(col("d"), lit("1992-01-01").cast("date")).cast("long")
+          .as("x"),
+        col("y"))
+    val a = daily.toDF("g", "xa", "ya")
+    val b = daily.toDF("g", "xb", "yb")
+    val slopes = a.join(b, Seq("g"))
+      .where(col("xa") < col("xb"))
+      .select(col("g"),
+        expr("((yb - ya) * 1000000) div (xb - xa)").as("slope_fp"),
+        (col("xa") * 100000 + col("xb")).as("pair_id"))
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("slope_fp"), col("pair_id"))
+    slopes
+      .select(col("g"), col("slope_fp"),
+        row_number().over(w).cast("long").as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("g"))).as("n"))
+      .where(col("rn") === expr("(n + 1) div 2"))
+      .select(col("g").as("o_orderpriority"), col("n").as("n_pairs"),
+        col("slope_fp").as("theilsen_slope_fp"))
+      .orderBy("o_orderpriority")
+  }
+
+  val theilSenOracle: String = """
+WITH daily AS (
+  SELECT o_orderpriority AS g,
+         date_diff('day', DATE '1992-01-01', o_orderdate) AS x,
+         sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) AS y
+  FROM orders GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.g,
+         cast(((b.y - a.y) * 1000000) // (b.x - a.x) AS bigint) AS slope_fp,
+         a.x * 100000 + b.x AS pair_id
+  FROM daily a JOIN daily b ON a.g = b.g AND a.x < b.x
+),
+ranked AS (
+  SELECT g, slope_fp,
+         row_number() OVER (PARTITION BY g ORDER BY slope_fp, pair_id) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM slopes
+)
+SELECT g AS o_orderpriority, n AS n_pairs, slope_fp AS theilsen_slope_fp
+FROM ranked WHERE rn = (n + 1) // 2 ORDER BY o_orderpriority
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_theilsen" -> (theilSen _),
     "q52_attribution" -> (attribution _),
     "stats_autocorr" -> (autocorr _),
     "stats_winsorized" -> (winsorized _),
@@ -1131,6 +1204,7 @@ FROM scan ORDER BY abs(n_days * cum - k * total) DESC, day LIMIT 5
     "stats_benford" -> benfordOracle,
     "stats_gini_concentration" -> giniConcentrationOracle,
     "stats_markov_transitions" -> markovTransitionsOracle,
+    "stats_theilsen" -> theilSenOracle,
     "stats_chi2" -> chi2Oracle,
     "q51_decile_profile" -> decileProfileOracle,
     "q50_mad_robust" -> madRobustOracle,

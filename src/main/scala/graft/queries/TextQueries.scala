@@ -648,7 +648,65 @@ FROM inv JOIN first USING (g)
 GROUP BY source ORDER BY source
 """
 
+  /** text_boilerplate: cross-document boilerplate fraction — for every
+    * word 5-gram occurrence, is that 5-gram shared by ≥3 DISTINCT
+    * documents? Repeated spans across documents are navigation chrome /
+    * license headers / templated text, and their per-doc fraction is a
+    * standard CURATION SIGNAL (high-boilerplate docs get down-weighted
+    * or span-stripped before training). Complements the corpus's other
+    * repetition lenses: [[repetition]] is WITHIN-doc, [[novelty]] is
+    * per-source first-seen, `pipe_decontaminate` is train-vs-eval —
+    * this one is corpus-internal cross-doc at span granularity.
+    *
+    * Per doc: total 5-gram occurrences, occurrences whose gram has
+    * document frequency ≥ 3, and the boilerplate fraction in ppm
+    * (integer `div` — exact on both engines).
+    *
+    * Scale: the inverted-index shape shared with [[tfidfTopk]] — one
+    * explode O(total words), a distinct + count for the gram DF, and
+    * one hash join back on the gram key. No pairwise comparisons
+    * anywhere; the DF table is the only shuffled state and it shrinks
+    * with `distinct` before aggregation.
+    */
+  def boilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val grams5 = expr(
+      "transform(sequence(1, size(w) - 4), i -> concat_ws(' ', slice(w, i, 5)))")
+    val occ = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), w.as("w"))
+      .where(size(col("w")) >= 5)
+      .select(col("doc_id"), explode(grams5).as("g"))
+    val df = occ.distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+    occ.join(df, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+        expr("(n_boiler * 1000000) div n_grams").as("boiler_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val boilerplateOracle: String = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 5),
+occ AS (
+  SELECT doc_id,
+         unnest([ array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3) ])
+           AS g
+  FROM t),
+df AS (SELECT g, count(DISTINCT doc_id) AS df FROM occ GROUP BY g)
+SELECT doc_id, count(*) AS n_grams,
+       sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS n_boiler,
+       (sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) * 1000000) // count(*)
+         AS boiler_ppm
+FROM occ JOIN df USING (g)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_boilerplate" -> (boilerplate _),
     "text_novelty" -> (novelty _),
     "text_source_drift" -> (sourceDrift _),
     "text_char_gini" -> (charGini _),
@@ -689,6 +747,7 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
 """
 
   val oracles: Map[String, String] = Map(
+    "text_boilerplate" -> boilerplateOracle,
     "text_novelty" -> noveltyOracle,
     "text_source_drift" -> sourceDriftOracle,
     "text_char_gini" -> charGiniOracle,

@@ -314,4 +314,99 @@ class SurfaceR4Spec extends SparkSpec {
     assert(absVals.zip(absVals.tail).forall { case (x, y) => x >= y },
       "top-5 must be |s|-descending")
   }
+
+  test("graph_shortest_path histogram: sources at 0, bounded by 6 max-weight hops") {
+    val rows = GraphQueries.all("graph_shortest_path")(spark, sf).collect()
+    val hist = rows.map(r => (r.getAs[Long]("d"), r.getAs[Long]("n_nodes"))).toMap
+    // Every source (graph node with id % 97 == 0) must sit at distance 0.
+    val nSources = Tables.lineitem(spark, sf)
+      .select(col("l_partkey")).distinct()
+      .where(col("l_partkey") % 97 === 0).count()
+    assert(nSources > 0, "fixture lost its % 97 seed nodes")
+    assert(hist.getOrElse(0L, 0L) == nSources,
+      s"distance-0 count ${hist.get(0L)} must equal source count $nSources")
+    // Hop budget 6, max edge weight 9 ⇒ no distance can exceed 54.
+    assert(rows.forall { r => val d = r.getAs[Long]("d"); d >= 0 && d <= 54 })
+    // Reached set can't exceed the node universe.
+    val nNodes = Tables.lineitem(spark, sf)
+      .select(col("l_partkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum <= nNodes)
+  }
+
+  test("media_scene_cuts rows are video-only, self-consistent, deterministic") {
+    val a = graft.multimodal.MultimodalQueries.all("media_scene_cuts")(spark, sf).collect()
+    val b = graft.multimodal.MultimodalQueries.all("media_scene_cuts")(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "scene cuts must be deterministic")
+    assert(a.nonEmpty, "threshold stopped firing — corpus or codec drifted")
+    a.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 3 == 2, "cuts must come from videos")
+      assert(r.getAs[Int]("frame_idx") >= 1, "frame 0 has no predecessor")
+      assert(r.getAs[Long]("jump") ==
+        math.abs(r.getAs[Long]("energy") - r.getAs[Long]("prev_energy")),
+        "jump must be the energy delta")
+    }
+  }
+
+  test("q54_window_distinct counts stay within the event-type alphabet") {
+    val rows = RelationalQueries.all("q54_window_distinct")(spark, sf).collect()
+    val nTypes = Tables.events(spark, sf)
+      .select(col("event_type")).distinct().count()
+    rows.foreach { r =>
+      val maxT = r.getAs[Long]("max_types_1h")
+      assert(maxT >= 1 && maxT <= nTypes,
+        s"max_types_1h $maxT outside [1, $nTypes]")
+      // Each per-event count is ≥ 1, so the sum dominates the count.
+      assert(r.getAs[Long]("sum_types_1h") >= r.getAs[Long]("n_events"))
+    }
+    val nEvents = Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == nEvents,
+      "per-user rows must partition the event table")
+  }
+
+  test("text_boilerplate fractions are consistent with the 5-gram census") {
+    val rows = TextQueries.all("text_boilerplate")(spark, sf).collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_grams"); val b = r.getAs[Long]("n_boiler")
+      assert(b >= 0 && b <= n, "boiler occurrences must be a subset")
+      assert(r.getAs[Long]("boiler_ppm") == b * 1000000L / n)
+    }
+    // Total occurrences must equal sum over docs of (words - 4).
+    val expected = Tables.documents(spark, sf)
+      .select((size(split(col("text"), " ")) - 4).cast("long").as("g"))
+      .where(col("g") >= 1).agg(sum(col("g"))).head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_grams")).sum == expected)
+  }
+
+  test("er_golden survivors are real records carrying the cluster max price") {
+    val rows = MatchQueries.all("er_golden")(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture lost its multi-name entities")
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey").cast("long").as("pk"),
+        floor(col("p_retailprice") * 100 + lit(0.5)).cast("long").as("pc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_names") >= 2, "golden emits only merged entities")
+      assert(r.getAs[Long]("n_records") >= r.getAs[Long]("n_names"))
+      // The surviving record must exist and carry its claimed price.
+      assert(parts(r.getAs[Long]("golden_partkey")) ==
+        r.getAs[Long]("golden_price_cents"))
+    }
+  }
+
+  test("stats_theilsen pair count is exactly C(days, 2) per priority") {
+    val rows = StatsQueries.all("stats_theilsen")(spark, sf).collect()
+    assert(rows.length == 5, "one row per order priority")
+    val days = Tables.orders(spark, sf)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_orderdate")).as("d"))
+      .collect()
+      .map(r => r.getAs[String]("o_orderpriority") -> r.getAs[Long]("d"))
+      .toMap
+    rows.foreach { r =>
+      val g = r.getAs[String]("o_orderpriority")
+      val d = days(g)
+      assert(r.getAs[Long]("n_pairs") == d * (d - 1) / 2,
+        s"$g: pair count must be C($d, 2)")
+    }
+  }
 }
