@@ -283,6 +283,85 @@ FROM coeff GROUP BY deg_band ORDER BY deg_band
     rebased.unionAll(deltaOnly).orderBy("node")
   }
 
+  /** cc_decremental: label maintenance under EDGE DELETION — the other
+    * half of the daily-ingest story ([[ccIncremental]] handles adds;
+    * retention/GDPR deletes need this). Deletions can SPLIT components,
+    * so unlike the additive case no label-graph shortcut exists — but
+    * the damage is contained: an order's clique lies inside ONE base
+    * component, so only components touching a deleted order can change.
+    * Strategy: identify affected base components, keep every other
+    * label untouched (zero recompute for the typically-vast unaffected
+    * region), re-solve ONLY the affected components' surviving
+    * subgraph, and compose. Because [[graft.cc.ConnectedComponents]]
+    * labels by component minimum, the composed result is bit-identical
+    * to a from-scratch solve of the surviving graph — which is exactly
+    * what the oracle computes (recursive min-label closure on the
+    * filtered graph).
+    *
+    * Runs on the high-quantity subgraph (hundreds of components, see
+    * [[ccSizeHist]]) with orders `l_orderkey % 10 == 3` deleted, so
+    * deletions really do fragment clusters. Nodes whose every order
+    * was deleted leave the result entirely — the membership contract
+    * a deletion pipeline must honor.
+    *
+    * Scale: the affected-component set is two hash joins (deleted
+    * nodes → components → surviving edges); the re-solve input is the
+    * affected slice only. Worst case (every component touched)
+    * degrades to a full re-solve — never worse than not maintaining.
+    */
+  def ccDecremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).where(col("l_quantity") >= 45)
+    def cliquesWhere(p: org.apache.spark.sql.Column): DataFrame = li.where(p)
+      .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("nodes"))
+    val base = ConnectedComponents.runContracted(
+        EdgeBuilder.starEdges(cliquesWhere(lit(true))))
+      .assignments.localCheckpoint()
+    val deletedNodes = li.where(col("l_orderkey") % 10 === 3)
+      .select(col("l_partkey").as("node")).distinct()
+    val affected = base.join(deletedNodes, Seq("node"))
+      .select("component").distinct()
+    // Surviving edges, split by whether their (single) base component
+    // was touched: starEdges' src is a member of the order's clique, so
+    // one endpoint lookup decides for the whole order.
+    val survEdges = EdgeBuilder.starEdges(
+      cliquesWhere(col("l_orderkey") % 10 =!= 3))
+    val srcComp = base.toDF("src", "component")
+    val affectedEdges = survEdges.join(srcComp, Seq("src"))
+      .join(affected, Seq("component"), "left_semi")
+      .select("src", "dst")
+    val resolved = ConnectedComponents.runAuto(affectedEdges).assignments
+    val untouched = base.join(affected, Seq("component"), "left_anti")
+      .select(col("node"), col("component"))
+    untouched.unionAll(resolved).orderBy("node")
+  }
+
+  /** Oracle for [[ccDecremental]]: from-scratch recursive min-label
+    * closure of the surviving graph — the maintenance path must be
+    * indistinguishable from never having had the deleted orders.
+    */
+  private val ccDecrementalOracle: String = """
+WITH RECURSIVE li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_quantity >= 45 AND l_orderkey % 10 <> 3
+),
+edges AS (
+  SELECT b.l_partkey AS src, a.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  UNION
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+nodes AS (SELECT DISTINCT l_partkey AS node FROM li),
+walk(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
+"""
+
   /** Top-20 nodes by PageRank (damping 0.85, 5 power iterations) over
     * the directed-both-ways co-purchase graph.
     *
@@ -1022,6 +1101,7 @@ ORDER BY walk_id, step
     "graph_shortest_path" -> (shortestPath _),
     "cc_size_hist" -> (ccSizeHist _),
     "cc_incremental" -> (ccIncremental _),
+    "cc_decremental" -> (ccDecremental _),
   )
 
   // The incremental path must converge to the same labels as a
@@ -1064,5 +1144,6 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
     "graph_shortest_path" -> shortestPathOracle,
     "cc_size_hist" -> ccSizeHistOracle,
     "cc_incremental" -> ccIncrementalOracle,
+    "cc_decremental" -> ccDecrementalOracle,
   )
 }

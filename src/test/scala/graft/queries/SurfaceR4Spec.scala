@@ -393,6 +393,34 @@ class SurfaceR4Spec extends SparkSpec {
     }
   }
 
+  test("cc_decremental equals a from-scratch solve of the surviving graph") {
+    import graft.cc.{ConnectedComponents, EdgeBuilder}
+    val maintained = GraphQueries.all("cc_decremental")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val li = Tables.lineitem(spark, sf).where(col("l_quantity") >= 45)
+      .where(col("l_orderkey") % 10 =!= 3)
+    val scratch = ConnectedComponents.runContracted(EdgeBuilder.starEdges(
+        li.groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("nodes"))))
+      .assignments.collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("component"))).toMap
+    assert(maintained == scratch,
+      "maintenance must be indistinguishable from never having the deletions")
+    // The fixture must actually delete something, or the test is vacuous.
+    val allNodes = Tables.lineitem(spark, sf).where(col("l_quantity") >= 45)
+      .select(col("l_partkey")).distinct().count()
+    assert(maintained.size < allNodes,
+      "deleting %10==3 orders must remove at least one node entirely")
+  }
+
+  test("sketch_ams_f2 estimate is within its asserted 25% of exact truth") {
+    val row = SketchQueries.all("sketch_ams_f2")(spark, sf).head()
+    assert(row.getAs[Long]("f2_exact") > 0)
+    assert(row.getAs[Long]("f2_est") > 0, "sign sums degenerated to zero")
+    assert(row.getAs[Boolean]("ams_within_25pct"),
+      s"AMS estimate ${row.getAs[Long]("f2_est")} drifted beyond 25% of " +
+        s"${row.getAs[Long]("f2_exact")}")
+  }
+
   test("stats_theilsen pair count is exactly C(days, 2) per priority") {
     val rows = StatsQueries.all("stats_theilsen")(spark, sf).collect()
     assert(rows.length == 5, "one row per order priority")
