@@ -723,7 +723,66 @@ SELECT epoch, cast(rank AS bigint) AS rank, doc_id
 FROM r WHERE rank <= 10 ORDER BY epoch, rank
 """
 
+  /** pipe_temperature_mix: temperature-scaled language sampling weights
+    * — the α-smoothing every multilingual pretraining mix applies
+    * (mC4 / XLM-R style): raw share `n_l / N` is flattened to
+    * `n_l^α / Σ n^α` with α = 0.5, so low-resource languages are
+    * upsampled without letting any language dominate. Emits, per
+    * language: the corpus count, the uniform share, the α = 0.5 share,
+    * and the per-epoch document allocation at a 100k budget.
+    *
+    * Exactness with a real root: α = 0.5 is `sqrt`, which IEEE 754
+    * guarantees CORRECTLY ROUNDED — the one transcendental-adjacent op
+    * that is safe in a cross-engine hash gate. Each per-language
+    * `floor(sqrt(n_l) · 10⁶)` is computed independently (identical
+    * expression text both engines → identical bits), and the
+    * normalizing constant is the INTEGER sum of those floored values —
+    * so no float ever crosses an aggregation whose order could differ.
+    *
+    * Scale: one count per language, a ≤|langs|-row window sum, pure
+    * projection after — the language table is trivially broadcast at
+    * any corpus size.
+    */
+  def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("n_docs"),
+        floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0))
+          .cast("bigint").as("sfp"))
+    val w = Window.partitionBy()
+    counts
+      .select(col("lang"), col("n_docs"),
+        sum(col("n_docs")).over(w).as("n_total"),
+        col("sfp"), sum(col("sfp")).over(w).as("s_total"))
+      .select(col("lang"), col("n_docs"),
+        expr("(n_docs * 1000000) div n_total").as("uniform_ppm"),
+        expr("(sfp * 1000000) div s_total").as("alpha05_ppm"),
+        expr("(100000 * ((sfp * 1000000) div s_total)) div 1000000")
+          .as("alloc_100k"))
+      .orderBy("lang")
+  }
+
+  val temperatureMixOracle: String = """
+WITH c AS (
+  SELECT lang, count(*) AS n_docs,
+         cast(floor(sqrt(count(*)::double) * 1000000.0) AS bigint) AS sfp
+  FROM documents GROUP BY lang
+),
+t AS (
+  SELECT lang, n_docs,
+         sum(n_docs) OVER () AS n_total,
+         sfp, sum(sfp) OVER () AS s_total
+  FROM c
+)
+SELECT lang, n_docs,
+       (n_docs * 1000000) // n_total AS uniform_ppm,
+       (sfp * 1000000) // s_total AS alpha05_ppm,
+       (100000 * ((sfp * 1000000) // s_total)) // 1000000 AS alloc_100k
+FROM t ORDER BY lang
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_temperature_mix" -> (temperatureMix _),
     "pipe_epoch_shuffle" -> (epochShuffle _),
     "pipe_bpe_merges" -> (bpeMerges _),
     "pipe_curriculum" -> (curriculum _),
@@ -744,6 +803,7 @@ FROM r WHERE rank <= 10 ORDER BY epoch, rank
   )
 
   val oracles: Map[String, String] = Map(
+    "pipe_temperature_mix" -> temperatureMixOracle,
     "pipe_epoch_shuffle" -> epochShuffleOracle,
     "pipe_bpe_merges" -> bpeMergesOracle,
     "pipe_curriculum" -> curriculumOracle,

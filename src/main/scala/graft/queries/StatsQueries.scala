@@ -1171,8 +1171,94 @@ SELECT g AS o_orderpriority, n AS n_pairs, slope_fp AS theilsen_slope_fp
 FROM ranked WHERE rn = (n + 1) // 2 ORDER BY o_orderpriority
 """
 
+  /** stats_bootstrap_ci: bootstrap confidence interval for the mean
+    * daily revenue — the distribution-free uncertainty estimate a
+    * metrics platform attaches to a point statistic. B = 30 Poisson
+    * bootstrap resamples (the resampling scheme that needs no global
+    * coordination, which is why it is THE distributed bootstrap): each
+    * (resample, day) multiplicity is drawn from a deterministic
+    * md5-derived distribution on {0,1,2,3} with mean ≈ 0.94 and
+    * variance ≈ 0.8 — engine-neutral hash randomness, the
+    * [[graft.queries.SimilarityQueries]] hyperplane trick, so the
+    * whole resampling replays bit-for-bit in the oracle. The interval
+    * is the 2nd/29th ORDER STATISTIC of the 30 resample means (exact
+    * integer ranks, the stats_winsorized discipline — no interpolated
+    * percentile), the mean itself integer-cents `div`.
+    *
+    * Scale: the daily series is calendar-bounded (~2.4k rows); the
+    * resample cross is B × days rows reduced by ONE map-side-
+    * combinable agg into B means. On the raw fact table the same
+    * shape is one pass: explode B multiplicities per row, agg by
+    * resample — never a data-sized shuffle per resample.
+    */
+  def bootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = 30
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum(cents(col("o_totalprice"))).as("y"))
+    // multiplicity from the first md5 hex digit: 0-5 → 0 copies,
+    // 6-b → 1, c-e → 2, f → 3  (mean .9375, var .81 — Poisson-ish).
+    val m = expr(
+      "CASE WHEN h < '6' THEN 0 WHEN h < 'c' THEN 1 WHEN h < 'f' THEN 2 " +
+        "ELSE 3 END")
+    val means = daily
+      .select(col("d"), col("y"), explode(expr(s"sequence(1, $b)")).as("r"))
+      .select(col("r"), col("y"),
+        // o_orderdate is a TIMESTAMP in the parquet: render the DAY
+        // explicitly so both engines hash the same 'r:yyyy-MM-dd' text.
+        substring(md5(concat(col("r").cast("string"), lit(":"),
+          date_format(col("d"), "yyyy-MM-dd"))), 1, 1).as("h"))
+      .select(col("r"), col("y"), m.as("m"))
+      .groupBy("r")
+      .agg(sum(col("m") * col("y")).as("sy"), sum(col("m")).as("sm"))
+      .select(col("r"), expr("sy div sm").as("mean_b"))
+    val ranked = means
+      .select(col("mean_b"),
+        row_number().over(Window.orderBy(col("mean_b"), col("r")))
+          .as("rn"))
+    val point = daily.agg(count(lit(1)).as("n_days"),
+      expr("sum(y) div count(1)").as("mean_all"))
+    point.crossJoin(
+        ranked.where(col("rn") === 2).select(col("mean_b").as("ci_lo")))
+      .crossJoin(
+        ranked.where(col("rn") === b - 1).select(col("mean_b").as("ci_hi")))
+  }
+
+  val bootstrapCiOracle: String = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) AS y
+  FROM orders GROUP BY 1
+),
+res AS (
+  SELECT r.r, daily.y,
+         substr(md5(r.r || ':' || strftime(daily.d, '%Y-%m-%d')), 1, 1) AS h
+  FROM daily, unnest(range(1, 31)) AS r(r)
+),
+mult AS (
+  SELECT r, y, CASE WHEN h < '6' THEN 0 WHEN h < 'c' THEN 1
+                    WHEN h < 'f' THEN 2 ELSE 3 END AS m
+  FROM res
+),
+means AS (
+  SELECT r, sum(m * y) // sum(m) AS mean_b FROM mult GROUP BY r
+),
+ranked AS (
+  SELECT mean_b, row_number() OVER (ORDER BY mean_b, r) AS rn FROM means
+),
+point AS (
+  SELECT count(*) AS n_days, sum(y) // count(*) AS mean_all FROM daily
+)
+SELECT point.n_days, point.mean_all,
+       lo.mean_b AS ci_lo, hi.mean_b AS ci_hi
+FROM point,
+     (SELECT mean_b FROM ranked WHERE rn = 2) lo,
+     (SELECT mean_b FROM ranked WHERE rn = 29) hi
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_theilsen" -> (theilSen _),
+    "stats_bootstrap_ci" -> (bootstrapCi _),
     "q52_attribution" -> (attribution _),
     "stats_autocorr" -> (autocorr _),
     "stats_winsorized" -> (winsorized _),
@@ -1205,6 +1291,7 @@ FROM ranked WHERE rn = (n + 1) // 2 ORDER BY o_orderpriority
     "stats_gini_concentration" -> giniConcentrationOracle,
     "stats_markov_transitions" -> markovTransitionsOracle,
     "stats_theilsen" -> theilSenOracle,
+    "stats_bootstrap_ci" -> bootstrapCiOracle,
     "stats_chi2" -> chi2Oracle,
     "q51_decile_profile" -> decileProfileOracle,
     "q50_mad_robust" -> madRobustOracle,

@@ -421,6 +421,32 @@ class SurfaceR4Spec extends SparkSpec {
         s"${row.getAs[Long]("f2_exact")}")
   }
 
+  test("pipe_temperature_mix flattens shares toward uniform, budget conserved") {
+    val rows = PipelineQueries.all("pipe_temperature_mix")(spark, sf).collect()
+    assert(rows.length >= 2, "need a multilingual fixture")
+    val maxRow = rows.maxBy(_.getAs[Long]("n_docs"))
+    val minRow = rows.minBy(_.getAs[Long]("n_docs"))
+    // α = 0.5 must compress the range: the biggest language loses
+    // share, the smallest gains (strictly, unless already uniform).
+    if (maxRow.getAs[Long]("n_docs") != minRow.getAs[Long]("n_docs")) {
+      assert(maxRow.getAs[Long]("alpha05_ppm") < maxRow.getAs[Long]("uniform_ppm"))
+      assert(minRow.getAs[Long]("alpha05_ppm") > minRow.getAs[Long]("uniform_ppm"))
+    }
+    // Floored ppm shares must sum to 1e6 within one ulp per language.
+    val aSum = rows.map(_.getAs[Long]("alpha05_ppm")).sum
+    assert(aSum > 1000000L - rows.length && aSum <= 1000000L)
+    assert(rows.map(_.getAs[Long]("alloc_100k")).sum <= 100000L)
+  }
+
+  test("stats_bootstrap_ci interval is ordered and brackets the point estimate") {
+    val row = StatsQueries.all("stats_bootstrap_ci")(spark, sf).head()
+    val lo = row.getAs[Long]("ci_lo"); val hi = row.getAs[Long]("ci_hi")
+    val mean = row.getAs[Long]("mean_all")
+    assert(lo < hi, "degenerate interval")
+    assert(lo <= mean && mean <= hi,
+      s"mean $mean outside bootstrap interval [$lo, $hi]")
+  }
+
   test("stats_theilsen pair count is exactly C(days, 2) per priority") {
     val rows = StatsQueries.all("stats_theilsen")(spark, sf).collect()
     assert(rows.length == 5, "one row per order priority")
