@@ -515,6 +515,79 @@ WHERE inter * 50 >= sa.n + sb.n - inter
 ORDER BY a, b
 """
 
+  /** dedup_containment: ASYMMETRIC n-gram containment — for an ordered
+    * pair (a, b), what fraction of a's distinct trigrams lie inside b
+    * (`|A∩B| / |A|`). This catches what symmetric Jaccard structurally
+    * cannot: a short document quoted wholesale inside a long one has
+    * tiny Jaccard (the union is dominated by b) but containment ≈ 1 —
+    * the quote/boilerplate-subset relation an LLM dedup pass must
+    * break asymmetrically (drop the contained copy, keep the
+    * container). Emits ordered pairs at ≥ 50% containment with the
+    * exact gram counts and the fraction in ppm (integer `div`).
+    *
+    * Scale: the same DF-capped inverted index as
+    * [[ngramJaccardPairs]] (stop-gram guard and all — see that
+    * scaladoc for the quadratic-DF argument); the only change is the
+    * scoring projection, which normalizes by |A| instead of the union,
+    * and keeps BOTH orientations of each co-occurring pair.
+    */
+  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.TrigramHashes(split(col("text"), " ")).as("grams"))
+      .where(size(col("grams")) > 0)
+      .localCheckpoint()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val dfCap = math.max(10L, nDocs * 2 / 100)
+    val allInv = grams.select(col("doc_id"), explode(col("grams")).as("g"))
+    val hot = allInv.groupBy("g").count().where(col("count") > dfCap).select("g")
+    val inv = allInv.join(broadcast(hot), Seq("g"), "left_anti")
+    val shared = inv.as("x").join(inv.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("contained"),
+               col("y.doc_id").as("container"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    shared
+      .join(sizes.toDF("contained", "na"), "contained")
+      .where(col("inter") * 2 >= col("na"))
+      .select(col("contained"), col("container"), col("inter"), col("na"),
+        expr("(inter * 1000000) div na").as("containment_ppm"))
+      .orderBy("contained", "container")
+  }
+
+  val containmentOracle: String = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 3 THEN []
+              ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)])
+         END AS grams
+  FROM w
+),
+nonempty AS (SELECT * FROM grams WHERE len(grams) > 0),
+allinv AS (SELECT doc_id, unnest(grams) AS g FROM nonempty),
+hot AS (
+  SELECT g FROM allinv GROUP BY g
+  HAVING count(*) > greatest(10, (SELECT count(*) FROM documents) * 2 // 100)
+),
+inv AS (SELECT * FROM allinv WHERE g NOT IN (SELECT g FROM hot)),
+shared AS (
+  SELECT x.doc_id AS contained, y.doc_id AS container, count(*) AS inter
+  FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id <> y.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY doc_id)
+SELECT contained, container, inter, sa.n AS na,
+       (inter * 1000000) // sa.n AS containment_ppm
+FROM shared JOIN sizes sa ON contained = sa.doc_id
+WHERE inter * 2 >= sa.n
+ORDER BY contained, container
+"""
+
   // ---------------------------------------------------------------
   // Embedding-cosine near-dup: vectors whose cosine >= 0.4 are
   // near-duplicates; clusters via our CC (plus self-pairs so isolated
@@ -925,6 +998,7 @@ ORDER BY doc_a, doc_b
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_clusters" -> (dedupSimhashClusters _),
     "dedup_ngram_jaccard" -> (ngramJaccardPairs _),
+    "dedup_containment" -> (containmentPairs _),
     "dedup_embedding_clusters" -> (dedupEmbeddingClusters _),
     "dedup_embedding_ann" -> (dedupEmbeddingAnn _),
     "dedup_ann_recall" -> (dedupAnnRecall _),
@@ -938,6 +1012,7 @@ ORDER BY doc_a, doc_b
     "dedup_simhash" -> dedupSimhashOracle,
     "dedup_simhash_clusters" -> dedupSimhashClustersOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_containment" -> containmentOracle,
     "dedup_embedding_clusters" -> dedupEmbeddingOracle,
     "dedup_embedding_ann" -> dedupEmbeddingAnnOracle,
     "dedup_ann_recall" -> dedupAnnRecallOracle,

@@ -385,7 +385,58 @@ SELECT lang, count(*) AS n_docs,
 FROM documents GROUP BY lang ORDER BY lang
 """
 
+  /** io_time_travel: snapshot-isolated reads from an append-only table
+    * — the lakehouse "AS OF" primitive, reduced to its load-bearing
+    * mechanism: a COMMIT is a manifest (the file list at commit time),
+    * and reading a version means scanning exactly that manifest's
+    * files, never the directory. Commit v1 writes the base slice;
+    * commit v2 appends the rest to the SAME directory; the v1 manifest
+    * (captured between the writes, exactly as a table-format snapshot
+    * does) still reads only v1's rows even though the physical
+    * directory now holds both. The graded row compares each
+    * snapshot's aggregate — proving the pinned manifest isolates the
+    * append — against the oracle computing the same slices from the
+    * source table.
+    *
+    * Scale: manifests are metadata (file paths), orders of magnitude
+    * smaller than data; `spark.read.parquet(files: _*)` plans a scan
+    * over just those files, the identical mechanism Delta/Iceberg
+    * readers bottom out in after resolving their log.
+    */
+  def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageDir(sfDir, "travel")
+    val docs = Tables.documents(spark, sfDir)
+    docs.where(col("doc_id") % 10 < 8)
+      .write.mode("overwrite").parquet(dir)
+    def manifest(): Seq[String] = {
+      val d = new java.io.File(dir)
+      d.listFiles().map(_.toString).filter(_.endsWith(".parquet")).sorted.toSeq
+    }
+    val v1 = manifest()
+    docs.where(col("doc_id") % 10 >= 8)
+      .write.mode("append").parquet(dir)
+    val v2 = manifest()
+    require(v2.size > v1.size, "append produced no new files")
+    def snap(files: Seq[String], version: Int): DataFrame =
+      spark.read.parquet(files: _*)
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(version).cast("long").as("version"), col("n_docs"),
+          col("sum_chars"))
+    snap(v1, 1).unionAll(snap(v2, 2)).orderBy("version")
+  }
+
+  private val timeTravelOracle = """
+SELECT cast(1 AS bigint) AS version, count(*) AS n_docs,
+       cast(sum(n_chars) AS bigint) AS sum_chars
+FROM documents WHERE doc_id % 10 < 8
+UNION ALL
+SELECT cast(2 AS bigint), count(*), cast(sum(n_chars) AS bigint)
+FROM documents
+ORDER BY version
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_time_travel" -> (timeTravel _),
     "io_compaction" -> (compaction _),
     "io_schema_evolution" -> (schemaEvolution _),
     "io_table_checksum" -> (tableChecksum _),
@@ -400,6 +451,7 @@ FROM documents GROUP BY lang ORDER BY lang
   )
 
   val oracles: Map[String, String] = Map(
+    "io_time_travel" -> timeTravelOracle,
     "io_compaction" -> oracle,
     "io_schema_evolution" -> schemaEvolutionOracle,
     "io_table_checksum" -> checksumOracle,

@@ -447,6 +447,27 @@ class SurfaceR4Spec extends SparkSpec {
       s"mean $mean outside bootstrap interval [$lo, $hi]")
   }
 
+  test("dedup_containment is genuinely asymmetric and within bounds") {
+    val rows = DedupQueries.all("dedup_containment")(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture lost its subset documents")
+    rows.foreach { r =>
+      val ppm = r.getAs[Long]("containment_ppm")
+      assert(ppm >= 500000L && ppm <= 1000000L)
+      assert(r.getAs[Long]("contained") != r.getAs[Long]("container"))
+      assert(r.getAs[Long]("inter") <= r.getAs[Long]("na"))
+    }
+    // The point of containment over Jaccard: the score must depend on
+    // the DIRECTION. On this fixture both directions of every planted
+    // near-dup clear 50%, so the asymmetry shows in the values: the
+    // same doc pair scores differently under each normalizer whenever
+    // the gram sets differ in size.
+    val ppm = rows.map(r =>
+      (r.getAs[Long]("contained"), r.getAs[Long]("container")) ->
+        r.getAs[Long]("containment_ppm")).toMap
+    assert(ppm.exists { case ((a, b), v) => ppm.get((b, a)).exists(_ != v) },
+      "no pair scored direction-dependently — normalizer is not |A|")
+  }
+
   test("stats_theilsen pair count is exactly C(days, 2) per priority") {
     val rows = StatsQueries.all("stats_theilsen")(spark, sf).collect()
     assert(rows.length == 5, "one row per order priority")
