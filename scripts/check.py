@@ -5,11 +5,19 @@ Runs DuckDB on each oracle_sql.json entry (views over the sf parquet
 tables) and compares against the Spark result parquet written by
 graft.Verify: columns sorted by name, rows sorted, values hashed.
 
-Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+Beyond values, compares RESULT TYPES per column (arrow schema of the
+Spark parquet vs DuckDB's arrow output): the driver's hash covers raw
+values INCLUDING their type, so a DuckDB DECIMAL(38,0) (sum(BIGINT) ->
+HUGEINT) against a Spark BIGINT hash-mismatches even when every value
+is identical — 16 round-4 queries shipped exactly that way. A type
+mismatch is reported with the column NAME, not an opaque hash miss.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [only1,only2,...]
 """
 import sys, os, json, glob
 import duckdb
 import pandas as pd
+import pyarrow.parquet as pq
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -20,7 +28,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].map(lambda v: tuple(v) if v is not None and not pd.api.types.is_scalar(v) else v)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
-def main(sf_dir, out_dir):
+# Type pairs the driver's value-hash treats as equal (same raw python
+# value out of arrow): all integer widths collapse to python int —
+# verified empirically, every int32-vs-int64 row was hash-GREEN in
+# round 4 — but decimal128 materializes as Decimal, which hashes
+# differently from int even at equal value. So int widths are
+# canonicalized; decimal vs int stays a mismatch.
+def type_key(t):
+    s = str(t)
+    if s.startswith('large_string'): return 'string'
+    if s.startswith(('int', 'uint')): return 'int'
+    return s
+
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, '*.parquet')):
         name = os.path.basename(p)[:-len('.parquet')]
@@ -28,16 +48,30 @@ def main(sf_dir, out_dir):
     oracles = json.load(open(os.path.join(out_dir, 'oracle_sql.json')))
     failures = 0
     for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
         spark_dir = os.path.join(out_dir, name)
         if not os.path.isdir(spark_dir):
             print(f"FAIL {name}: no spark output dir"); failures += 1; continue
         try:
+            part = glob.glob(os.path.join(spark_dir, '*.parquet'))
+            spark_types = {f.name: type_key(f.type)
+                           for f in pq.read_schema(part[0])} if part else {}
             got = canon(pd.read_parquet(spark_dir))
-            want = canon(con.execute(sql).df())
+            duck = con.execute(sql).arrow()
+            duck_types = {f.name: type_key(f.type) for f in duck.schema}
+            want = canon(duck.to_pandas())
         except Exception as e:
             print(f"FAIL {name}: {e}"); failures += 1; continue
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
+            failures += 1; continue
+        bad_types = [f"{c}: spark={spark_types.get(c)} duck={duck_types.get(c)}"
+                     for c in got.columns
+                     if spark_types.get(c) != duck_types.get(c)]
+        if bad_types:
+            print(f"FAIL {name}: result TYPE mismatch (driver hash covers types) — "
+                  + "; ".join(bad_types))
             failures += 1; continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); failures += 1; continue
@@ -57,4 +91,5 @@ def main(sf_dir, out_dir):
     return 1 if failures else 0
 
 if __name__ == '__main__':
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    only = set(sys.argv[3].split(',')) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], only))

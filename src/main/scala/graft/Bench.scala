@@ -21,9 +21,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC pinned everywhere (Verify, tests, here): the events NTZ
+      // normalization and the DuckDB oracles both assume it.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fail fast and loud if the driver regenerated testdata with new
+    // column types (the round-4 events drift cost 35 queries).
+    graft.queries.Tables.check(spark, sfDir)
     // Warm the session (executor threads, codegen compiler, shuffle
     // machinery) so the first measured query isn't charged ~4s of JVM
     // startup that every later query gets for free.
@@ -48,11 +54,20 @@ object Bench {
     // under the `_shared_prewarm` key (underscore sorts first); every
     // later row measures its OWN work and is stable across orderings
     // and reps.
-    val tPre = System.nanoTime()
-    graft.queries.CCQueries.ccCopurchase(spark, sfDir).count()
-    graft.queries.GraphQueries.all("graph_degree_hist")(spark, sfDir).count()
-    graft.queries.DedupQueries.all("dedup_minhash_clusters")(spark, sfDir).count()
-    val prewarm = (System.nanoTime() - tPre) / 1e9
+    // Each memo gets its own timed row (VERDICT r4: the lumped 51.6s row
+    // hid which build grew round-over-round).
+    def timedBuild(name: String)(body: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      body
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val prewarmRows = Seq(
+      timedBuild("_prewarm_cc_fixpoint") {
+        graft.queries.CCQueries.ccCopurchase(spark, sfDir).count() },
+      timedBuild("_prewarm_degree_memo") {
+        graft.queries.GraphQueries.all("graph_degree_hist")(spark, sfDir).count() },
+      timedBuild("_prewarm_minhash_clusters") {
+        graft.queries.DedupQueries.all("dedup_minhash_clusters")(spark, sfDir).count() })
     // A failed query is recorded as -1 (visible in the JSON) and kept
     // out of the total — silently charging its elapsed time would make
     // a broken suite look fast.
@@ -75,7 +90,7 @@ object Bench {
       }
       name -> (if (times.size == reps) medianOf(times) else -1.0)
     }
-    val results = ("_shared_prewarm" -> prewarm) +: timed
+    val results = prewarmRows ++ timed
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -26,7 +26,7 @@ object SparkEntry {
     ) ++ RelationalQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ TextQueries.all ++ PipelineQueries.all ++
       IoQueries.all ++ GraphQueries.all ++ StatsQueries.all ++
-      SketchQueries.all ++ MatchQueries.all ++
+      SketchQueries.all ++ MatchQueries.all ++ EventQueries.all ++
       graft.streaming.StreamingQueries.all ++
       graft.multimodal.MultimodalQueries.all
 
@@ -37,7 +37,7 @@ object SparkEntry {
   ) ++ RelationalQueries.oracles ++ DedupQueries.oracles ++
     SimilarityQueries.oracles ++ TextQueries.oracles ++ PipelineQueries.oracles ++
     IoQueries.oracles ++ GraphQueries.oracles ++ StatsQueries.oracles ++
-    SketchQueries.oracles ++ MatchQueries.oracles ++
+    SketchQueries.oracles ++ MatchQueries.oracles ++ EventQueries.oracles ++
     graft.streaming.StreamingQueries.oracles ++
     graft.multimodal.MultimodalQueries.oracles
 }

@@ -14,6 +14,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Loud schema-drift guard: one actionable error naming table.column
+    // beats 35 queries failing with the same opaque analysis error.
+    graft.queries.Tables.check(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter: GRAFT_VERIFY_ONLY=name1,name2 restricts the
     // dump (and the oracle json) to those queries. Unset for driver runs.

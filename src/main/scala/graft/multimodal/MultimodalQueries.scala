@@ -345,8 +345,9 @@ w AS (
 SELECT doc_id, cast(count(*) AS int) AS n_windows,
        cast(999999 - max(energy * 1000000 + (999999 - widx)) % 1000000
             AS int) AS peak_idx,
-       max(energy * 1000000 + (999999 - widx)) // 1000000 AS peak_energy,
-       sum(energy) // count(*) AS mean_energy
+       CAST(max(energy * 1000000 + (999999 - widx)) // 1000000 AS BIGINT)
+         AS peak_energy,
+       CAST(sum(energy) // count(*) AS BIGINT) AS mean_energy
 FROM w GROUP BY doc_id ORDER BY doc_id
 """
 

@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch event-analytics over the `events` table: sessionization,
+  * funnel conversion, and cohort retention — the three queries every
+  * behavioral warehouse runs nightly, here as pure declarative plans
+  * (the streaming twin of sessionization, with state eviction, is
+  * `stream_sessions`).
+  *
+  * All three share one scale profile: windows partition by `user_id`
+  * (per-user frames — no global sort anywhere except the final graded
+  * ORDER BY on an already-tiny aggregate), every aggregation is
+  * map-side combinable, and all arithmetic is integer microseconds /
+  * integer division, so the graded values are bit-exact cross-engine.
+  */
+object EventQueries {
+
+  private val GapUs = 1800000000L // 30 min session gap
+
+  /** q55_sessionize: gap-based batch sessionization — a new session
+    * starts when a user is idle > 30 min; per user, emit session count,
+    * the largest session (events) and the longest / total session spans.
+    * The session id is the classic prefix-sum of boundary flags over the
+    * per-user event order `(ts, event_id)` (event_id unique ⇒ fully
+    * deterministic).
+    *
+    * Scale: one shuffle on user_id (the window), then two
+    * map-side-combinable aggregations keyed by (user, session) and user
+    * — session COUNT per user is bounded by the user's own event count,
+    * never by corpus size. A 100 TB run partitions cleanly: every stage
+    * is keyed on user_id.
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("boundary",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > GapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("boundary")).over(w))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_ev"),
+           (max(col("us")) - min(col("us"))).as("span_us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+           max(col("n_ev")).as("max_session_events"),
+           max(col("span_us")).as("max_session_span_us"),
+           sum(col("span_us")).as("total_session_span_us"))
+      .orderBy("user_id")
+  }
+
+  val sessionizeOracle: String = s"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+),
+b AS (
+  SELECT user_id, us, event_id,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > $GapUs THEN 1 ELSE 0 END AS boundary
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT user_id, us,
+         sum(boundary) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM b
+),
+per_session AS (
+  SELECT user_id, sid, count(*) AS n_ev, max(us) - min(us) AS span_us
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id, count(*) AS n_sessions,
+       max(n_ev) AS max_session_events,
+       CAST(max(span_us) AS BIGINT) AS max_session_span_us,
+       CAST(sum(span_us) AS BIGINT) AS total_session_span_us
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""
+
+  /** q56_funnel: ordered three-stage funnel view → click → purchase —
+    * a user converts a stage only AT OR AFTER completing the previous
+    * one (first-touch semantics: the earliest qualifying event per
+    * stage). Emitted as one row of stage populations plus integer-ppm
+    * conversion rates.
+    *
+    * Scale: three keyed aggregations, each a map-side-combinable
+    * `min`, chained by broadcast-sized per-user stage tables (one row
+    * per converting user — ≤ |users|, orders of magnitude under the
+    * event volume; the join key is user_id so a non-broadcast fallback
+    * shuffles once on the same key). No windows, no sorts.
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    // Each stage table is checkpointed before its count so the guard
+    // reads cached blocks and the join never recomputes the aggregate.
+    val s1 = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("t1")).localCheckpoint()
+    val s2 = ev.where(col("event_type") === "click")
+      .join(Hints.maybeBroadcast(s1, s1.count()), "user_id")
+      .where(col("us") >= col("t1"))
+      .groupBy("user_id").agg(min(col("us")).as("t2")).localCheckpoint()
+    val s3 = ev.where(col("event_type") === "purchase")
+      .join(Hints.maybeBroadcast(s2, s2.count()), "user_id")
+      .where(col("us") >= col("t2"))
+      .groupBy("user_id").agg(min(col("us")).as("t3"))
+    s1.agg(count(lit(1)).as("n_view"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_click_after_view")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after_click")))
+      .select(col("n_view"), col("n_click_after_view"),
+        col("n_purchase_after_click"),
+        expr("(n_click_after_view * 1000000) div n_view").as("conv1_ppm"),
+        expr("(n_purchase_after_click * 1000000) div n_click_after_view")
+          .as("conv2_ppm"))
+  }
+
+  val funnelOracle: String = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+s1 AS (
+  SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(us) AS t2
+  FROM e JOIN s1 USING (user_id)
+  WHERE event_type = 'click' AND us >= t1 GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(us) AS t3
+  FROM e JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND us >= t2 GROUP BY 1
+)
+SELECT (SELECT count(*) FROM s1) AS n_view,
+       (SELECT count(*) FROM s2) AS n_click_after_view,
+       (SELECT count(*) FROM s3) AS n_purchase_after_click,
+       CAST(((SELECT count(*) FROM s2) * 1000000)
+            // (SELECT count(*) FROM s1) AS BIGINT) AS conv1_ppm,
+       CAST(((SELECT count(*) FROM s3) * 1000000)
+            // (SELECT count(*) FROM s2) AS BIGINT) AS conv2_ppm
+"""
+
+  /** q57_retention: day-cohort retention triangle — users are cohorted
+    * by their FIRST active day; each (cohort_day, offset_day) cell
+    * counts cohort members active that many days later. The activation/
+    * retention curve every growth dashboard carries, and the
+    * degenerate-but-graded diagonal (offset 0 = cohort size) pins the
+    * cohort assignment itself. Days are integer epoch-day indices
+    * (`us // 86400000000` — UTC-pinned, identical on both engines).
+    *
+    * Scale: output is bounded by the CALENDAR squared (≤ days²/2
+    * cells), never by users or events: one (user, day) distinct, one
+    * per-user min — both keyed on user_id — and one count keyed by the
+    * bounded (cohort, offset) pair.
+    */
+  def retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+      .localCheckpoint() // both the cohort agg and the join read it
+    val cohort = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      .localCheckpoint()
+    days.join(Hints.maybeBroadcast(cohort, cohort.count()), "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_day"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "offset_day")
+  }
+
+  val retentionOracle: String = """
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+cohort AS (
+  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1
+)
+SELECT cohort_day, day - cohort_day AS offset_day, count(*) AS n_users
+FROM days JOIN cohort USING (user_id)
+GROUP BY 1, 2 ORDER BY cohort_day, offset_day
+"""
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_sessionize" -> (sessionize _),
+    "q56_funnel" -> (funnel _),
+    "q57_retention" -> (retention _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q55_sessionize" -> sessionizeOracle,
+    "q56_funnel" -> funnelOracle,
+    "q57_retention" -> retentionOracle,
+  )
+}

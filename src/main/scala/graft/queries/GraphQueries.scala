@@ -204,7 +204,7 @@ coeff AS (
 )
 SELECT cast(deg_band AS bigint) AS deg_band, count(*) AS n_nodes,
        cast(sum(coeff_ppm) // count(*) AS bigint) AS mean_coeff_ppm,
-       sum(n_tri) AS tri_sum
+       CAST(sum(n_tri) AS BIGINT) AS tri_sum
 FROM coeff GROUP BY deg_band ORDER BY deg_band
 """
 

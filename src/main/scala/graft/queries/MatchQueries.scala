@@ -196,8 +196,8 @@ ent AS (
   FROM lab GROUP BY comp
 )
 SELECT n_members, count(*) AS n_entities,
-       sum(cast('0x' || substr(md5(canonical), 1, 14) AS bigint)
-           % 1000000000) AS canon_hashsum
+       CAST(sum(cast('0x' || substr(md5(canonical), 1, 14) AS bigint)
+           % 1000000000) AS BIGINT) AS canon_hashsum
 FROM ent GROUP BY n_members ORDER BY n_members
 """
 

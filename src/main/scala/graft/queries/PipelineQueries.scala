@@ -775,9 +775,10 @@ t AS (
   FROM c
 )
 SELECT lang, n_docs,
-       (n_docs * 1000000) // n_total AS uniform_ppm,
-       (sfp * 1000000) // s_total AS alpha05_ppm,
-       (100000 * ((sfp * 1000000) // s_total)) // 1000000 AS alloc_100k
+       CAST((n_docs * 1000000) // n_total AS BIGINT) AS uniform_ppm,
+       CAST((sfp * 1000000) // s_total AS BIGINT) AS alpha05_ppm,
+       CAST((100000 * ((sfp * 1000000) // s_total)) // 1000000 AS BIGINT)
+         AS alloc_100k
 FROM t ORDER BY lang
 """
 

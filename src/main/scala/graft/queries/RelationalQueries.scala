@@ -1352,7 +1352,7 @@ win AS (
   FROM rn
   WINDOW w7 AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 )
-SELECT d, y,
+SELECT d, CAST(y AS BIGINT) AS y,
        cast((7 * (b - (r - 6) * a) - 21 * a) // 196 AS bigint)
          AS slope_cents_per_day
 FROM win WHERE cnt = 7 ORDER BY d
@@ -1405,7 +1405,8 @@ WITH t AS (
   FROM events
 )
 SELECT user_id, count(*) AS n_events,
-       max(types_1h) AS max_types_1h, sum(types_1h) AS sum_types_1h
+       max(types_1h) AS max_types_1h,
+       CAST(sum(types_1h) AS BIGINT) AS sum_types_1h
 FROM t GROUP BY user_id ORDER BY user_id
 """
 

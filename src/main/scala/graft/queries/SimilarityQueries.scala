@@ -626,7 +626,8 @@ a AS (
   SELECT vec_id, sub, min(d * 4 + code) AS enc
   FROM d GROUP BY vec_id, sub
 )
-SELECT sub, enc % 4 AS code, count(*) AS n_vecs, sum(enc // 4) AS distortion
+SELECT sub, CAST(enc % 4 AS BIGINT) AS code, count(*) AS n_vecs,
+       CAST(sum(enc // 4) AS BIGINT) AS distortion
 FROM a GROUP BY sub, enc % 4 ORDER BY sub, code
 """
 

@@ -401,11 +401,11 @@ hits AS (
   FROM probes p LEFT JOIN bits b ON b.pos = p.pp
   GROUP BY k
 )
-SELECT 65536 AS m_bits, 3 AS k_hashes,
+SELECT CAST(65536 AS BIGINT) AS m_bits, CAST(3 AS BIGINT) AS k_hashes,
        count(*) AS n_probes,
-       sum(CASE WHEN hits = 3 THEN 1 ELSE 0 END) AS n_fp,
-       (sum(CASE WHEN hits = 3 THEN 1 ELSE 0 END) * 1000000) // count(*)
-         AS fp_ppm
+       CAST(sum(CASE WHEN hits = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+       CAST((sum(CASE WHEN hits = 3 THEN 1 ELSE 0 END) * 1000000) // count(*)
+         AS BIGINT) AS fp_ppm
 FROM hits
 """
 

@@ -514,8 +514,8 @@ bounds AS (
 )
 SELECT o.g AS o_orderpriority, max(b.n) AS n,
        max(b.lo) AS lo_cents, max(b.hi) AS hi_cents,
-       sum(greatest(b.lo, least(b.hi, o.c))) // max(b.n) AS wins_mean_cents,
-       sum(o.c) // max(b.n) AS raw_mean_cents
+       CAST(sum(greatest(b.lo, least(b.hi, o.c))) // max(b.n) AS BIGINT) AS wins_mean_cents,
+       CAST(sum(o.c) // max(b.n) AS BIGINT) AS raw_mean_cents
 FROM o JOIN bounds b ON b.g = o.g
 GROUP BY o.g ORDER BY o_orderpriority
 """
@@ -564,7 +564,8 @@ t AS (
   FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
 )
 SELECT from_type, to_type, n,
-       (n * 1000000) // sum(n) OVER (PARTITION BY from_type) AS p_micros
+       CAST((n * 1000000) // sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+         AS p_micros
 FROM t ORDER BY from_type, to_type
 """
 
@@ -648,7 +649,9 @@ FROM t ORDER BY o_orderstatus, o_orderpriority
     val c = Tables.customer(spark, sfDir)
       .select(col("c_custkey"), cents(col("c_acctbal")).as("bal_c"))
     c.withColumn("decile",
-        ntile(10).over(Window.orderBy(col("bal_c"), col("c_custkey"))))
+        // long: DuckDB's ntile emits BIGINT, Spark's INT — align the type
+        ntile(10).over(Window.orderBy(col("bal_c"), col("c_custkey")))
+          .cast("long"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_cust"),
            min(col("bal_c")).as("min_c"),
@@ -668,7 +671,7 @@ d AS (
   FROM c
 )
 SELECT decile, count(*) AS n_cust, min(bal_c) AS min_c,
-       max(bal_c) AS max_c, sum(bal_c) AS sum_c
+       max(bal_c) AS max_c, CAST(sum(bal_c) AS BIGINT) AS sum_c
 FROM d GROUP BY decile ORDER BY decile
 """
 
@@ -709,12 +712,12 @@ WITH d AS (
 ),
 c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit)
 SELECT digit, n,
-       (n * 1000000) // sum(n) OVER () AS obs_ppm,
-       ([301030, 176091, 124939, 96910, 79181,
-         66947, 57992, 51153, 45757])[digit] AS exp_ppm,
-       (n * 1000000) // sum(n) OVER ()
+       CAST((n * 1000000) // sum(n) OVER () AS BIGINT) AS obs_ppm,
+       CAST(([301030, 176091, 124939, 96910, 79181,
+         66947, 57992, 51153, 45757])[digit] AS BIGINT) AS exp_ppm,
+       CAST((n * 1000000) // sum(n) OVER ()
          - ([301030, 176091, 124939, 96910, 79181,
-             66947, 57992, 51153, 45757])[digit] AS dev_ppm
+             66947, 57992, 51153, 45757])[digit] AS BIGINT) AS dev_ppm
 FROM c ORDER BY digit
 """
 
@@ -841,7 +844,7 @@ seq AS (
 )
 SELECT CASE WHEN lt_us IS NOT NULL AND lt_us >= us - 3600000000
             THEN lt_type ELSE '(none)' END AS touch_type,
-       count(*) AS n_purchases, sum(vc) AS cents_total
+       count(*) AS n_purchases, CAST(sum(vc) AS BIGINT) AS cents_total
 FROM seq WHERE event_type = 'purchase'
 GROUP BY 1 ORDER BY touch_type
 """
@@ -911,8 +914,9 @@ sc AS (
          abs(max(cumb) OVER () * cuma - max(cuma) OVER () * cumb) AS d_num
   FROM cum
 )
-SELECT na, nb, at_cents, d_num,
-       (d_num * 1000000) // (na * nb) AS d_ppm
+SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb, at_cents,
+       CAST(d_num AS BIGINT) AS d_num,
+       CAST((d_num * 1000000) // (na * nb) AS BIGINT) AS d_ppm
 FROM sc ORDER BY d_num DESC, at_cents LIMIT 1
 """
 
@@ -974,9 +978,10 @@ s AS (
          sum(ca * (2 * cumb_less + cb)) AS u2_a
   FROM c
 )
-SELECT na, nb, u2_a,
-       2 * na * nb - u2_a AS u2_b,
-       (u2_a * 1000000) // (2 * na * nb) AS auc_ppm
+SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+       CAST(u2_a AS BIGINT) AS u2_a,
+       CAST(2 * na * nb - u2_a AS BIGINT) AS u2_b,
+       CAST((u2_a * 1000000) // (2 * na * nb) AS BIGINT) AS auc_ppm
 FROM s
 """
 
@@ -1094,8 +1099,8 @@ scan AS (
          sum(x) OVER () AS total
   FROM daily
 )
-SELECT day, x, n_days, total,
-       n_days * cum - k * total AS s_scaled
+SELECT day, x, n_days, CAST(total AS BIGINT) AS total,
+       CAST(n_days * cum - k * total AS BIGINT) AS s_scaled
 FROM scan ORDER BY abs(n_days * cum - k * total) DESC, day LIMIT 5
 """
 
@@ -1109,9 +1114,10 @@ FROM scan ORDER BY abs(n_days * cum - k * total) DESC, day LIMIT 5
     * `(Δcents · 10⁶) div Δdays` (truncation toward zero — `div` and
     * DuckDB's `//` agree on negatives, the q53 contract), and the
     * median is an EXACT ORDER STATISTIC — rank ⌈n/2⌉ by (slope, pair
-    * id) via row_number — not an interpolated percentile, so every
-    * graded value is pure int64 (headroom: daily cents ≲ 10¹⁰ at sf1,
-    * ×10⁶ ≪ 2⁶³).
+    * id), found by two-phase distributed selection (bucket histogram →
+    * target bucket → sort one bucket; see the inline comment) — not an
+    * interpolated percentile, so every graded value is pure int64
+    * (headroom: daily cents ≲ 10¹⁰ at sf1, ×10⁶ ≪ 2⁶³).
     *
     * Scale: the pairwise self-join is on the DAILY series — O(days²)
     * with days bounded by the CALENDAR (~2.4k for this corpus), not by
@@ -1129,20 +1135,62 @@ FROM scan ORDER BY abs(n_days * cum - k * total) DESC, day LIMIT 5
         datediff(col("d"), lit("1992-01-01").cast("date")).cast("long")
           .as("x"),
         col("y"))
-    val a = daily.toDF("g", "xa", "ya")
-    val b = daily.toDF("g", "xb", "yb")
-    val slopes = a.join(b, Seq("g"))
+    // Materialize the tiny daily series once (both join sides reuse the
+    // cached blocks instead of re-aggregating orders), and ENFORCE the
+    // calendar-bound the scale argument above rests on: 60k daily rows
+    // ≈ 30+ years × the 5 priority groups. More means the grouping key
+    // changed and the O(n²) pairwise join below is no longer safe.
+    val dailyCk = daily.localCheckpoint()
+    val nDaily = dailyCk.count()
+    require(nDaily <= 60000L,
+      s"theilsen: daily series has $nDaily rows — not calendar-bounded; " +
+      "refusing the O(n^2) pairwise join")
+    val a = dailyCk.toDF("g", "xa", "ya")
+    val b = dailyCk.toDF("g", "xb", "yb")
+    // nullif keeps the division TOTAL: codegen may evaluate the slope
+    // expression inside the join's consume path before the xa<xb check
+    // lands (observed under ANSI mode when this projection feeds a
+    // second broadcast join), and a thrown DIVIDE_BY_ZERO on a row the
+    // filter was about to drop would kill the job. xa<xb rows are
+    // untouched; xa==xb rows become null and are filtered regardless.
+    def slopes = a.join(b, Seq("g"))
       .where(col("xa") < col("xb"))
       .select(col("g"),
-        expr("((yb - ya) * 1000000) div (xb - xa)").as("slope_fp"),
+        expr("((yb - ya) * 1000000) div nullif(xb - xa, 0)").as("slope_fp"),
         (col("xa") * 100000 + col("xb")).as("pair_id"))
-    val w = Window.partitionBy(col("g"))
-      .orderBy(col("slope_fp"), col("pair_id"))
+    // The median is an exact k-th order statistic, found by TWO-PHASE
+    // DISTRIBUTED SELECTION instead of a full per-group sort (the
+    // row_number window put each group's ~n²/2 pairs in ONE task):
+    //  phase 1 — histogram the slopes by their high bits (slope_fp >> 32
+    //    — an ARITHMETIC shift, i.e. floor division: monotone across
+    //    zero where `div` is not), a map-side-combinable count;
+    //  phase 2 — the cumulative histogram (a window over the tiny
+    //    bucket table) names the one bucket holding the target rank;
+    //    only THAT bucket's pairs are re-generated, sorted, and indexed.
+    // Both passes over the pairs are narrow scans of the broadcast-join
+    // explosion; nothing ever sorts more than one bucket. The pair
+    // count per group is analytic (cnt·(cnt−1)/2), so no count window
+    // runs over the pairs at all.
+    val targets = dailyCk.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .select(col("g"), expr("cnt * (cnt - 1) div 2").as("n"))
+      .select(col("g"), col("n"), expr("(n + 1) div 2").as("target"))
+    val hist = slopes
+      .groupBy(col("g"), shiftright(col("slope_fp"), 32).as("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val wb = Window.partitionBy("g").orderBy("bkt")
+    val chosen = hist
+      .withColumn("cum", sum(col("c")).over(wb))
+      .join(broadcast(targets.where(col("n") > 0)), "g")
+      .where(col("cum") >= col("target") &&
+             col("cum") - col("c") < col("target"))
+      .select(col("g"), col("bkt"), col("n"),
+        (col("target") - (col("cum") - col("c"))).as("rank_in_bkt"))
+    val wsel = Window.partitionBy("g").orderBy("slope_fp", "pair_id")
     slopes
-      .select(col("g"), col("slope_fp"),
-        row_number().over(w).cast("long").as("rn"),
-        count(lit(1)).over(Window.partitionBy(col("g"))).as("n"))
-      .where(col("rn") === expr("(n + 1) div 2"))
+      .withColumn("bkt", shiftright(col("slope_fp"), 32))
+      .join(broadcast(chosen), Seq("g", "bkt"))
+      .withColumn("rn", row_number().over(wsel).cast("long"))
+      .where(col("rn") === col("rank_in_bkt"))
       .select(col("g").as("o_orderpriority"), col("n").as("n_pairs"),
         col("slope_fp").as("theilsen_slope_fp"))
       .orderBy("o_orderpriority")
@@ -1249,8 +1297,8 @@ ranked AS (
 point AS (
   SELECT count(*) AS n_days, sum(y) // count(*) AS mean_all FROM daily
 )
-SELECT point.n_days, point.mean_all,
-       lo.mean_b AS ci_lo, hi.mean_b AS ci_hi
+SELECT point.n_days, CAST(point.mean_all AS BIGINT) AS mean_all,
+       CAST(lo.mean_b AS BIGINT) AS ci_lo, CAST(hi.mean_b AS BIGINT) AS ci_hi
 FROM point,
      (SELECT mean_b FROM ranked WHERE rn = 2) lo,
      (SELECT mean_b FROM ranked WHERE rn = 29) hi

@@ -509,7 +509,7 @@ WITH ch AS (
 ),
 c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch)
 SELECT doc_id,
-       sum(c) AS len,
+       CAST(sum(c) AS BIGINT) AS len,
        count(*) AS n_distinct_chars,
        cast(1000000 - (sum(c::hugeint * c) * 1000000)
             // (sum(c)::hugeint * sum(c)) AS bigint) AS gini_ppm
@@ -583,10 +583,10 @@ ppm AS (
          sum(cw) OVER (PARTITION BY source) AS t
   FROM full_grid
 )
-SELECT source, max(ts) AS vocab_tokens,
-       sum((((csw * 1000000) // ts - (cw * 1000000) // t)
+SELECT source, CAST(max(ts) AS BIGINT) AS vocab_tokens,
+       CAST(sum((((csw * 1000000) // ts - (cw * 1000000) // t)
             * ((csw * 1000000) // ts - (cw * 1000000) // t))
-           // ((cw * 1000000) // t)) AS drift_score
+           // ((cw * 1000000) // t)) AS BIGINT) AS drift_score
 FROM ppm GROUP BY source ORDER BY source
 """
 
@@ -641,9 +641,10 @@ first AS (
   SELECT g, min(doc_id) AS fdoc FROM inv GROUP BY g
 )
 SELECT source, count(*) AS total_grams,
-       sum(CASE WHEN doc_id = fdoc THEN 1 ELSE 0 END) AS novel_grams,
-       (sum(CASE WHEN doc_id = fdoc THEN 1 ELSE 0 END) * 1000000)
-         // count(*) AS novelty_ppm
+       CAST(sum(CASE WHEN doc_id = fdoc THEN 1 ELSE 0 END) AS BIGINT)
+         AS novel_grams,
+       CAST((sum(CASE WHEN doc_id = fdoc THEN 1 ELSE 0 END) * 1000000)
+         // count(*) AS BIGINT) AS novelty_ppm
 FROM inv JOIN first USING (g)
 GROUP BY source ORDER BY source
 """
@@ -698,9 +699,9 @@ occ AS (
   FROM t),
 df AS (SELECT g, count(DISTINCT doc_id) AS df FROM occ GROUP BY g)
 SELECT doc_id, count(*) AS n_grams,
-       sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS n_boiler,
-       (sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) * 1000000) // count(*)
-         AS boiler_ppm
+       CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       CAST((sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) * 1000000) // count(*)
+         AS BIGINT) AS boiler_ppm
 FROM occ JOIN df USING (g)
 GROUP BY doc_id ORDER BY doc_id
 """

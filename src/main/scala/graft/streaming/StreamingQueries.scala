@@ -20,8 +20,9 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingQueries {
 
-  /** Streamed view of events.parquet, ts decoded as in Tables.events
-    * (parquet TIMESTAMP(NANOS) read as long, converted to µs).
+  /** Streamed view of events.parquet, ts normalized to TIMESTAMP exactly
+    * as in [[graft.queries.Tables.normalizeTs]] (handles both the
+    * TIMESTAMP(NANOS)-as-long and the timestamp[us] generator vintages).
     */
   private def eventsStream(spark: SparkSession, sfDir: String,
                            copies: Int = 1, tag: String = "events"): DataFrame = {
@@ -57,8 +58,8 @@ object StreamingQueries {
         java.nio.file.LinkOption.NOFOLLOW_LINKS))
       java.nio.file.Files.delete(legacy)
     val schema = spark.read.parquet(path).schema
-    spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.queries.Tables.normalizeTs(spark,
+      spark.readStream.schema(schema).parquet(dir.toString))
   }
 
   private val nameCounter = new java.util.concurrent.atomic.AtomicLong()
@@ -411,20 +412,20 @@ GROUP BY 1, 2 ORDER BY c_mktsegment, event_type
   }
 
   def lateData(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts: long ns
-    val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
-    val splitNs = maxNs - 2L * 3600 * 1000000000L
+    // Normalized read (ts: TIMESTAMP); the staged replay files inherit
+    // that type, so the stream side needs no further conversion.
+    val raw = graft.queries.Tables.events(spark, sfDir)
+    val maxUs = raw.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val splitUs = maxUs - 2L * 3600 * 1000000L
     val stage = stageBatches(spark, sfDir, "late_data", raw, Seq(
-      (col("ts") >= splitNs) -> "newest_first",
+      (unix_micros(col("ts")) >= splitUs) -> "newest_first",
       lit(false) -> "spacer_empty",
-      (col("ts") < splitNs) -> "older_late"))
+      (unix_micros(col("ts")) < splitUs) -> "older_late"))
     val schema = raw.schema
     runToCompletion(spark, sub =>
       sub.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stage)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .withWatermark("ts", "1 minute")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n")),
@@ -481,8 +482,7 @@ ORDER BY window_start, event_type
     * user_id once.
     */
   def outerJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts: long ns
+    val raw = graft.queries.Tables.events(spark, sfDir)
     val stage = stageBatches(spark, sfDir, "outer_join", raw, Seq(
       (lit(true): org.apache.spark.sql.Column) -> "all_events",
       lit(false) -> "spacer_empty"))
@@ -491,7 +491,6 @@ ORDER BY window_start, event_type
         def src() = sub.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(stage)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         val clicks = src().where(col("event_type") === "click")
           .select(col("user_id"), col("ts").as("click_ts"))
           .withWatermark("click_ts", "1 minute")
@@ -573,19 +572,17 @@ ORDER BY user_id
     * what makes continuous upsert feeds viable at 100 TB/day.
     */
   def updateMode(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts: long ns
-    val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
-    val splitNs = maxNs - 2L * 3600 * 1000000000L
+    val raw = graft.queries.Tables.events(spark, sfDir)
+    val maxUs = raw.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val splitUs = maxUs - 2L * 3600 * 1000000L
     val stage = stageBatches(spark, sfDir, "update_mode", raw, Seq(
-      (col("ts") < splitNs) -> "older_first",
-      (col("ts") >= splitNs) -> "newest_second"))
+      (unix_micros(col("ts")) < splitUs) -> "older_first",
+      (unix_micros(col("ts")) >= splitUs) -> "newest_second"))
     val schema = raw.schema
     runToCompletion(spark, sub =>
       sub.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stage)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n")),
       "update")

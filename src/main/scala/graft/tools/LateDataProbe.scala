@@ -18,13 +18,14 @@ object LateDataProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
-    val splitNs = maxNs - 2L * 3600 * 1000000000L
+    val raw = graft.queries.Tables.events(spark, sfDir)
+    val maxUs = raw.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val splitUs = maxUs - 2L * 3600 * 1000000L
+    def newer = unix_micros(col("ts")) >= splitUs
+    def older = unix_micros(col("ts")) < splitUs
     println(s"rows total=${raw.count()} " +
-      s"new=${raw.where(col("ts") >= splitNs).count()} " +
-      s"old=${raw.where(col("ts") < splitNs).count()}")
+      s"new=${raw.where(newer).count()} " +
+      s"old=${raw.where(older).count()}")
     val dir = java.nio.file.Files.createTempDirectory("late_probe")
     val stage = dir.resolve("in")
     def writeHalf(pred: org.apache.spark.sql.Column, name: String,
@@ -42,13 +43,12 @@ object LateDataProbe {
         java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
     }
     val now = System.currentTimeMillis()
-    writeHalf(col("ts") >= splitNs, "newest_first", now - 120000L)
+    writeHalf(newer, "newest_first", now - 120000L)
     writeHalf(lit(false), "spacer_empty", now - 60000L)
-    writeHalf(col("ts") < splitNs, "older_late", now)
+    writeHalf(older, "older_late", now)
     val q = spark.readStream.schema(raw.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 minute")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))

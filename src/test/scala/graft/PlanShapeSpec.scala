@@ -37,10 +37,19 @@ class PlanShapeSpec extends SparkSpec {
   // text_source_drift: its cross join completes the |sources| × 50
   // (distinct-sources × top-50-vocab) grid — a product of two BOUNDED
   // aggregates, constant-size at any corpus scale.
+  // sketch_ams_f2: one cross join of two ONE-ROW global aggregates
+  // (exact F2 × estimated F2) — the scalar-attach pattern.
+  // stats_bootstrap_ci: two cross joins attaching the ONE-ROW ci_lo /
+  // ci_hi order-statistic rows to the one-row point aggregate — scalar
+  // attach again; every input is a global aggregate, nothing scales
+  // with N.
+  // q56_funnel: two cross joins of ONE-ROW stage-count aggregates —
+  // the same scalar-attach shape.
   private val quadraticBaselines = Set(
     "sim_cosine_pairs", "sim_topk_bruteforce", "dedup_embedding_clusters",
     "sim_ann_ivf", "dedup_ann_recall", "sketch_theta_intersect",
-    "sim_mips_topk", "text_source_drift")
+    "sim_mips_topk", "text_source_drift", "sketch_ams_f2",
+    "stats_bootstrap_ci", "q56_funnel")
 
   private val sideEffecting = (n: String) =>
     n.startsWith("io_") || n.startsWith("stream_")
