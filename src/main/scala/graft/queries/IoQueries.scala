@@ -489,7 +489,119 @@ FROM documents
 ORDER BY version
 """
 
+  /** io_delete_vectors: MERGE-ON-READ deletes — the other half of the
+    * lakehouse mutation story next to [[timeTravel]]'s append manifests.
+    * Deleting rows from immutable parquet without rewriting data files
+    * means persisting a DELETE VECTOR (the doomed row ids) as its own
+    * tiny file and anti-joining it at read time — mechanically what
+    * Delta deletion vectors / Iceberg positional deletes bottom out in.
+    * Base copy and delete vector are both staged once per data vintage;
+    * the graded aggregate proves the read-time subtraction is exact.
+    *
+    * Scale: the delete vector is O(deleted rows) ids, orders of
+    * magnitude under the data, so the anti-join broadcasts; a compaction
+    * job later folds vectors into rewritten files (io_compaction's
+    * move). The read path stays one narrow scan + one broadcast
+    * anti-join — no rewrite amplification on the delete path.
+    */
+  def deleteVectors(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = stageDir(sfDir, "dv_base"); val dv = stageDir(sfDir, "dv_ids")
+    stageOnce(sfDir, base, Seq("documents"), "dv-base-v1") {
+      Tables.documents(spark, sfDir).write.mode("overwrite").parquet(base)
+    }
+    stageOnce(sfDir, dv, Seq("documents"), "dv-ids-v1") {
+      // the "DELETE WHERE doc_id % 7 = 3" transaction, persisted as ids
+      Tables.documents(spark, sfDir)
+        .where(col("doc_id") % 7 === 3).select("doc_id")
+        .coalesce(1).write.mode("overwrite").parquet(dv)
+    }
+    val alive = spark.read.parquet(base)
+      .join(broadcast(spark.read.parquet(dv)), Seq("doc_id"), "left_anti")
+    alive.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("total_chars"),
+           min(md5(col("text"))).as("min_text_md5"))
+      .orderBy("lang")
+  }
+
+  private val deleteVectorsOracle = """
+SELECT lang, count(*) AS n_docs,
+       cast(sum(n_chars) AS bigint) AS total_chars,
+       min(md5(text)) AS min_text_md5
+FROM documents WHERE doc_id % 7 <> 3
+GROUP BY lang ORDER BY lang
+"""
+
+  /** io_merge_upsert: the MERGE INTO (CDC upsert) snapshot — one change
+    * batch carrying updates, deletes, and inserts lands on a base table
+    * and the read produces the post-merge state: updates win over base,
+    * deletes drop, inserts append. This is THE incremental-ingest
+    * primitive (Delta MERGE / Iceberg upsert / Hudi copy-on-write
+    * resolve to exactly this join shape). The change feed is derived
+    * deterministically from the corpus (update %5, delete %11 — delete
+    * wins on overlap, the usual CDC precedence — insert as new ids
+    * %13), so both engines replay the identical merge.
+    *
+    * Scale: ONE full-outer join keyed on doc_id (broadcast when the
+    * change batch is small, shuffled-hash otherwise — AQE decides),
+    * then a map-side-combinable aggregate. No rewrite of the base
+    * until a compaction elects to; the snapshot is computable per read
+    * or materialized — the same plan either way.
+    */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = stageDir(sfDir, "merge_base")
+    stageOnce(sfDir, base, Seq("documents"), "merge-base-v1") {
+      Tables.documents(spark, sfDir)
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(base)
+    }
+    val docs = Tables.documents(spark, sfDir)
+    val changes =
+      docs.where(col("doc_id") % 5 === 0 && col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000L).as("n_chars"), lit("U").as("op"))
+      .unionAll(docs.where(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"), lit("D").as("op")))
+      .unionAll(docs.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+          (col("n_chars") + 7L).as("n_chars"), lit("I").as("op")))
+    val b = spark.read.parquet(base)
+    val merged = b.withColumnRenamed("lang", "b_lang")
+      .withColumnRenamed("n_chars", "b_n_chars")
+      .join(changes, Seq("doc_id"), "full_outer")
+      .where(col("op").isNull || col("op") =!= "D")
+      .select(
+        coalesce(col("lang"), col("b_lang")).as("lang"),
+        coalesce(col("n_chars"), col("b_n_chars")).as("n_chars"))
+    merged.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang")
+  }
+
+  private val mergeUpsertOracle = """
+WITH changes AS (
+  SELECT doc_id, lang, n_chars + 1000 AS n_chars, 'U' AS op
+  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id, lang, n_chars, 'D' FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 10000000, lang, n_chars + 7, 'I'
+  FROM documents WHERE doc_id % 13 = 0
+),
+merged AS (
+  SELECT coalesce(c.lang, b.lang) AS lang,
+         coalesce(c.n_chars, b.n_chars) AS n_chars, c.op
+  FROM (SELECT doc_id, lang, n_chars FROM documents) b
+  FULL OUTER JOIN changes c USING (doc_id)
+)
+SELECT lang, count(*) AS n_docs, cast(sum(n_chars) AS bigint) AS total_chars
+FROM merged WHERE op IS NULL OR op <> 'D'
+GROUP BY lang ORDER BY lang
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_delete_vectors" -> (deleteVectors _),
+    "io_merge_upsert" -> (mergeUpsert _),
     "io_time_travel" -> (timeTravel _),
     "io_compaction" -> (compaction _),
     "io_schema_evolution" -> (schemaEvolution _),
@@ -505,6 +617,8 @@ ORDER BY version
   )
 
   val oracles: Map[String, String] = Map(
+    "io_delete_vectors" -> deleteVectorsOracle,
+    "io_merge_upsert" -> mergeUpsertOracle,
     "io_time_travel" -> timeTravelOracle,
     "io_compaction" -> oracle,
     "io_schema_evolution" -> schemaEvolutionOracle,

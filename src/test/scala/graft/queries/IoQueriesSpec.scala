@@ -95,4 +95,33 @@ class IoQueriesSpec extends SparkSpec {
     assert(withChars < n, "old-batch rows must surface NULL n_chars")
     assert(withChars > 0, "new-batch rows must carry n_chars")
   }
+
+  test("delete vectors: read-time anti-join equals a filtered direct scan") {
+    import org.apache.spark.sql.functions._
+    val result = IoQueries.deleteVectors(spark, sfDir)
+    val direct = IoQueries.aggregated(
+      Tables.documents(spark, sfDir).where(col("doc_id") % 7 =!= 3))
+    assert(result.collect().map(_.toString).toSeq
+      === direct.collect().map(_.toString).toSeq)
+  }
+
+  test("merge upsert: snapshot row count is base - deletes + inserts, " +
+       "updates shift total chars by exactly +1000 each") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val nBase = docs.count()
+    val nDel = docs.where(col("doc_id") % 11 === 0).count()
+    val nIns = docs.where(col("doc_id") % 13 === 0).count()
+    val nUpd = docs.where(col("doc_id") % 5 === 0 && col("doc_id") % 11 =!= 0)
+      .count()
+    val rows = IoQueries.mergeUpsert(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nBase - nDel + nIns)
+    val baseChars = docs.agg(sum(col("n_chars"))).head.getLong(0)
+    val delChars = docs.where(col("doc_id") % 11 === 0)
+      .agg(sum(col("n_chars"))).head.getLong(0)
+    val insChars = docs.where(col("doc_id") % 13 === 0)
+      .agg(sum(col("n_chars") + 7L)).head.getLong(0)
+    assert(rows.map(_.getAs[Long]("total_chars")).sum ===
+      baseChars - delChars + insChars + 1000L * nUpd)
+  }
 }
