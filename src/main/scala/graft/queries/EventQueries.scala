@@ -182,15 +182,116 @@ FROM days JOIN cohort USING (user_id)
 GROUP BY 1, 2 ORDER BY cohort_day, offset_day
 """
 
+  /** q58_islands: gaps-and-islands — each user's active DAYS merged
+    * into maximal contiguous runs (the `day − row_number()` grouping
+    * identity: consecutive days share a constant difference), graded as
+    * the global streak-length histogram plus how many distinct users
+    * attain each length. Streak analytics is the canonical
+    * "islands" query; the same identity rebuilds validity intervals in
+    * q33_scd2 and merges session spans anywhere a gap threshold is 1
+    * unit.
+    *
+    * Scale: the (user, day) distinct and the per-user window both key
+    * on user_id — one shuffle; islands per user ≤ that user's active
+    * days; the final histogram is bounded by the CALENDAR (a streak
+    * cannot be longer than the day span). Nothing global except the
+    * few-row result sort.
+    */
+  def islands(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("len")
+      .agg(count(lit(1)).as("n_islands"),
+           countDistinct(col("user_id")).as("n_users"))
+      .orderBy("len")
+  }
+
+  val islandsOracle: String = """
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+grp AS (
+  SELECT user_id,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+),
+islands AS (
+  SELECT user_id, grp, count(*) AS len FROM grp GROUP BY 1, 2
+)
+SELECT len, count(*) AS n_islands, count(DISTINCT user_id) AS n_users
+FROM islands GROUP BY len ORDER BY len
+"""
+
+  /** q59_ewma: exponentially weighted moving average of the daily
+    * event-value series with decay ½ over a 20-day horizon, in EXACT
+    * integer arithmetic: the graded value is the weighted moving SUM
+    * `Σ_{k=0..19} v(d−k) · 2^(19−k)` (fixed-point EWMA numerator —
+    * dividing by 2²⁰−1 would leave the rationals; both engines carry
+    * the integer). Missing days contribute zero, exactly as a decayed
+    * accumulator would see them.
+    *
+    * Scale: the 20-term lookback is EXPANDED to an equi-join — each
+    * daily row is exploded to the 20 future days it contributes to and
+    * summed by target day — rather than a range join (which Spark
+    * plans as a nested-loop). Everything is calendar-bounded: days ≤
+    * span, the explode is ×20, the join key is the day. At 100 TB the
+    * only corpus-sized stage is the first daily rollup, map-side
+    * combinable on (day).
+    */
+  def ewma(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * lit(1000000.0) + lit(0.5)).cast("bigint").as("v"))
+      .groupBy("day").agg(sum(col("v")).as("v"))
+      .localCheckpoint() // both the contribution explode and the
+                         // observed-day filter read it
+    val contrib = daily
+      .select(col("day"), col("v"),
+        explode(sequence(lit(0), lit(19))).as("k"))
+      .select((col("day") + col("k")).as("day"),
+        (col("v") * expr("shiftleft(1L, 19 - k)")).as("wv"))
+      .groupBy("day").agg(sum(col("wv")).as("ewma_fp"))
+    daily.select(col("day"), col("v").as("day_value_us"))
+      .join(contrib, "day") // emit only OBSERVED days
+      .orderBy("day")
+  }
+
+  val ewmaOracle: String = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         sum(cast(floor(value * 1000000.0 + 0.5) AS bigint)) AS v
+  FROM events GROUP BY 1
+),
+contrib AS (
+  SELECT daily.day + k.k AS day, v * (1::BIGINT << (19 - k.k)) AS wv
+  FROM daily, (SELECT unnest(range(0, 20)) AS k) k
+),
+e AS (SELECT day, sum(wv) AS ewma_fp FROM contrib GROUP BY 1)
+SELECT daily.day AS day, CAST(daily.v AS BIGINT) AS day_value_us,
+       CAST(e.ewma_fp AS BIGINT) AS ewma_fp
+FROM daily JOIN e ON e.day = daily.day
+ORDER BY daily.day
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_sessionize" -> (sessionize _),
     "q56_funnel" -> (funnel _),
     "q57_retention" -> (retention _),
+    "q58_islands" -> (islands _),
+    "q59_ewma" -> (ewma _),
   )
 
   val oracles: Map[String, String] = Map(
     "q55_sessionize" -> sessionizeOracle,
     "q56_funnel" -> funnelOracle,
     "q57_retention" -> retentionOracle,
+    "q58_islands" -> islandsOracle,
+    "q59_ewma" -> ewmaOracle,
   )
 }

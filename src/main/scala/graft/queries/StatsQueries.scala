@@ -1219,6 +1219,82 @@ SELECT g AS o_orderpriority, n AS n_pairs, slope_fp AS theilsen_slope_fp
 FROM ranked WHERE rn = (n + 1) // 2 ORDER BY o_orderpriority
 """
 
+  /** stats_mann_kendall: Mann–Kendall trend test of daily revenue per
+    * order priority — the nonparametric partner of stats_theilsen's
+    * slope: S = Σ_{i<j} sign(yⱼ − yᵢ) over the day-ordered series, plus
+    * the tie-corrected variance NUMERATOR
+    * `18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)` (t = per-value tie
+    * group sizes). Every graded value is pure int64 — the sign sum and
+    * both variance terms are integers; the caller divides by 18 and
+    * takes the z-score, which is the only non-rational step and stays
+    * out of the gate (the SCALE.md no-libm rule).
+    *
+    * Scale: identical profile to theilsen — the pairwise join is on the
+    * CALENDAR-bounded daily series (same 60k-row `require`), reached by
+    * one map-side-combinable rollup of orders; the tie histogram is a
+    * second tiny agg on the same checkpointed series. S needs only a
+    * sign, so no selection machinery: one combinable sum over the pairs.
+    */
+  def mannKendall(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority").as("g"), col("o_orderdate").as("d"))
+      .agg(sum(cents(col("o_totalprice"))).as("y"))
+      .select(col("g"),
+        datediff(col("d"), lit("1992-01-01").cast("date")).cast("long").as("x"),
+        col("y"))
+      .localCheckpoint()
+    val nDaily = daily.count()
+    require(nDaily <= 60000L,
+      s"mann_kendall: daily series has $nDaily rows — not calendar-bounded; " +
+      "refusing the O(n^2) pairwise join")
+    val a = daily.toDF("g", "xa", "ya")
+    val b = daily.toDF("g", "xb", "yb")
+    val s = a.join(b, Seq("g")).where(col("xa") < col("xb"))
+      .groupBy("g")
+      .agg(sum(when(col("yb") > col("ya"), 1L)
+        .when(col("yb") < col("ya"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = daily.groupBy("g", "y").agg(count(lit(1)).as("t"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_distinct"),
+           sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"))
+    daily.groupBy("g").agg(count(lit(1)).as("n_days"))
+      .join(s, "g").join(ties, "g")
+      .select(col("g").as("o_orderpriority"), col("n_days"),
+        col("n_distinct"), col("s_stat"),
+        (expr("n_days * (n_days - 1) * (2 * n_days + 5)") - col("tie_term"))
+          .as("var18"))
+      .orderBy("o_orderpriority")
+  }
+
+  val mannKendallOracle: String = """
+WITH daily AS (
+  SELECT o_orderpriority AS g,
+         date_diff('day', DATE '1992-01-01', o_orderdate) AS x,
+         sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) AS y
+  FROM orders GROUP BY 1, 2
+),
+s AS (
+  SELECT a.g,
+         sum(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END) AS s_stat
+  FROM daily a JOIN daily b ON a.g = b.g AND a.x < b.x
+  GROUP BY 1
+),
+ties AS (
+  SELECT g, count(*) AS n_distinct,
+         sum(t * (t - 1) * (2 * t + 5)) AS tie_term
+  FROM (SELECT g, y, count(*) AS t FROM daily GROUP BY 1, 2)
+  GROUP BY 1
+),
+n AS (SELECT g, count(*) AS n_days FROM daily GROUP BY 1)
+SELECT n.g AS o_orderpriority, n.n_days,
+       CAST(ties.n_distinct AS BIGINT) AS n_distinct,
+       CAST(s.s_stat AS BIGINT) AS s_stat,
+       CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - ties.tie_term
+            AS BIGINT) AS var18
+FROM n JOIN s ON s.g = n.g JOIN ties ON ties.g = n.g
+ORDER BY o_orderpriority
+"""
+
   /** stats_bootstrap_ci: bootstrap confidence interval for the mean
     * daily revenue — the distribution-free uncertainty estimate a
     * metrics platform attaches to a point statistic. B = 30 Poisson
@@ -1306,6 +1382,7 @@ FROM point,
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_theilsen" -> (theilSen _),
+    "stats_mann_kendall" -> (mannKendall _),
     "stats_bootstrap_ci" -> (bootstrapCi _),
     "q52_attribution" -> (attribution _),
     "stats_autocorr" -> (autocorr _),
@@ -1339,6 +1416,7 @@ FROM point,
     "stats_gini_concentration" -> giniConcentrationOracle,
     "stats_markov_transitions" -> markovTransitionsOracle,
     "stats_theilsen" -> theilSenOracle,
+    "stats_mann_kendall" -> mannKendallOracle,
     "stats_bootstrap_ci" -> bootstrapCiOracle,
     "stats_chi2" -> chi2Oracle,
     "q51_decile_profile" -> decileProfileOracle,

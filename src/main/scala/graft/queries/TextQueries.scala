@@ -435,6 +435,47 @@ GROUP BY d.doc_id ORDER BY doc_id
     * cheaper than a vocab-wide single-partition window, and the token
     * count it re-derives is O(vocab), not O(corpus).
     */
+  /** text_hapax: per-source vocabulary richness — token volume,
+    * distinct vocabulary, hapax legomena (words occurring exactly once
+    * within the source), and the hapax share of the vocabulary in
+    * integer ppm. The hapax fraction is the working end of Heaps'/
+    * Zipf's law for corpus curation: scraped-boilerplate sources sit
+    * LOW (the same strings recur), OCR-noise and genuinely diverse
+    * sources sit high — so the ratio ranks sources for cleaning before
+    * any model sees them (text_zipf profiles the head of the same
+    * distribution; this grades its tail).
+    *
+    * Scale: one explode to (source, word) counts — map-side
+    * combinable, the same cost class as every tokenizer pass — then a
+    * per-source rollup of the count table, which is bounded by
+    * vocabulary, not corpus size. Output rows = |sources|.
+    */
+  def hapax(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("freq"))
+      .groupBy("source")
+      .agg(sum(col("freq")).as("n_tokens"),
+           count(lit(1)).as("vocab"),
+           sum(when(col("freq") === 1L, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        expr("(hapax * 1000000) div vocab").as("hapax_ppm"))
+      .orderBy("source")
+  }
+
+  val hapaxOracle: String = """
+WITH t AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+),
+c AS (SELECT source, word, count(*) AS freq FROM t GROUP BY 1, 2)
+SELECT source, CAST(sum(freq) AS BIGINT) AS n_tokens,
+       count(*) AS vocab,
+       CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST((sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS hapax_ppm
+FROM c GROUP BY source ORDER BY source
+"""
+
   def zipf(spark: SparkSession, sfDir: String): DataFrame = {
     val terms = Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("word"))
@@ -707,6 +748,7 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_hapax" -> (hapax _),
     "text_boilerplate" -> (boilerplate _),
     "text_novelty" -> (novelty _),
     "text_source_drift" -> (sourceDrift _),
@@ -748,6 +790,7 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
 """
 
   val oracles: Map[String, String] = Map(
+    "text_hapax" -> hapaxOracle,
     "text_boilerplate" -> boilerplateOracle,
     "text_novelty" -> noveltyOracle,
     "text_source_drift" -> sourceDriftOracle,

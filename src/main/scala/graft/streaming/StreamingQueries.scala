@@ -25,7 +25,8 @@ object StreamingQueries {
     * TIMESTAMP(NANOS)-as-long and the timestamp[us] generator vintages).
     */
   private def eventsStream(spark: SparkSession, sfDir: String,
-                           copies: Int = 1, tag: String = "events"): DataFrame = {
+                           copies: Int = 1, tag: String = "events",
+                           maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/events.parquet"
     // The file source requires a DIRECTORY to monitor (in production
@@ -58,8 +59,9 @@ object StreamingQueries {
         java.nio.file.LinkOption.NOFOLLOW_LINKS))
       java.nio.file.Files.delete(legacy)
     val schema = spark.read.parquet(path).schema
-    graft.queries.Tables.normalizeTs(spark,
-      spark.readStream.schema(schema).parquet(dir.toString))
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    graft.queries.Tables.normalizeTs(spark, reader.parquet(dir.toString))
   }
 
   private val nameCounter = new java.util.concurrent.atomic.AtomicLong()
@@ -622,7 +624,96 @@ FROM tot t JOIN touched u
 ORDER BY window_start, event_type, n
 """
 
+  /** stream_dedup_watermark: the BOUNDED-STATE twin of stream_dedup —
+    * `dropDuplicatesWithinWatermark` keeps a key's dedup state only
+    * until the watermark passes its event time, which is what makes
+    * landing-zone dedup viable on an unbounded 100 TB/day feed (the
+    * exact variant's seen-key set grows forever). Replay: the events
+    * file staged TWICE, `maxFilesPerTrigger = 1` forcing the copies
+    * into SEPARATE micro-batches, so the operator's two watermark roles
+    * both fire across a batch boundary:
+    *
+    *  - batch 0 (copy 1): watermark not yet operative — every event is
+    *    first-seen, emitted, and keyed into state;
+    *  - batch 1 (copy 2): the watermark `max(ts) − 1 min` is now
+    *    operative — duplicates older than it are dropped by the LATE
+    *    filter before the store is consulted; the youngest minute's
+    *    duplicates hit surviving state and dedup there. Either path
+    *    kills the duplicate, which the gate proves: counts over the
+    *    deduped stream equal the batch counts over ONE copy.
+    *
+    * Scale: state is bounded by keys-per-watermark-horizon instead of
+    * total keys — the only version of streaming dedup that survives
+    * unbounded operation.
+    */
+  def dedupWatermark(spark: SparkSession, sfDir: String): DataFrame =
+    runToCompletion(spark, sub =>
+        eventsStream(sub, sfDir, copies = 2, tag = "events_dup",
+                     maxFilesPerTrigger = Some(1))
+          .withWatermark("ts", "1 minute")
+          .dropDuplicatesWithinWatermark("event_id"),
+      "append")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
+  val dedupWatermarkOracle: String = """
+SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1 ORDER BY event_type
+"""
+
+  /** stream_running_count: ARBITRARY typed state via Spark 4's
+    * `transformWithState` (the StatefulProcessor API that supersedes
+    * flatMapGroupsWithState — stream_stateful_agg exercises the old
+    * one): a per-user ValueState carrying (event count, running max
+    * value), emitting one row per INPUT row with the state after that
+    * row. The per-row emission makes the gate batching-invariant:
+    * whatever micro-batch sizes or in-batch orders the replay
+    * produces, `max(n_seen)` per user is that user's total event count
+    * and `max(max_value_us)` the true maximum — both graded against
+    * the batch rollup.
+    *
+    * Runs on the RocksDB state-store provider (required by the API,
+    * and the store that spills state to disk instead of executor heap
+    * — the 100 TB-state configuration). TTLConfig.NONE here because
+    * the replay is finite; an unbounded deployment sets a TTL and the
+    * store evicts idle users without a watermark.
+    *
+    * Scale: state is one 16-byte tuple per user, partitioned by the
+    * grouping key; emission volume equals input volume (append mode) —
+    * the same shape as any enrich-with-state pass.
+    */
+  def runningCount(spark: SparkSession, sfDir: String): DataFrame =
+    runToCompletion(spark, { sub =>
+        import sub.implicits._
+        sub.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        eventsStream(sub, sfDir)
+          .select(col("user_id"),
+            floor(col("value") * lit(1000000.0) + lit(0.5)).cast("bigint")
+              .as("value_us"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new RunningUserStats(),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .toDF("user_id", "n_seen", "max_value_us")
+      }, "append")
+      .groupBy("user_id")
+      .agg(max(col("n_seen")).as("n_events"),
+           max(col("max_value_us")).as("max_value_us"))
+      .orderBy("user_id")
+
+  val runningCountOracle: String = """
+SELECT user_id, count(*) AS n_events,
+       max(cast(floor(value * 1000000.0 + 0.5) AS bigint)) AS max_value_us
+FROM events GROUP BY 1 ORDER BY user_id
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_dedup_watermark" -> (dedupWatermark _),
+    "stream_running_count" -> (runningCount _),
     "stream_update_mode" -> (updateMode _),
     "stream_outer_join" -> (outerJoin _),
     "stream_late_data" -> (lateData _),
@@ -636,6 +727,8 @@ ORDER BY window_start, event_type, n
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_dedup_watermark" -> dedupWatermarkOracle,
+    "stream_running_count" -> runningCountOracle,
     "stream_update_mode" -> updateModeOracle,
     "stream_outer_join" -> outerJoinOracle,
     "stream_late_data" -> lateDataOracle,
@@ -647,4 +740,39 @@ ORDER BY window_start, event_type, n
     "stream_stateful_agg" -> statefulUserAggOracle,
     "stream_file_sink" -> fileSinkEtlOracle,
   )
+}
+
+/** Per-user (count, running max) ValueState for stream_running_count —
+  * see the query scaladoc. Top-level class: StatefulProcessor instances
+  * are serialized to executors, and an inner class would drag the
+  * enclosing object's fields along.
+  */
+private[streaming] class RunningUserStats
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{TimerValues, ValueState, TTLConfig}
+
+  @transient private var st: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                    timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long)]("user_stats",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                               timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    var (n, mx) = if (st.exists()) st.get() else (0L, Long.MinValue)
+    // Drain eagerly: the returned iterator may be consumed after the
+    // state update below, and a lazy map would then see stale vars.
+    val out = rows.map { case (_, v) =>
+      n += 1
+      if (v > mx) mx = v
+      (key, n, mx)
+    }.toVector
+    st.update((n, mx))
+    out.iterator
+  }
 }

@@ -65,6 +65,42 @@ class EventQueriesSpec extends SparkSpec {
     assert(r.getAs[Long]("conv2_ppm") === p * 1000000L / c)
   }
 
+  test("islands: histogram mass equals the distinct (user, day) count " +
+       "and lengths are span-bounded") {
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val span = days.agg(max(col("day")) - min(col("day"))).head.getLong(0) + 1
+    val hist = EventQueries.islands(spark, sfDir).collect()
+    assert(hist.nonEmpty)
+    val mass = hist.map(r => r.getAs[Long]("len") * r.getAs[Long]("n_islands")).sum
+    assert(mass === days.count(),
+      "every active day belongs to exactly one island")
+    hist.foreach { r =>
+      assert(r.getAs[Long]("len") >= 1L && r.getAs[Long]("len") <= span)
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_islands"),
+        "a user can own several islands of one length, never the reverse")
+    }
+  }
+
+  test("ewma: matches a brute-force 20-day decayed sum on the daily series") {
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long").as("v"))
+      .groupBy("day").agg(sum(col("v")).as("v"))
+      .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("v")).toMap
+    val got = EventQueries.ewma(spark, sfDir).collect()
+    assert(got.length === daily.size, "one output row per observed day")
+    got.foreach { r =>
+      val d = r.getAs[Long]("day")
+      val expect = (0 to 19).map { k =>
+        daily.getOrElse(d - k, 0L) * (1L << (19 - k))
+      }.sum
+      assert(r.getAs[Long]("ewma_fp") === expect, s"day $d")
+      assert(r.getAs[Long]("day_value_us") === daily(d))
+    }
+  }
+
   test("retention: offset-0 diagonal counts every user exactly once, " +
        "offsets are non-negative and calendar-bounded") {
     val rows = EventQueries.retention(spark, sfDir).collect()

@@ -155,4 +155,35 @@ class StatsQueriesSpec extends SparkSpec {
     }
     assert(sizes.sum === nVecs, "clusters must partition the corpus")
   }
+
+  test("mann-kendall: matches a brute-force pairwise sign sum per group " +
+       "and the tie-corrected variance identity") {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority").as("g"), col("o_orderdate").as("d"))
+      .agg(sum(floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long"))
+        .as("y"))
+      .select(col("g"),
+        datediff(col("d"), lit("1992-01-01").cast("date")).cast("long").as("x"),
+        col("y"))
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("x"), r.getAs[Long]("y")))
+      .groupBy(_._1)
+    val got = StatsQueries.mannKendall(spark, sfDir).collect()
+    assert(got.length === daily.size)
+    got.foreach { r =>
+      val g = r.getAs[String]("o_orderpriority")
+      val ys = daily(g).sortBy(_._2).map(_._3)
+      val n = ys.length.toLong
+      val s = (for (i <- ys.indices; j <- i + 1 until ys.length)
+        yield java.lang.Long.signum(ys(j) - ys(i)).toLong).sum
+      val tieTerm = ys.groupBy(identity).values.map(_.length.toLong)
+        .map(t => t * (t - 1) * (2 * t + 5)).sum
+      assert(r.getAs[Long]("n_days") === n, s"group $g n_days")
+      assert(r.getAs[Long]("s_stat") === s, s"group $g s_stat")
+      assert(r.getAs[Long]("var18") === n * (n - 1) * (2 * n + 5) - tieTerm,
+        s"group $g var18")
+      assert(math.abs(r.getAs[Long]("s_stat")) <= n * (n - 1) / 2)
+      assert(r.getAs[Long]("var18") >= 0L)
+    }
+  }
 }

@@ -135,4 +135,26 @@ class StreamingSpec extends SparkSpec {
 
     q.stop()
   }
+
+  test("watermarked dedup of a double feed equals the single-copy batch counts") {
+    val streamed = StreamingQueries.dedupWatermark(spark, sfDir).collect()
+    val batch = graft.queries.Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+      .collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("transformWithState running counts reach the batch per-user totals") {
+    val streamed = StreamingQueries.runningCount(spark, sfDir).collect()
+    val batch = graft.queries.Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .as("max_value_us"))
+      .orderBy("user_id")
+      .collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
 }
