@@ -599,7 +599,58 @@ FROM merged WHERE op IS NULL OR op <> 'D'
 GROUP BY lang ORDER BY lang
 """
 
+  /** io_partition_overwrite: DYNAMIC partition overwrite — the
+    * partition-granular rewrite every Hive-layout lakehouse uses for
+    * backfills and GDPR passes: re-writing one partition's rows
+    * replaces ONLY the partitions present in the incoming frame
+    * (`partitionOverwriteMode=dynamic`); under the default STATIC mode
+    * the same `mode("overwrite")` would truncate the whole table — the
+    * gate would see every other language vanish, so the graded result
+    * pins exactly the dynamic semantics. The rewrite itself is a
+    * redaction: the `en` partition's text replaced by its md5, n_chars
+    * set to the digest length.
+    *
+    * Staged once per source vintage (base write + one-partition
+    * rewrite are one asset build); the conf lives on a CLONED session
+    * so the mode can't leak into other queries. Scale: the rewrite
+    * touches one partition's bytes — that locality is the entire point
+    * of the Hive layout at 100 TB.
+    */
+  def partitionOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageDir(sfDir, "part_overwrite")
+    stageOnce(sfDir, dir, Seq("documents"), "pow-v1") {
+      val sub = spark.newSession()
+      sub.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      Tables.documents(sub, sfDir)
+        .write.mode("overwrite").partitionBy("lang").parquet(dir)
+      Tables.documents(sub, sfDir)
+        .where(col("lang") === "en")
+        .withColumn("text", md5(col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    }
+    spark.read.parquet(dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("total_chars"),
+           min(md5(col("text"))).as("min_text_md5"))
+      .orderBy("lang")
+  }
+
+  private val partitionOverwriteOracle = """
+WITH after AS (
+  SELECT lang,
+         CASE WHEN lang = 'en' THEN md5(text) ELSE text END AS text,
+         CASE WHEN lang = 'en' THEN 32 ELSE n_chars END AS n_chars
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs, cast(sum(n_chars) AS bigint) AS total_chars,
+       min(md5(text)) AS min_text_md5
+FROM after GROUP BY lang ORDER BY lang
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_partition_overwrite" -> (partitionOverwrite _),
     "io_delete_vectors" -> (deleteVectors _),
     "io_merge_upsert" -> (mergeUpsert _),
     "io_time_travel" -> (timeTravel _),
@@ -617,6 +668,7 @@ GROUP BY lang ORDER BY lang
   )
 
   val oracles: Map[String, String] = Map(
+    "io_partition_overwrite" -> partitionOverwriteOracle,
     "io_delete_vectors" -> deleteVectorsOracle,
     "io_merge_upsert" -> mergeUpsertOracle,
     "io_time_travel" -> timeTravelOracle,

@@ -782,7 +782,69 @@ SELECT lang, n_docs,
 FROM t ORDER BY lang
 """
 
+  /** pipe_preference_pairs: preference-pair mining — per (source,
+    * lang) group, pair the highest- and lowest-scoring document into a
+    * (chosen, rejected) training example, the construction step behind
+    * DPO/RLHF-style datasets when the "preference" is a computed
+    * quality signal rather than a human label. The score is lexical
+    * diversity in integer ppm (`distinct words · 10⁶ div total words`
+    * — boilerplate repeats itself, diverse text does not), with doc_id
+    * as the total tie-break, so pair selection is fully deterministic.
+    * Groups whose best and worst coincide (single-doc groups) emit no
+    * pair — a degenerate example teaches nothing.
+    *
+    * Scale: the per-doc score is one explode + two combinable counts;
+    * picking extrema is a per-group min/max of a (score, doc_id)
+    * struct — NO window, no sort: two map-side-combinable aggregates
+    * regardless of group sizes. Output rows ≤ |source × lang|.
+    */
+  def preferencePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("source"), col("lang"), col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "lang", "doc_id")
+      .agg(expr("(count(DISTINCT w) * 1000000) div count(1)").as("score"))
+    scored.groupBy("source", "lang")
+      .agg(max(struct(col("score"), col("doc_id"))).as("best"),
+           min(struct(col("score"), col("doc_id"))).as("worst"))
+      .where(col("best.doc_id") =!= col("worst.doc_id"))
+      .select(col("source"), col("lang"),
+        col("best.doc_id").as("chosen_doc"),
+        col("worst.doc_id").as("rejected_doc"),
+        col("best.score").as("chosen_score"),
+        col("worst.score").as("rejected_score"),
+        (col("best.score") - col("worst.score")).as("score_gap"))
+      .orderBy("source", "lang")
+  }
+
+  val preferencePairsOracle: String = """
+WITH scored AS (
+  SELECT source, lang, doc_id,
+         (count(DISTINCT w) * 1000000) // count(*) AS score
+  FROM (SELECT source, lang, doc_id,
+               unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT source, lang, doc_id, score,
+         row_number() OVER (PARTITION BY source, lang
+                            ORDER BY score DESC, doc_id DESC) AS rb,
+         row_number() OVER (PARTITION BY source, lang
+                            ORDER BY score ASC, doc_id ASC) AS rw
+  FROM scored
+)
+SELECT b.source, b.lang, b.doc_id AS chosen_doc, w.doc_id AS rejected_doc,
+       CAST(b.score AS BIGINT) AS chosen_score,
+       CAST(w.score AS BIGINT) AS rejected_score,
+       CAST(b.score - w.score AS BIGINT) AS score_gap
+FROM ranked b
+JOIN ranked w ON w.source = b.source AND w.lang = b.lang AND w.rw = 1
+WHERE b.rb = 1 AND b.doc_id <> w.doc_id
+ORDER BY b.source, b.lang
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_preference_pairs" -> (preferencePairs _),
     "pipe_temperature_mix" -> (temperatureMix _),
     "pipe_epoch_shuffle" -> (epochShuffle _),
     "pipe_bpe_merges" -> (bpeMerges _),
@@ -804,6 +866,7 @@ FROM t ORDER BY lang
   )
 
   val oracles: Map[String, String] = Map(
+    "pipe_preference_pairs" -> preferencePairsOracle,
     "pipe_temperature_mix" -> temperatureMixOracle,
     "pipe_epoch_shuffle" -> epochShuffleOracle,
     "pipe_bpe_merges" -> bpeMergesOracle,

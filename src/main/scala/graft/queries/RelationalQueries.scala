@@ -1410,7 +1410,56 @@ SELECT user_id, count(*) AS n_events,
 FROM t GROUP BY user_id ORDER BY user_id
 """
 
+  /** q60_sql_udf: the SQL-defined scalar function surface (Spark 4 SQL
+    * UDFs, SPARK-44747) — business logic shipped as `CREATE FUNCTION`
+    * text instead of engine code, the portability layer warehouses use
+    * for shared metric definitions. The body is INLINED into the plan
+    * at resolution (it is an expression template, not a called
+    * function), so it whole-stage-codegens exactly like writing the
+    * expression at the call site — the zero-cost counterpart of a JVM
+    * UDF, and why this beats `udf(...)` for anything expressible in
+    * SQL. The oracle replays the body textually, which is precisely
+    * the portability claim.
+    *
+    * Scale: one map-side-combinable aggregate over lineitem; the UDF
+    * adds no execution machinery at all (verified: the optimized plan
+    * is identical to the inlined expression's).
+    */
+  def q60SqlUdf(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfx = viewSuffix(sfDir)
+    Tables.lineitem(spark, sfDir)
+      .createOrReplaceTempView(s"graft_udf_lineitem_$sfx")
+    // OR REPLACE: Verify/Bench reuse one session across invocations.
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION graft_net_cents(
+        price DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS BIGINT
+      RETURN cast(floor(price * (1.0 - disc) * (1.0 + tax) * 100 + 0.5)
+                  AS bigint)
+    """)
+    spark.sql(s"""
+      SELECT l_returnflag, l_linestatus,
+             count(*) AS n,
+             sum(graft_net_cents(l_extendedprice, l_discount, l_tax))
+               AS net_cents
+      FROM graft_udf_lineitem_$sfx
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """)
+  }
+
+  /** The UDF body inlined — the textual-portability contract. */
+  val q60Oracle: String = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(cast(floor(l_extendedprice * (1.0 - l_discount)
+                           * (1.0 + l_tax) * 100 + 0.5) AS bigint))
+            AS BIGINT) AS net_cents
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_sql_udf" -> (q60SqlUdf _),
     "q54_window_distinct" -> (q54WindowDistinct _),
     "q53_rolling_slope" -> (q53RollingSlope _),
     "q49_locf" -> (q49Locf _),
@@ -1458,6 +1507,7 @@ FROM t GROUP BY user_id ORDER BY user_id
   )
 
   val oracles: Map[String, String] = Map(
+    "q60_sql_udf" -> q60Oracle,
     "q54_window_distinct" -> q54Oracle,
     "q28_salted_join" -> q28Oracle,
     "q34_grouping_sets" -> q34Oracle,

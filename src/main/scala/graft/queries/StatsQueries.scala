@@ -1295,6 +1295,54 @@ FROM n JOIN s ON s.g = n.g JOIN ties ON ties.g = n.g
 ORDER BY o_orderpriority
 """
 
+  /** stats_seasonality: day-of-week seasonal index of daily order
+    * revenue — each weekday's mean daily revenue relative to the
+    * all-days mean, in integer ppm (1 000 000 = exactly average). The
+    * decomposition every ops dashboard runs before alerting on a
+    * "drop" that is just a weekend. The weekday index is pure
+    * arithmetic — `x mod 7` on the days-since-1992-01-01 integer
+    * (0 = Wednesday) — so no engine calendar/locale function is in the
+    * graded path (DuckDB's dayofweek counts from Sunday, Spark's from
+    * Monday via weekday(); the mod sidesteps the whole family).
+    *
+    * Scale: one map-side-combinable daily rollup of orders, then a
+    * 7-row aggregate; the overall mean rides a 1-row cross join.
+    */
+  def seasonality(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum(cents(col("o_totalprice"))).as("y"))
+      .select(
+        datediff(col("d"), lit("1992-01-01").cast("date")).cast("long").as("x"),
+        col("y"))
+      .localCheckpoint() // the weekday rollup and the global mean share it
+    val overall = daily.agg(
+      expr("sum(y) div count(1)").as("overall_mean_cents"))
+    daily.groupBy(expr("x % 7").as("wd"))
+      .agg(count(lit(1)).as("n_days"),
+           sum(col("y")).as("total_cents"))
+      .crossJoin(overall)
+      .select(col("wd"), col("n_days"),
+        expr("total_cents div n_days").as("mean_cents"),
+        expr("((total_cents div n_days) * 1000000) div overall_mean_cents")
+          .as("index_ppm"))
+      .orderBy("wd")
+  }
+
+  val seasonalityOracle: String = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1992-01-01', o_orderdate) AS x,
+         sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) AS y
+  FROM orders GROUP BY 1
+),
+o AS (SELECT sum(y) // count(*) AS om FROM daily)
+SELECT x % 7 AS wd, count(*) AS n_days,
+       CAST(sum(y) // count(*) AS BIGINT) AS mean_cents,
+       CAST(((sum(y) // count(*)) * 1000000) // (SELECT om FROM o) AS BIGINT)
+         AS index_ppm
+FROM daily GROUP BY 1 ORDER BY wd
+"""
+
   /** stats_bootstrap_ci: bootstrap confidence interval for the mean
     * daily revenue — the distribution-free uncertainty estimate a
     * metrics platform attaches to a point statistic. B = 30 Poisson
@@ -1383,6 +1431,7 @@ FROM point,
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_theilsen" -> (theilSen _),
     "stats_mann_kendall" -> (mannKendall _),
+    "stats_seasonality" -> (seasonality _),
     "stats_bootstrap_ci" -> (bootstrapCi _),
     "q52_attribution" -> (attribution _),
     "stats_autocorr" -> (autocorr _),
@@ -1417,6 +1466,7 @@ FROM point,
     "stats_markov_transitions" -> markovTransitionsOracle,
     "stats_theilsen" -> theilSenOracle,
     "stats_mann_kendall" -> mannKendallOracle,
+    "stats_seasonality" -> seasonalityOracle,
     "stats_bootstrap_ci" -> bootstrapCiOracle,
     "stats_chi2" -> chi2Oracle,
     "q51_decile_profile" -> decileProfileOracle,

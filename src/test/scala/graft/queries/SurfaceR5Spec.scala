@@ -30,4 +30,70 @@ class SurfaceR5Spec extends SparkSpec {
       .where(col("f") === 1L).count()
     assert(rows.head.getAs[Long]("hapax") === direct)
   }
+
+  test("q60_sql_udf: the SQL UDF inlines — same optimized plan and " +
+       "values as the hand-written expression") {
+    val viaUdf = RelationalQueries.all("q60_sql_udf")(spark, sf)
+    val inlined = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")) * 100 + lit(0.5)).cast("long"))
+          .as("net_cents"))
+      .orderBy("l_returnflag", "l_linestatus")
+    assert(viaUdf.collect().toSeq === inlined.collect().toSeq)
+    // no UDF-invocation machinery survives optimization
+    val plan = viaUdf.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("invoke"), plan.take(500))
+  }
+
+  test("stats_seasonality: seven weekday rows, day counts partition the " +
+       "calendar, ppm indexes straddle parity") {
+    val rows = StatsQueries.all("stats_seasonality")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("wd")).toSeq === (0L to 6L))
+    val nDays = Tables.orders(spark, sf).select("o_orderdate").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_days")).sum === nDays)
+    val idx = rows.map(_.getAs[Long]("index_ppm"))
+    assert(idx.min <= 1000000L && idx.max >= 1000000L,
+      "some weekday must sit at or below average, some at or above")
+  }
+
+  test("pipe_preference_pairs: chosen strictly outscores rejected and " +
+       "both docs belong to the pair's group") {
+    val pairs = PipelineQueries.all("pipe_preference_pairs")(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    val groupOf = Tables.documents(spark, sf)
+      .select("doc_id", "source", "lang").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("source"), r.getAs[String]("lang"))).toMap
+    pairs.foreach { r =>
+      val g = (r.getAs[String]("source"), r.getAs[String]("lang"))
+      assert(groupOf(r.getAs[Long]("chosen_doc")) === g)
+      assert(groupOf(r.getAs[Long]("rejected_doc")) === g)
+      assert(r.getAs[Long]("chosen_score") >= r.getAs[Long]("rejected_score"))
+      assert(r.getAs[Long]("score_gap") ===
+        r.getAs[Long]("chosen_score") - r.getAs[Long]("rejected_score"))
+      assert(r.getAs[Long]("chosen_doc") !== r.getAs[Long]("rejected_doc"))
+    }
+  }
+
+  test("io_partition_overwrite: dynamic mode preserves untouched " +
+       "partitions and redacts exactly the en partition") {
+    val rows = IoQueries.all("io_partition_overwrite")(spark, sf).collect()
+    val before = Tables.documents(spark, sf)
+      .groupBy("lang").agg(count(lit(1)).as("n"), sum("n_chars").as("tc"))
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("tc"))).toMap
+    assert(rows.map(_.getAs[String]("lang")).toSet === before.keySet,
+      "static overwrite would have truncated the other partitions")
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      assert(r.getAs[Long]("n_docs") === before(lang)._1)
+      if (lang == "en")
+        assert(r.getAs[Long]("total_chars") === before(lang)._1 * 32L,
+          "redacted partition carries md5-length chars")
+      else
+        assert(r.getAs[Long]("total_chars") === before(lang)._2)
+    }
+  }
 }
