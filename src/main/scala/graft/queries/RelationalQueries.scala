@@ -1458,7 +1458,87 @@ GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
 
+  /** q61_null_safe_join: the null-safe equality join (`<=>` /
+    * IS NOT DISTINCT FROM) — the operator that lets NULL keys MATCH
+    * EACH OTHER, which plain `=` silently drops (the classic
+    * missing-rows bug when a dimension key is nullable). Keys are
+    * derived nullable buckets (`nullif(key % 100, 7)` on both sides),
+    * pre-aggregated per side so the join is 101×101 keys, then joined
+    * with `<=>`: the gate proves the NULL bucket's row survives with
+    * both sides' counts — an inner `=` join would lose it.
+    *
+    * Scale: both inputs collapse to ≤ 101 rows before the join —
+    * aggregate-then-join, the standard shape when join keys are
+    * low-cardinality; `<=>` plans as a hash join exactly like `=`
+    * (null-safe equality is hashable — no fallback to NLJ).
+    */
+  def q61NullSafeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .groupBy(expr("nullif(c_custkey % 100, 7)").as("k"))
+      .agg(count(lit(1)).as("n_cust"))
+    val o = Tables.orders(spark, sfDir)
+      .groupBy(expr("nullif(o_custkey % 100, 7)").as("ko"))
+      .agg(count(lit(1)).as("n_orders"))
+    c.join(o, col("k") <=> col("ko"))
+      .select(col("k"), col("n_cust"), col("n_orders"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
+  val q61Oracle: String = """
+WITH c AS (
+  SELECT nullif(c_custkey % 100, 7) AS k, count(*) AS n_cust
+  FROM customer GROUP BY 1
+),
+o AS (
+  SELECT nullif(o_custkey % 100, 7) AS ko, count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT k, n_cust, n_orders
+FROM c JOIN o ON k IS NOT DISTINCT FROM ko
+ORDER BY k NULLS FIRST
+"""
+
+  /** q62_try_arithmetic: the error-safe arithmetic family (`try_divide`
+    * / `try_mod` / `try_multiply`) under ANSI mode — fault-tolerant
+    * totality as a VALUE contract: where strict ANSI arithmetic would
+    * kill the job (divide-by-zero, int64 overflow), the try_ forms
+    * yield NULL and the pipeline keeps moving — the right default for
+    * curation over dirty data, where one poison row must not abort a
+    * 100 TB pass. Graded as per-flag null-counts with the failure rows
+    * identified exactly (quantity = 25 ⇒ zero denominator; orderkey ≥ 2
+    * ⇒ `orderkey · int64max` overflows), which the oracle replays with
+    * CASE arithmetic.
+    *
+    * Scale: one map-side-combinable aggregate; try_ forms codegen like
+    * their strict twins plus a branch.
+    */
+  def q62TryArithmetic(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(when(expr("try_divide(1, l_quantity - 25)").isNull, 1L)
+          .otherwise(0L)).as("div_nulls"),
+        sum(when(expr("try_mod(l_linenumber, cast(l_quantity as int) - 25)")
+          .isNull, 1L).otherwise(0L)).as("mod_nulls"),
+        sum(when(expr("try_multiply(l_orderkey, 9223372036854775807L)")
+          .isNull, 1L).otherwise(0L)).as("overflow_nulls"))
+      .orderBy("l_returnflag")
+  }
+
+  val q62Oracle: String = """
+SELECT l_returnflag, count(*) AS n,
+       CAST(sum(CASE WHEN l_quantity = 25 THEN 1 ELSE 0 END) AS BIGINT)
+         AS div_nulls,
+       CAST(sum(CASE WHEN l_quantity = 25 THEN 1 ELSE 0 END) AS BIGINT)
+         AS mod_nulls,
+       CAST(sum(CASE WHEN l_orderkey >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS overflow_nulls
+FROM lineitem GROUP BY 1 ORDER BY l_returnflag
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_null_safe_join" -> (q61NullSafeJoin _),
+    "q62_try_arithmetic" -> (q62TryArithmetic _),
     "q60_sql_udf" -> (q60SqlUdf _),
     "q54_window_distinct" -> (q54WindowDistinct _),
     "q53_rolling_slope" -> (q53RollingSlope _),
@@ -1507,6 +1587,8 @@ ORDER BY l_returnflag, l_linestatus
   )
 
   val oracles: Map[String, String] = Map(
+    "q61_null_safe_join" -> q61Oracle,
+    "q62_try_arithmetic" -> q62Oracle,
     "q60_sql_udf" -> q60Oracle,
     "q54_window_distinct" -> q54Oracle,
     "q28_salted_join" -> q28Oracle,

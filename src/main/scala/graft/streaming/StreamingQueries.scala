@@ -711,7 +711,94 @@ SELECT user_id, count(*) AS n_events,
 FROM events GROUP BY 1 ORDER BY user_id
 """
 
+  /** stream_foreachbatch_upsert: the `foreachBatch` MERGE sink — THE
+    * production pattern for landing a streaming aggregate in an upsert
+    * store (key-value table, OLAP upsert engine, Delta MERGE): update
+    * mode emits each trigger's CHANGED (window, type) rows, and the
+    * batch function merges them into a keyed parquet table —
+    * delete-matched + insert, versioned directory with an atomic swap.
+    * Two controlled micro-batches (older half, then the newest two
+    * hours) make a window that spans both halves get UPSERTED twice —
+    * batch 1's final count REPLACES batch 0's half-count, which is
+    * exactly what the gate proves: the final table equals the batch
+    * rollup, so every overwrite landed and no stale row survived.
+    *
+    * Scale: per-trigger sink I/O is bounded by the CHANGED key set
+    * (update mode), not the state size; the merge is one anti-join +
+    * union on the key — broadcast-sized here, keyed shuffle at 100 TB.
+    * The swap-directory versioning is the poor engine's transaction;
+    * a lakehouse MERGE (io_merge_upsert's arithmetic) replaces it in
+    * production without touching the streaming side.
+    */
+  def foreachBatchUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = graft.queries.Tables.events(spark, sfDir)
+    val maxUs = raw.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val splitUs = maxUs - 2L * 3600 * 1000000L
+    val stage = stageBatches(spark, sfDir, "feb_upsert", raw, Seq(
+      (unix_micros(col("ts")) < splitUs) -> "older_first",
+      (unix_micros(col("ts")) >= splitUs) -> "newest_second"))
+    val schema = raw.schema
+    val tableRoot = java.nio.file.Paths.get(stage).getParent.resolve("table")
+    // fresh target per invocation — the merge result is the graded value
+    if (java.nio.file.Files.exists(tableRoot)) {
+      val walk = java.nio.file.Files.walk(tableRoot)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+    }
+    val current = tableRoot.resolve("current")
+    val sub = spark.newSession()
+    sub.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = sub.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+              col("event_type"), col("n"))
+      .writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val delta = batch.localCheckpoint() // decouple from the running query
+        val merged =
+          if (java.nio.file.Files.exists(current)) {
+            val cur = s.read.parquet(current.toString)
+            cur.join(delta, Seq("window_start", "event_type"), "left_anti")
+              .unionByName(delta)
+          } else delta
+        val next = tableRoot.resolve(s"v$batchId")
+        merged.coalesce(1).write.mode("overwrite").parquet(next.toString)
+        // atomic-enough swap: triggers run strictly sequentially
+        val tmp = tableRoot.resolve("swap")
+        if (java.nio.file.Files.exists(current))
+          java.nio.file.Files.move(current, tmp)
+        java.nio.file.Files.move(next, current)
+        if (java.nio.file.Files.exists(tmp)) {
+          val w = java.nio.file.Files.walk(tmp)
+          try w.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.delete(p))
+          finally w.close()
+        }
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(current.toString)
+      .orderBy("window_start", "event_type")
+  }
+
+  /** The final upsert table equals the plain batch rollup — every
+    * re-emitted window overwrote its earlier version.
+    */
+  val foreachBatchUpsertOracle: String = """
+SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start,
+       event_type, count(*) AS n
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_foreachbatch_upsert" -> (foreachBatchUpsert _),
     "stream_dedup_watermark" -> (dedupWatermark _),
     "stream_running_count" -> (runningCount _),
     "stream_update_mode" -> (updateMode _),
@@ -727,6 +814,7 @@ FROM events GROUP BY 1 ORDER BY user_id
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_foreachbatch_upsert" -> foreachBatchUpsertOracle,
     "stream_dedup_watermark" -> dedupWatermarkOracle,
     "stream_running_count" -> runningCountOracle,
     "stream_update_mode" -> updateModeOracle,

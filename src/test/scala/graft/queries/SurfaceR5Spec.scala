@@ -77,6 +77,50 @@ class SurfaceR5Spec extends SparkSpec {
     }
   }
 
+  test("q61_null_safe_join: the NULL bucket survives with both sides' " +
+       "counts; a plain = join drops it") {
+    val rows = RelationalQueries.all("q61_null_safe_join")(spark, sf).collect()
+    val nullRow = rows.filter(_.isNullAt(0))
+    assert(nullRow.length === 1, "exactly one NULL-key row must match")
+    val nCust7 = Tables.customer(spark, sf)
+      .where(col("c_custkey") % 100 === 7).count()
+    assert(nullRow.head.getAs[Long]("n_cust") === nCust7)
+    // row-count identity: every key bucket present on both sides matches
+    val plainJoinRows = rows.length - 1
+    assert(plainJoinRows >= 90, "mod-100 buckets should nearly all match")
+  }
+
+  test("q62_try_arithmetic: null counts identify the failure rows exactly") {
+    val rows = RelationalQueries.all("q62_try_arithmetic")(spark, sf).collect()
+    val li = Tables.lineitem(spark, sf)
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val qty25 = li.where(col("l_returnflag") === flag &&
+        col("l_quantity") === 25.0).count()
+      assert(r.getAs[Long]("div_nulls") === qty25, s"flag $flag div")
+      assert(r.getAs[Long]("mod_nulls") === qty25, s"flag $flag mod")
+      val ok1 = li.where(col("l_returnflag") === flag &&
+        col("l_orderkey") < 2).count()
+      assert(r.getAs[Long]("overflow_nulls") === r.getAs[Long]("n") - ok1,
+        s"flag $flag overflow")
+    }
+  }
+
+  test("stream_foreachbatch_upsert: merged table equals the batch rollup " +
+       "with no duplicate keys") {
+    val got = graft.streaming.StreamingQueries.all(
+      "stream_foreachbatch_upsert")(spark, sf).collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).distinct.length
+      === got.length, "upsert must leave one row per key")
+    val batch = Tables.events(spark, sf)
+      .groupBy(expr("(unix_micros(ts) div 3600000000) * 3600")
+        .as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("window_start", "event_type")
+      .collect()
+    assert(got.toSeq === batch.toSeq)
+  }
+
   test("io_partition_overwrite: dynamic mode preserves untouched " +
        "partitions and redacts exactly the en partition") {
     val rows = IoQueries.all("io_partition_overwrite")(spark, sf).collect()
