@@ -430,7 +430,84 @@ WHERE prev_energy IS NOT NULL
 ORDER BY doc_id, frame_idx
 """
 
+  final case class TrimmedAudio(doc_id: Long, n_windows: Int,
+                                lead_trim: Int, tail_trim: Int,
+                                kept_windows: Int)
+
+  /** media_silence_trim: leading/trailing low-energy trim over the
+    * audio payloads — the clip-preparation step every speech pipeline
+    * runs before feature extraction (silence at the edges is free
+    * tokens). A window is ACTIVE when its energy is at or above the
+    * doc's own mean — compared cross-multiplied (`e · nw ≥ total`), so
+    * no derived mean is ever materialized and both engines decide each
+    * window identically in integers. The trim keeps [first active,
+    * last active]; at least the peak window is always active, so every
+    * doc emits a row. Same 256-byte windows as [[mediaAudioEnergy]].
+    *
+    * Scale: identical profile to the other media passes — per-
+    * partition codec boundary, one row per doc, no shuffle before the
+    * gate's orderBy.
+    */
+  def mediaSilenceTrim(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .filter(col("meta.media_type") === "audio")
+      .mapPartitions(_.flatMap { row =>
+        val b = row.payload
+        val nw = b.length / 256
+        if (nw == 0) Iterator.empty
+        else {
+          val e = new Array[Long](nw)
+          var total = 0L
+          var w = 0
+          while (w < nw) {
+            var s = 0L
+            var i = w * 256
+            val end = i + 256
+            while (i < end) { s += (b(i) & 0xff); i += 1 }
+            e(w) = s; total += s; w += 1
+          }
+          var first = 0
+          while (first < nw && e(first) * nw < total) first += 1
+          var last = nw - 1
+          while (last >= 0 && e(last) * nw < total) last -= 1
+          Iterator.single(TrimmedAudio(row.doc_id, nw, first,
+            nw - 1 - last, last - first + 1))
+        }
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val mediaSilenceTrimOracle: String = """
+WITH audio AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+),
+w AS (
+  SELECT doc_id, t.w AS widx,
+         list_sum(list_transform(range(1, 257),
+           i -> ord(substr(text, t.w * 256 + i, 1)))) AS energy
+  FROM audio, unnest(range(0, length(text) // 256)) AS t(w)
+),
+tot AS (
+  SELECT doc_id, count(*) AS nw, sum(energy) AS total FROM w GROUP BY 1
+),
+act AS (
+  SELECT w.doc_id, min(widx) AS first_a, max(widx) AS last_a
+  FROM w JOIN tot ON tot.doc_id = w.doc_id
+  WHERE energy * nw >= total
+  GROUP BY 1
+)
+SELECT tot.doc_id AS doc_id, cast(nw AS int) AS n_windows,
+       cast(first_a AS int) AS lead_trim,
+       cast(nw - 1 - last_a AS int) AS tail_trim,
+       cast(last_a - first_a + 1 AS int) AS kept_windows
+FROM tot JOIN act ON act.doc_id = tot.doc_id
+ORDER BY tot.doc_id
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_silence_trim" -> (mediaSilenceTrim _),
     "media_scene_cuts" -> (mediaSceneCuts _),
     "media_audio_energy" -> (mediaAudioEnergy _),
     "media_phash_clusters" -> (mediaPhashClusters _),
@@ -440,6 +517,7 @@ ORDER BY doc_id, frame_idx
   )
 
   val oracles: Map[String, String] = Map(
+    "media_silence_trim" -> mediaSilenceTrimOracle,
     "media_scene_cuts" -> mediaSceneCutsOracle,
     "media_audio_energy" -> mediaAudioEnergyOracle,
     "media_phash_clusters" -> mediaPhashClustersOracle,

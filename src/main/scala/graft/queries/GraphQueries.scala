@@ -1086,7 +1086,80 @@ UNION ALL SELECT walk_id, 4, node FROM s4
 ORDER BY walk_id, step
 """
 
+  /** graph_hits: HITS hubs-and-authorities on the order→part bipartite
+    * graph (sparse slice, quantity ≥ 45): orders are hubs, parts are
+    * authorities — "which parts do the well-connected orders point at"
+    * — the bipartite twin of [[pageRankTop]]'s prestige ranking, and
+    * the recommender-warmup score bipartite retail data actually uses.
+    * Three authority updates with L∞ (max) normalization instead of
+    * the textbook L2: dividing by the MAX keeps every operation
+    * integer multiply / floor-divide (an L2 norm needs sqrt — libm,
+    * banned from graded output), and L∞-HITS has the same fixpoint
+    * direction (scores stay in [0, 10⁶] with the top node pinned at
+    * 10⁶). Oracle = the identical recurrence unrolled as CTE pairs.
+    *
+    * Scale shape: per half-iteration — one broadcast-guarded join of
+    * the score vector (≤ |orders| or |parts| rows) into the
+    * checkpointed edge list + one map-side-combinable sum + a 1-row
+    * max cross-joined back (the same 1-row-aggregate pattern as the
+    * corpus stats queries). Fixed iteration count ⇒ one lazy plan, no
+    * driver loop. Overflow: raw ≤ deg·10⁶, re-scaled by ·10⁶ before
+    * the divide ⇒ deg ≤ 9·10⁶ headroom, comment-pinned vs the ~10³
+    * degrees this slice produces at sf1.
+    */
+  def hitsTop(spark: SparkSession, sfDir: String): DataFrame = {
+    val S = 1000000L
+    val edges = Tables.lineitem(spark, sfDir)
+      .where(col("l_quantity") >= 45)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint()
+    val m = edges.count()
+    def normalize(df: DataFrame, key: String): DataFrame =
+      df.crossJoin(df.agg(max(col("raw")).as("mx")))
+        .select(col(key), expr(s"(raw * $S) div mx").as("score"))
+    // h₀ ≡ S for every order, so the first authority pass is just the
+    // part degree (Σ h₀ = deg·S) — no join needed.
+    var auth = normalize(
+      edges.groupBy("p").agg((count(lit(1)) * S).as("raw")), "p")
+    for (_ <- 1 to 2) {
+      val hub = normalize(
+        edges.join(Hints.maybeBroadcast(auth, m), "p")
+          .groupBy("o").agg(sum(col("score")).as("raw")), "o")
+      auth = normalize(
+        edges.join(Hints.maybeBroadcast(hub, m), "o")
+          .groupBy("p").agg(sum(col("score")).as("raw")), "p")
+    }
+    auth.select(col("p").as("part"), col("score").as("authority_fp"))
+      .orderBy(col("authority_fp").desc, col("part")).limit(20)
+  }
+
+  private val hitsOracle: String = """
+WITH e AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_quantity >= 45
+),
+a0r AS (SELECT p, count(*) * 1000000 AS raw FROM e GROUP BY p),
+a0 AS (SELECT p, (raw * 1000000) // (SELECT max(raw) FROM a0r) AS score
+       FROM a0r),
+h1r AS (SELECT o, sum(score) AS raw FROM e JOIN a0 USING (p) GROUP BY o),
+h1 AS (SELECT o, (raw * 1000000) // (SELECT max(raw) FROM h1r) AS score
+       FROM h1r),
+a1r AS (SELECT p, sum(score) AS raw FROM e JOIN h1 USING (o) GROUP BY p),
+a1 AS (SELECT p, (raw * 1000000) // (SELECT max(raw) FROM a1r) AS score
+       FROM a1r),
+h2r AS (SELECT o, sum(score) AS raw FROM e JOIN a1 USING (p) GROUP BY o),
+h2 AS (SELECT o, (raw * 1000000) // (SELECT max(raw) FROM h2r) AS score
+       FROM h2r),
+a2r AS (SELECT p, sum(score) AS raw FROM e JOIN h2 USING (o) GROUP BY p),
+a2 AS (SELECT p, (raw * 1000000) // (SELECT max(raw) FROM a2r) AS score
+       FROM a2r)
+SELECT p AS part, CAST(score AS BIGINT) AS authority_fp
+FROM a2 ORDER BY authority_fp DESC, part LIMIT 20
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_hits" -> (hitsTop _),
     "graph_walk" -> (walk _),
     "graph_assortativity" -> (assortativity _),
     "graph_clustering_coeff" -> (clusteringCoeff _),
@@ -1130,6 +1203,7 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
 """
 
   val oracles: Map[String, String] = Map(
+    "graph_hits" -> hitsOracle,
     "graph_walk" -> walkOracle,
     "graph_assortativity" -> assortativityOracle,
     "graph_clustering_coeff" -> clusteringCoeffOracle,

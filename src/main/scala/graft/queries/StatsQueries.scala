@@ -1343,6 +1343,57 @@ SELECT x % 7 AS wd, count(*) AS n_days,
 FROM daily GROUP BY 1 ORDER BY wd
 """
 
+  /** stats_pareto_front: per-brand Pareto front (skyline) of the parts
+    * catalog on (price low, size high) — the points no other same-brand
+    * point beats on both axes, the multi-objective shortlist query
+    * (cheapest-per-capability) that product/procurement analytics run.
+    * The naive skyline is an O(n²) dominance check that does NOT
+    * survive 100 TB; the scale move is DOMAIN REDUCTION first: size is
+    * a bounded attribute (integer 1..50), so collapsing to the per-
+    * (brand, size) MIN price — one map-side-combinable aggregate —
+    * leaves ≤ |sizes| candidate points per brand, and only THAT
+    * calendar-bounded-style table pays the quadratic dominance
+    * anti-join (equi on brand + inequality residual: a hash anti-join,
+    * probe cost |sizes|² per brand, enforced by a `require`). The
+    * reduction is lossless: a dominated (brand, size) price is also
+    * dominated in the reduced set, and every skyline point survives as
+    * its size's minimum.
+    */
+  def paretoFront(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = Tables.part(spark, sfDir)
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(min(cents(col("p_retailprice"))).as("price_cents"))
+      .localCheckpoint()
+    val maxPerBrand = pts.groupBy("p_brand").agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).head.getLong(0)
+    require(maxPerBrand <= 64L,
+      s"pareto: $maxPerBrand points per brand after reduction — size is " +
+      "no longer a bounded domain; the quadratic dominance join is unsafe")
+    val dom = pts.toDF("b2", "s2", "pc2")
+    pts.join(dom,
+        col("p_brand") === col("b2") &&
+        col("s2") >= col("p_size") && col("pc2") <= col("price_cents") &&
+        (col("s2") > col("p_size") || col("pc2") < col("price_cents")),
+        "left_anti")
+      .orderBy("p_brand", "p_size")
+  }
+
+  val paretoFrontOracle: String = """
+WITH pts AS (
+  SELECT p_brand, p_size,
+         min(cast(floor(p_retailprice * 100 + 0.5) AS bigint)) AS price_cents
+  FROM part GROUP BY 1, 2
+)
+SELECT p_brand, p_size, price_cents
+FROM pts a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts b
+  WHERE b.p_brand = a.p_brand
+    AND b.p_size >= a.p_size AND b.price_cents <= a.price_cents
+    AND (b.p_size > a.p_size OR b.price_cents < a.price_cents))
+ORDER BY p_brand, p_size
+"""
+
   /** stats_bootstrap_ci: bootstrap confidence interval for the mean
     * daily revenue — the distribution-free uncertainty estimate a
     * metrics platform attaches to a point statistic. B = 30 Poisson
@@ -1432,6 +1483,7 @@ FROM point,
     "stats_theilsen" -> (theilSen _),
     "stats_mann_kendall" -> (mannKendall _),
     "stats_seasonality" -> (seasonality _),
+    "stats_pareto_front" -> (paretoFront _),
     "stats_bootstrap_ci" -> (bootstrapCi _),
     "q52_attribution" -> (attribution _),
     "stats_autocorr" -> (autocorr _),
@@ -1467,6 +1519,7 @@ FROM point,
     "stats_theilsen" -> theilSenOracle,
     "stats_mann_kendall" -> mannKendallOracle,
     "stats_seasonality" -> seasonalityOracle,
+    "stats_pareto_front" -> paretoFrontOracle,
     "stats_bootstrap_ci" -> bootstrapCiOracle,
     "stats_chi2" -> chi2Oracle,
     "q51_decile_profile" -> decileProfileOracle,

@@ -121,6 +121,58 @@ class SurfaceR5Spec extends SparkSpec {
     assert(got.toSeq === batch.toSeq)
   }
 
+  test("graph_hits: L-inf normalization pins the top authority at 1e6, " +
+       "scores bounded, deterministic") {
+    val a = GraphQueries.all("graph_hits")(spark, sf).collect()
+    val b = GraphQueries.all("graph_hits")(spark, sf).collect()
+    assert(a.toSeq === b.toSeq, "two runs disagree")
+    assert(a.nonEmpty && a.head.getAs[Long]("authority_fp") === 1000000L,
+      "max-normalization must pin the top score")
+    a.foreach(r => assert(r.getAs[Long]("authority_fp") >= 0L &&
+      r.getAs[Long]("authority_fp") <= 1000000L))
+  }
+
+  test("stats_pareto_front: no emitted point dominates another within " +
+       "its brand; each brand's cheapest point survives") {
+    val rows = StatsQueries.all("stats_pareto_front")(spark, sf).collect()
+      .map(r => (r.getAs[String]("p_brand"), r.getAs[Int]("p_size"),
+        r.getAs[Long]("price_cents")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (brand, pts) =>
+      for (a <- pts; b <- pts if a != b)
+        assert(!(b._2 >= a._2 && b._3 <= a._3 && (b._2 > a._2 || b._3 < a._3)),
+          s"$brand: $b dominates emitted point $a")
+      // the brand's global min price always survives (nothing can have
+      // strictly lower price)
+      val minP = pts.map(_._3).min
+      val all = Tables.part(spark, sf).where(col("p_brand") === brand)
+        .agg(min(floor(col("p_retailprice") * 100 + lit(0.5)).cast("long")))
+        .head.getLong(0)
+      assert(minP === all, s"$brand: cheapest point missing from skyline")
+    }
+  }
+
+  test("media_silence_trim: trim arithmetic is consistent and the peak " +
+       "window is never trimmed") {
+    import graft.multimodal.MultimodalQueries
+    val trims = MultimodalQueries.all("media_silence_trim")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_windows"), r.getAs[Int]("lead_trim"),
+         r.getAs[Int]("tail_trim"), r.getAs[Int]("kept_windows"))).toMap
+    assert(trims.nonEmpty)
+    trims.values.foreach { case (nw, lead, tail, kept) =>
+      assert(lead + tail + kept === nw)
+      assert(kept >= 1, "at least the peak window is active")
+    }
+    MultimodalQueries.all("media_audio_energy")(spark, sf).collect()
+      .foreach { r =>
+        val (nw, lead, tail, _) = trims(r.getAs[Long]("doc_id"))
+        val peak = r.getAs[Int]("peak_idx")
+        assert(peak >= lead && peak <= nw - 1 - tail,
+          "the argmax-energy window must lie inside the kept span")
+      }
+  }
+
   test("io_partition_overwrite: dynamic mode preserves untouched " +
        "partitions and redacts exactly the en partition") {
     val rows = IoQueries.all("io_partition_overwrite")(spark, sf).collect()
