@@ -1115,9 +1115,16 @@ ORDER BY walk_id, step
       .distinct()
       .localCheckpoint()
     val m = edges.count()
-    def normalize(df: DataFrame, key: String): DataFrame =
-      df.crossJoin(df.agg(max(col("raw")).as("mx")))
-        .select(col(key), expr(s"(raw * $S) div mx").as("score"))
+    // Each half-iteration is checkpointed (the CC-loop discipline: cuts
+    // the otherwise exponentially self-duplicating lineage — the raw
+    // table feeds BOTH the max and the rescale) and the max lands as a
+    // DRIVER SCALAR literal (one Long per half-iteration, the bm25
+    // pattern) — no 1-row cross join, so the plan stays NLJ-free.
+    def normalize(df: DataFrame, key: String): DataFrame = {
+      val ck = df.localCheckpoint()
+      val mx = ck.agg(max(col("raw"))).head.getLong(0)
+      ck.select(col(key), expr(s"(raw * $S) div ${mx}L").as("score"))
+    }
     // h₀ ≡ S for every order, so the first authority pass is just the
     // part degree (Σ h₀ = deg·S) — no join needed.
     var auth = normalize(

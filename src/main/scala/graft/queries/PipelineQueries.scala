@@ -843,7 +843,70 @@ WHERE b.rb = 1 AND b.doc_id <> w.doc_id
 ORDER BY b.source, b.lang
 """
 
+  /** pipe_span_masking: T5/BERT-style span corruption PLANNING — which
+    * tokens a denoising objective would mask, as a deterministic
+    * function of (doc_id, position): a 3-token span starts wherever
+    * `(doc_id + pos) mod 7 = 0` (≈ 15% start rate ⇒ ~39% of tokens
+    * masked once spans merge), overlapping/adjacent spans coalesce.
+    * Per doc: token count, masked count, number of MAXIMAL masked runs
+    * (= sentinel tokens the encoder input needs), and the masked ppm.
+    * Hash-free mod arithmetic, so the masking is reproducible across
+    * epochs and engines — the same no-RNG discipline as the split/
+    * shuffle/mixing queries.
+    *
+    * The span-run count uses no window at all: a token OPENS a run iff
+    * it is masked and its predecessor is not, and both flags have
+    * CLOSED FORMS (`masked(i) = ∃ j ∈ [max(0, i−2), i]:
+    * (doc_id + j) mod 7 = 0`), so the whole query is one explode and
+    * one combinable aggregate — at 100 TB the masking pass costs
+    * exactly one tokenizer scan, no per-doc sort.
+    */
+  def spanMasking(spark: SparkSession, sfDir: String): DataFrame = {
+    def startsAt(p: Column): Column = (col("doc_id") + p) % 7 === 0
+    def maskedAt(p: Column): Column =
+      startsAt(p) || (p >= 1 && startsAt(p - 1)) || (p >= 2 && startsAt(p - 2))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos"),
+        maskedAt(col("pos")).as("m"),
+        (maskedAt(col("pos")) && !(col("pos") >= 1 && maskedAt(col("pos") - 1)))
+          .as("opens"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(when(col("m"), 1L).otherwise(0L)).as("n_masked"),
+           sum(when(col("opens"), 1L).otherwise(0L)).as("n_spans"))
+      .select(col("doc_id"), col("n_tokens"), col("n_masked"), col("n_spans"),
+        expr("(n_masked * 1000000) div n_tokens").as("masked_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val spanMaskingOracle: String = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(range(0, len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+flags AS (
+  SELECT doc_id, pos,
+         ((doc_id + pos) % 7 = 0
+          OR (pos >= 1 AND (doc_id + pos - 1) % 7 = 0)
+          OR (pos >= 2 AND (doc_id + pos - 2) % 7 = 0)) AS m,
+         NOT (pos >= 1 AND ((doc_id + pos - 1) % 7 = 0
+              OR (pos >= 2 AND (doc_id + pos - 2) % 7 = 0)
+              OR (pos >= 3 AND (doc_id + pos - 3) % 7 = 0))) AS prev_clear
+  FROM toks
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       CAST(sum(CASE WHEN m AND prev_clear THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_spans,
+       CAST((sum(CASE WHEN m THEN 1 ELSE 0 END) * 1000000) // count(*)
+            AS BIGINT) AS masked_ppm
+FROM flags GROUP BY doc_id ORDER BY doc_id
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_span_masking" -> (spanMasking _),
     "pipe_preference_pairs" -> (preferencePairs _),
     "pipe_temperature_mix" -> (temperatureMix _),
     "pipe_epoch_shuffle" -> (epochShuffle _),
@@ -866,6 +929,7 @@ ORDER BY b.source, b.lang
   )
 
   val oracles: Map[String, String] = Map(
+    "pipe_span_masking" -> spanMaskingOracle,
     "pipe_preference_pairs" -> preferencePairsOracle,
     "pipe_temperature_mix" -> temperatureMixOracle,
     "pipe_epoch_shuffle" -> epochShuffleOracle,

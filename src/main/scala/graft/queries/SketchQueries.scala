@@ -469,7 +469,104 @@ SELECT f2_exact, f2_est,
 FROM ex, est
 """
 
+  /** sketch_cms_merge: count-min LINEARITY — the property hll_union
+    * pins for HLL, here for the counting sketch: CMS counters are sums,
+    * so per-group sketches ADD cell-wise into exactly the sketch of the
+    * union, making CMS rollup tables re-aggregatable to any coarser
+    * grain without rescanning raw data (the 100 TB heavy-hitter
+    * dashboard design: persist per-hour/per-source CMS vectors, answer
+    * any day/total query by vector addition). Graded: per-event-type
+    * sketches summed cell-wise vs the whole-table sketch — mismatching
+    * cells (must be 0), both paths' estimates for the top user, and the
+    * exact count the estimates bound.
+    *
+    * Scale: two map-side-combinable (j, bucket[, type]) counts over one
+    * explode(4) pass each; the cell-compare joins two ≤ 4·1024-row
+    * tables. Identical md5 bucket derivation to [[cmsHeavyHitters]].
+    */
+  def cmsMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = 1024
+    val js = array((0 until 4).map(lit): _*)
+    def bucket(j: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column) =
+      pmod(conv(substring(md5(concat(j, lit("#"), key)), 1, 14), 16, 10)
+        .cast("bigint"), lit(W.toLong))
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"), explode(js).as("j"))
+      .select(col("event_type"), col("user_id"), col("j"),
+        bucket(col("j"), col("user_id")).as("b"))
+      .localCheckpoint() // feeds both sketch builds and the probe
+    val whole = pairs.groupBy("j", "b").agg(count(lit(1)).as("c_whole"))
+    val merged = pairs.groupBy("event_type", "j", "b")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("j", "b").agg(sum(col("c")).as("c_merged"))
+    val cells = whole.join(merged, Seq("j", "b"), "full_outer")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when(col("c_whole") <=> col("c_merged"), 0L).otherwise(1L))
+          .as("mismatch_cells"))
+    val top = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id")).limit(1)
+      .localCheckpoint()
+    val probe = top.select(col("user_id"), col("n_exact"), explode(js).as("j"))
+      .select(col("user_id"), col("n_exact"), col("j"),
+        bucket(col("j"), col("user_id")).as("b"))
+    val ests = probe
+      .join(broadcast(whole), Seq("j", "b"))
+      .join(broadcast(merged), Seq("j", "b"))
+      .groupBy("user_id", "n_exact")
+      .agg(min(col("c_whole")).as("est_whole"),
+           min(col("c_merged")).as("est_merged"))
+    cells.crossJoin(ests)
+      .select(col("n_cells"), col("mismatch_cells"),
+        col("user_id").as("top_user"), col("n_exact"),
+        col("est_whole"), col("est_merged"))
+  }
+
+  val cmsMergeOracle: String = """
+WITH pairs AS (
+  SELECT event_type, user_id, t.j,
+         cast('0x' || substr(md5(t.j || '#' || user_id), 1, 14) AS bigint)
+           % 1024 AS b
+  FROM events, unnest([0, 1, 2, 3]) AS t(j)
+),
+whole AS (SELECT j, b, count(*) AS c_whole FROM pairs GROUP BY 1, 2),
+merged AS (
+  SELECT j, b, sum(c) AS c_merged
+  FROM (SELECT event_type, j, b, count(*) AS c FROM pairs GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+),
+cells AS (
+  SELECT count(*) AS n_cells,
+         sum(CASE WHEN c_whole IS NOT DISTINCT FROM c_merged
+             THEN 0 ELSE 1 END) AS mismatch_cells
+  FROM whole FULL OUTER JOIN merged USING (j, b)
+),
+top AS (
+  SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1
+  ORDER BY n_exact DESC, user_id LIMIT 1
+),
+probe AS (
+  SELECT t.user_id, t.n_exact, p.j, p.b
+  FROM top t JOIN (SELECT DISTINCT user_id, j, b FROM pairs) p
+    ON p.user_id = t.user_id
+),
+ests AS (
+  SELECT pr.user_id, pr.n_exact,
+         min(w.c_whole) AS est_whole, min(m.c_merged) AS est_merged
+  FROM probe pr
+  JOIN whole w ON w.j = pr.j AND w.b = pr.b
+  JOIN merged m ON m.j = pr.j AND m.b = pr.b
+  GROUP BY 1, 2
+)
+SELECT cells.n_cells,
+       CAST(cells.mismatch_cells AS BIGINT) AS mismatch_cells,
+       ests.user_id AS top_user, ests.n_exact,
+       ests.est_whole, CAST(ests.est_merged AS BIGINT) AS est_merged
+FROM cells, ests
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_cms_merge" -> (cmsMerge _),
     "sketch_ams_f2" -> (amsF2 _),
     "sketch_bloom_fp" -> (bloomFp _),
     "sketch_theta_intersect" -> (thetaIntersect _),
@@ -481,6 +578,7 @@ FROM ex, est
   )
 
   val oracles: Map[String, String] = Map(
+    "sketch_cms_merge" -> cmsMergeOracle,
     "sketch_ams_f2" -> amsF2Oracle,
     "sketch_bloom_fp" -> bloomFpOracle,
     "sketch_theta_intersect" -> thetaIntersectOracle,

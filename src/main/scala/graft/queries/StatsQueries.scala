@@ -1316,15 +1316,15 @@ ORDER BY o_orderpriority
         datediff(col("d"), lit("1992-01-01").cast("date")).cast("long").as("x"),
         col("y"))
       .localCheckpoint() // the weekday rollup and the global mean share it
-    val overall = daily.agg(
-      expr("sum(y) div count(1)").as("overall_mean_cents"))
+    // Driver scalar (bm25 pattern): one Long off the checkpointed daily
+    // series — cheaper and NLJ-free vs a 1-row cross join.
+    val overallMean = daily.agg(expr("sum(y) div count(1)")).head.getLong(0)
     daily.groupBy(expr("x % 7").as("wd"))
       .agg(count(lit(1)).as("n_days"),
            sum(col("y")).as("total_cents"))
-      .crossJoin(overall)
       .select(col("wd"), col("n_days"),
         expr("total_cents div n_days").as("mean_cents"),
-        expr("((total_cents div n_days) * 1000000) div overall_mean_cents")
+        expr(s"((total_cents div n_days) * 1000000) div ${overallMean}L")
           .as("index_ppm"))
       .orderBy("wd")
   }

@@ -45,11 +45,13 @@ class PlanShapeSpec extends SparkSpec {
   // with N.
   // q56_funnel: two cross joins of ONE-ROW stage-count aggregates —
   // the same scalar-attach shape.
+  // sketch_cms_merge: one cross join of the ONE-ROW cell-compare
+  // aggregate with the ONE-ROW top-user estimate row — scalar attach.
   private val quadraticBaselines = Set(
     "sim_cosine_pairs", "sim_topk_bruteforce", "dedup_embedding_clusters",
     "sim_ann_ivf", "dedup_ann_recall", "sketch_theta_intersect",
     "sim_mips_topk", "text_source_drift", "sketch_ams_f2",
-    "stats_bootstrap_ci", "q56_funnel")
+    "stats_bootstrap_ci", "q56_funnel", "sketch_cms_merge")
 
   private val sideEffecting = (n: String) =>
     n.startsWith("io_") || n.startsWith("stream_")

@@ -121,6 +121,39 @@ class SurfaceR5Spec extends SparkSpec {
     assert(got.toSeq === batch.toSeq)
   }
 
+  test("pipe_span_masking: matches a brute-force mask simulation and " +
+       "span runs are maximal") {
+    val got = PipelineQueries.all("pipe_span_masking")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ", -1).length).toMap
+    assert(got.length === docs.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = docs(id)
+      val masked = Array.tabulate(n) { i =>
+        (0 to 2).exists(k => i - k >= 0 && (id + i - k) % 7 == 0)
+      }
+      val spans = masked.indices.count(i => masked(i) && (i == 0 || !masked(i - 1)))
+      assert(r.getAs[Long]("n_tokens") === n.toLong, s"doc $id tokens")
+      assert(r.getAs[Long]("n_masked") === masked.count(identity).toLong,
+        s"doc $id masked")
+      assert(r.getAs[Long]("n_spans") === spans.toLong, s"doc $id spans")
+    }
+  }
+
+  test("sketch_cms_merge: cell-wise addition is lossless and neither " +
+       "path's estimate undercounts") {
+    val r = SketchQueries.all("sketch_cms_merge")(spark, sf).head()
+    assert(r.getAs[Long]("mismatch_cells") === 0L,
+      "CMS linearity: merged cells must equal the whole-table sketch")
+    assert(r.getAs[Long]("est_whole") === r.getAs[Long]("est_merged"),
+      "equal sketches must give equal estimates")
+    assert(r.getAs[Long]("est_whole") >= r.getAs[Long]("n_exact"),
+      "CMS is one-sided: estimates never undercount")
+  }
+
   test("graph_hits: L-inf normalization pins the top authority at 1e6, " +
        "scores bounded, deterministic") {
     val a = GraphQueries.all("graph_hits")(spark, sf).collect()
