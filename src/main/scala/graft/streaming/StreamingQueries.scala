@@ -797,7 +797,102 @@ SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start,
 FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 """
 
+  /** stream_session_timers: event-time TIMERS via `transformWithState`
+    * — the half of the Spark 4 arbitrary-state API that
+    * [[runningCount]] doesn't touch: `handleExpiredTimer` closing idle
+    * sessions when the WATERMARK passes their timeout, which is how a
+    * production sessionizer emits without waiting for the user's next
+    * event (the session_window operator does this internally; here the
+    * policy is user code). Per user the processor keeps the OPEN
+    * session's (count, last-seen) in a ValueState; in-batch gaps close
+    * sessions inline (rows are sorted per key in the handler — a batch
+    * iterator carries NO time order), and ONE re-armed timer at
+    * `last + 30 min` covers the open tail. Replay: all events, then an
+    * empty spacer file (the one-micro-batch watermark-propagation
+    * delay, see [[lateData]]) — the spacer batch is where expired
+    * timers fire. Sessions still inside their idle window when the
+    * finite replay ends stay in state, exactly as an unbounded run
+    * would leave them; the oracle replays that split: every gap-closed
+    * session, plus each user's FINAL session only if its timeout
+    * cleared the final watermark (`least`-free: one source).
+    *
+    * The timer is registered at `floor(last_us/1000) + gap_ms + 1`, so
+    * it is strictly inside the idle window; the 1-minute watermark
+    * delay sits mid-stream with microsecond jitter, making an
+    * expiry == watermark tie (where Spark's </≤ convention could
+    * matter) measure-zero in this data.
+    *
+    * Scale: state is one tuple + one timer per ACTIVE user —
+    * watermark-bounded, the unbounded-feed configuration; emissions
+    * are one row per closed session.
+    */
+  def sessionTimers(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = graft.queries.Tables.events(spark, sfDir)
+    val stage = stageBatches(spark, sfDir, "session_timers", raw, Seq(
+      (lit(true): org.apache.spark.sql.Column) -> "all_events",
+      lit(false) -> "spacer_empty"))
+    val schema = raw.schema
+    runToCompletion(spark, { sub =>
+        import sub.implicits._
+        sub.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        graft.queries.Tables.normalizeTs(sub,
+            sub.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(stage))
+          .withWatermark("ts", "1 minute")
+          .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+          .as[(Long, java.sql.Timestamp, Long)]
+          .map(r => (r._1, r._3))
+          .groupByKey(_._1)
+          .transformWithState(new SessionTimers(1800000000L),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .toDF("user_id", "n_events", "last_us")
+      }, "append")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_closed"),
+           sum(col("n_events")).as("events_closed"),
+           max(col("last_us")).as("last_closed_us"))
+      .orderBy("user_id")
+  }
+
+  /** Gap sessions; the per-user FINAL session only counts as closed if
+    * its timer (`last + 30 min + 1 ms`) is below the final watermark
+    * (`max(ts) − 1 min`, ms floor).
+    */
+  val sessionTimersOracle: String = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+m AS (SELECT (max(us) // 1000) - 60000 AS wm_ms FROM e),
+b AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS boundary
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+s AS (
+  SELECT user_id, us,
+         sum(boundary) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM b
+),
+sess AS (
+  SELECT user_id, sid, count(*) AS n_events, max(us) AS last_us,
+         row_number() OVER (PARTITION BY user_id ORDER BY sid DESC) AS rfinal
+  FROM s GROUP BY user_id, sid
+),
+closed AS (
+  SELECT user_id, n_events, last_us
+  FROM sess, m
+  WHERE rfinal > 1 OR (last_us // 1000) + 1800000 + 1 < m.wm_ms
+)
+SELECT user_id, count(*) AS n_closed,
+       CAST(sum(n_events) AS BIGINT) AS events_closed,
+       CAST(max(last_us) AS BIGINT) AS last_closed_us
+FROM closed GROUP BY user_id ORDER BY user_id
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_session_timers" -> (sessionTimers _),
     "stream_foreachbatch_upsert" -> (foreachBatchUpsert _),
     "stream_dedup_watermark" -> (dedupWatermark _),
     "stream_running_count" -> (runningCount _),
@@ -814,6 +909,7 @@ FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_session_timers" -> sessionTimersOracle,
     "stream_foreachbatch_upsert" -> foreachBatchUpsertOracle,
     "stream_dedup_watermark" -> dedupWatermarkOracle,
     "stream_running_count" -> runningCountOracle,
@@ -863,4 +959,56 @@ private[streaming] class RunningUserStats
     st.update((n, mx))
     out.iterator
   }
+}
+
+/** Per-user open-session state + one re-armed event-time timer for
+  * stream_session_timers — see the query scaladoc. Emits
+  * (user, session event count, session last-seen µs) for every CLOSED
+  * session: in-batch gap closures from handleInputRows, idle-timeout
+  * closures from handleExpiredTimer.
+  */
+private[streaming] class SessionTimers(gapUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues,
+    TTLConfig, ValueState}
+
+  @transient private var st: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                    timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long)]("open_session",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                               timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    // A micro-batch iterator has NO time order — sort before the gap
+    // walk (bounded by the user's rows in this batch).
+    val ts = rows.map(_._2).toArray
+    java.util.Arrays.sort(ts)
+    var out = List.empty[(Long, Long, Long)]
+    var (n, last) = if (st.exists()) st.get() else (0L, Long.MinValue)
+    ts.foreach { t =>
+      if (n > 0 && t - last > gapUs) { out = (key, n, last) :: out; n = 0 }
+      n += 1
+      last = t
+    }
+    st.update((n, last))
+    // exactly one armed timer per user: re-arm at the new idle deadline
+    getHandle.listTimers().foreach(e =>
+      getHandle.deleteTimer(e.asInstanceOf[Long]))
+    getHandle.registerTimer(last / 1000 + gapUs / 1000 + 1)
+    out.reverse.iterator
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                  expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long)] =
+    if (st.exists()) {
+      val (n, last) = st.get()
+      st.clear()
+      Iterator.single((key, n, last))
+    } else Iterator.empty
 }

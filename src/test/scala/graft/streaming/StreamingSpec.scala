@@ -146,6 +146,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("session timers close exactly the gap sessions plus watermark-" +
+       "expired finals") {
+    import org.apache.spark.sql.expressions.Window
+    val streamed = StreamingQueries.all("stream_session_timers")(spark, sfDir)
+      .collect()
+    val ev = graft.queries.Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val wmMs = ev.agg(max(col("us"))).head.getLong(0) / 1000 - 60000
+    val w = Window.partitionBy("user_id").orderBy("us")
+    val sess = ev
+      .withColumn("boundary",
+        when(lag(col("us"), 1).over(w).isNull ||
+             col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("boundary")).over(w))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"), max(col("us")).as("last_us"))
+    val wfin = Window.partitionBy("user_id").orderBy(col("sid").desc)
+    val closed = sess.withColumn("rfinal", row_number().over(wfin))
+      .where(col("rfinal") > 1 ||
+             expr("last_us div 1000") + 1800000L + 1L < wmMs)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_closed"),
+           sum(col("n_events")).as("events_closed"),
+           max(col("last_us")).as("last_closed_us"))
+      .orderBy("user_id")
+      .collect()
+    assert(streamed.toSeq === closed.toSeq)
+  }
+
   test("transformWithState running counts reach the batch per-user totals") {
     val streamed = StreamingQueries.runningCount(spark, sfDir).collect()
     val batch = graft.queries.Tables.events(spark, sfDir)
