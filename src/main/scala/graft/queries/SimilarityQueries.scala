@@ -631,7 +631,71 @@ SELECT sub, CAST(enc % 4 AS BIGINT) AS code, count(*) AS n_vecs,
 FROM a GROUP BY sub, enc % 4 ORDER BY sub, code
 """
 
+  /** sim_binary_sign_ann: 1-bit (sign) embedding quantization + exact
+    * Hamming top-5 — the binary-code ANN family member (BinaryQuantizer
+    * / "binary embeddings"): 64 float dims collapse to 64 BITS, a 256×
+    * compression whose Hamming distance is a monotone proxy for angular
+    * distance, computed with two XOR+popcount instructions. The
+    * signature packs as TWO 32-bit halves (never a sign-bit-setting
+    * 2⁶³ term, and DuckDB's `list_sum` HUGEINT widening casts back to
+    * BIGINT losslessly), so every value is pure int64 cross-engine.
+    * Same bounded query set as [[topkBruteForce]] (≤100 queries at any
+    * corpus size ⇒ the exact scan is O(|Q|·N), linear in N); recall vs
+    * the float top-5 is asserted in SimilaritySpec, and at 100 TB the
+    * signatures are 16 bytes/vector — the rerank index that fits in
+    * memory when floats don't.
+    */
+  def binarySignAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    def half(offset: Int): String =
+      s"aggregate(transform(slice(embedding, $offset, 32), " +
+        "(x, i) -> IF(x > 0, shiftleft(1L, i), 0L)), 0L, (acc, v) -> acc + v)"
+    val sig = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr(half(1)).as("lo"), expr(half(33)).as("hi"))
+      .localCheckpoint() // query and corpus side share the one scan
+    val q = sig.toDF("query_id", "qlo", "qhi")
+      .where(col("query_id") % 50 === 0 && col("query_id") < 5000)
+    val c = sig.toDF("neighbor_id", "clo", "chi")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (expr("bit_count(qlo ^ clo)") + expr("bit_count(qhi ^ chi)"))
+          .cast("int").as("hamming"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
+      .orderBy("query_id", "rank")
+  }
+
+  val binarySignAnnOracle: String = """
+WITH sig AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(range(0, 32),
+           i -> CASE WHEN embedding[i + 1] > 0
+                THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+         CAST(list_sum(list_transform(range(0, 32),
+           i -> CASE WHEN embedding[i + 33] > 0
+                THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS hi
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)) AS hamming
+  FROM sig q JOIN sig c
+    ON q.vec_id % 50 = 0 AND q.vec_id < 5000 AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, hamming,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY hamming, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, CAST(hamming AS INT) AS hamming
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_binary_sign_ann" -> (binarySignAnn _),
     "sim_pq_assign" -> (pqAssign _),
     "sim_mips_topk" -> (mipsTopk _),
     "sim_quantize_int8" -> (quantizeInt8 _),
@@ -643,6 +707,7 @@ FROM a GROUP BY sub, enc % 4 ORDER BY sub, code
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_binary_sign_ann" -> binarySignAnnOracle,
     "sim_pq_assign" -> pqAssignOracle,
     "sim_mips_topk" -> mipsTopkOracle,
     "sim_quantize_int8" -> quantizeInt8Oracle,

@@ -1394,6 +1394,87 @@ WHERE NOT EXISTS (
 ORDER BY p_brand, p_size
 """
 
+  /** stats_runs_test: Wald–Wolfowitz runs test of daily revenue per
+    * order priority — dichotomize each day as above/below the group's
+    * MEDIAN (median-equal days dropped, the standard convention), then
+    * count maximal same-side RUNS in day order: too few runs ⇒ trend/
+    * autocorrelation, too many ⇒ oscillation. Completes the
+    * nonparametric panel (mannwhitney = location, mann_kendall =
+    * monotone trend, this = randomness of the sequence). The median is
+    * an EXACT order statistic — rank ⌈n/2⌉ by (y, x) — and the graded
+    * values (n above, n below, runs) are pure counts, so the gate is
+    * bit-exact; the z-score's sqrt stays with the caller (no-libm
+    * rule).
+    *
+    * Scale: the daily series is calendar-bounded (one combinable
+    * rollup of orders); the rank and lag windows partition by the
+    * 5-value priority key over that bounded series. No pairwise join
+    * at all — the cheapest member of the panel.
+    */
+  def runsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority").as("g"), col("o_orderdate").as("d"))
+      .agg(sum(cents(col("o_totalprice"))).as("y"))
+      .select(col("g"),
+        datediff(col("d"), lit("1992-01-01").cast("date")).cast("long").as("x"),
+        col("y"))
+      .localCheckpoint() // median pass and the run walk share it
+    val wRank = Window.partitionBy("g").orderBy("y", "x")
+    val wAll = Window.partitionBy("g")
+    val med = daily
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .where(col("rn") === expr("(n + 1) div 2"))
+      .select(col("g"), col("y").as("med"))
+    val wSeq = Window.partitionBy("g").orderBy("x")
+    daily.join(broadcast(med), "g")
+      .where(col("y") =!= col("med"))
+      .select(col("g"), col("x"), (col("y") > col("med")).as("above"))
+      .withColumn("newrun",
+        when(lag(col("above"), 1).over(wSeq).isNull ||
+             col("above") =!= lag(col("above"), 1).over(wSeq), 1L)
+          .otherwise(0L))
+      .groupBy("g")
+      .agg(sum(when(col("above"), 1L).otherwise(0L)).as("n_above"),
+           sum(when(!col("above"), 1L).otherwise(0L)).as("n_below"),
+           sum(col("newrun")).as("n_runs"))
+      .select(col("g").as("o_orderpriority"), col("n_above"),
+        col("n_below"), col("n_runs"))
+      .orderBy("o_orderpriority")
+  }
+
+  val runsTestOracle: String = """
+WITH daily AS (
+  SELECT o_orderpriority AS g,
+         date_diff('day', DATE '1992-01-01', o_orderdate) AS x,
+         sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) AS y
+  FROM orders GROUP BY 1, 2
+),
+med AS (
+  SELECT g, y AS med FROM (
+    SELECT g, y, row_number() OVER (PARTITION BY g ORDER BY y, x) AS rn,
+           count(*) OVER (PARTITION BY g) AS n
+    FROM daily)
+  WHERE rn = (n + 1) // 2
+),
+marked AS (
+  SELECT daily.g, x, (y > med) AS above
+  FROM daily JOIN med ON med.g = daily.g
+  WHERE y <> med
+),
+runs AS (
+  SELECT g, above,
+         CASE WHEN lag(above) OVER w IS NULL
+                OR above <> lag(above) OVER w THEN 1 ELSE 0 END AS newrun
+  FROM marked WINDOW w AS (PARTITION BY g ORDER BY x)
+)
+SELECT g AS o_orderpriority,
+       CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+       CAST(sum(CASE WHEN NOT above THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+       CAST(sum(newrun) AS BIGINT) AS n_runs
+FROM runs GROUP BY g ORDER BY o_orderpriority
+"""
+
   /** stats_bootstrap_ci: bootstrap confidence interval for the mean
     * daily revenue — the distribution-free uncertainty estimate a
     * metrics platform attaches to a point statistic. B = 30 Poisson
@@ -1484,6 +1565,7 @@ FROM point,
     "stats_mann_kendall" -> (mannKendall _),
     "stats_seasonality" -> (seasonality _),
     "stats_pareto_front" -> (paretoFront _),
+    "stats_runs_test" -> (runsTest _),
     "stats_bootstrap_ci" -> (bootstrapCi _),
     "q52_attribution" -> (attribution _),
     "stats_autocorr" -> (autocorr _),
@@ -1520,6 +1602,7 @@ FROM point,
     "stats_mann_kendall" -> mannKendallOracle,
     "stats_seasonality" -> seasonalityOracle,
     "stats_pareto_front" -> paretoFrontOracle,
+    "stats_runs_test" -> runsTestOracle,
     "stats_bootstrap_ci" -> bootstrapCiOracle,
     "stats_chi2" -> chi2Oracle,
     "q51_decile_profile" -> decileProfileOracle,

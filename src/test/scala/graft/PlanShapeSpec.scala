@@ -47,11 +47,14 @@ class PlanShapeSpec extends SparkSpec {
   // the same scalar-attach shape.
   // sketch_cms_merge: one cross join of the ONE-ROW cell-compare
   // aggregate with the ONE-ROW top-user estimate row — scalar attach.
+  // sim_binary_sign_ann: bounded-query-set exact Hamming baseline like
+  // sim_topk_bruteforce — O(|Q|·N) with |Q| ≤ 100, never O(N²).
   private val quadraticBaselines = Set(
     "sim_cosine_pairs", "sim_topk_bruteforce", "dedup_embedding_clusters",
     "sim_ann_ivf", "dedup_ann_recall", "sketch_theta_intersect",
     "sim_mips_topk", "text_source_drift", "sketch_ams_f2",
-    "stats_bootstrap_ci", "q56_funnel", "sketch_cms_merge")
+    "stats_bootstrap_ci", "q56_funnel", "sketch_cms_merge",
+    "sim_binary_sign_ann")
 
   private val sideEffecting = (n: String) =>
     n.startsWith("io_") || n.startsWith("stream_")

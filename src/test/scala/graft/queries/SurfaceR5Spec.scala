@@ -206,6 +206,59 @@ class SurfaceR5Spec extends SparkSpec {
       }
   }
 
+  test("sim_binary_sign_ann: hamming matches a brute-force sign-bit " +
+       "recompute and halves stay in 32-bit range") {
+    val got = SimilarityQueries.all("sim_binary_sign_ann")(spark, sf).collect()
+    assert(got.nonEmpty)
+    val sigs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val v = r.getSeq[Float](r.fieldIndex("embedding"))
+        val bits = java.util.BitSet.valueOf(Array(0L))
+        v.zipWithIndex.foreach { case (x, i) => if (x > 0) bits.set(i) }
+        r.getAs[Long]("vec_id") -> bits
+      }.toMap
+    got.foreach { r =>
+      val a = sigs(r.getAs[Long]("query_id")).clone().asInstanceOf[java.util.BitSet]
+      a.xor(sigs(r.getAs[Long]("neighbor_id")))
+      assert(r.getAs[Int]("hamming") === a.cardinality(),
+        s"pair ${r.getAs[Long]("query_id")}-${r.getAs[Long]("neighbor_id")}")
+      assert(r.getAs[Int]("hamming") >= 0 && r.getAs[Int]("hamming") <= 64)
+    }
+    // per query: 5 ranked rows, non-decreasing hamming
+    got.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq === (1 to 5))
+      assert(sorted.map(_.getAs[Int]("hamming")).toSeq ===
+        sorted.map(_.getAs[Int]("hamming")).sorted.toSeq)
+    }
+  }
+
+  test("stats_runs_test: matches a brute-force run walk per group") {
+    val daily = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").as("g"), col("o_orderdate").as("d"))
+      .agg(sum(floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long"))
+        .as("y"))
+      .select(col("g"),
+        datediff(col("d"), lit("1992-01-01").cast("date")).cast("long").as("x"),
+        col("y"))
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("x"), r.getAs[Long]("y")))
+      .groupBy(_._1)
+    val got = StatsQueries.all("stats_runs_test")(spark, sf).collect()
+    got.foreach { r =>
+      val g = r.getAs[String]("o_orderpriority")
+      val series = daily(g).sortBy(_._2)
+      val ys = series.map(_._3).sorted
+      val med = ys((ys.length + 1) / 2 - 1)
+      val marks = series.filter(_._3 != med).map(_._3 > med)
+      val runs = marks.indices.count(i => i == 0 || marks(i) != marks(i - 1))
+      assert(r.getAs[Long]("n_above") === marks.count(identity).toLong, s"$g above")
+      assert(r.getAs[Long]("n_below") === marks.count(!_).toLong, s"$g below")
+      assert(r.getAs[Long]("n_runs") === runs.toLong, s"$g runs")
+    }
+  }
+
   test("io_partition_overwrite: dynamic mode preserves untouched " +
        "partitions and redacts exactly the en partition") {
     val rows = IoQueries.all("io_partition_overwrite")(spark, sf).collect()
