@@ -146,6 +146,62 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("event-time timers fire exactly when the watermark passes the " +
+       "idle deadline — not a batch earlier") {
+    // Controlled MemoryStream replay of the SessionTimers processor:
+    // pins the timer/watermark interaction at exact instants, which the
+    // jittery events replay can't.
+    val sub = spark.newSession()
+    sub.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    sub.conf.set("spark.sql.shuffle.partitions", "2")
+    import sub.implicits._
+    implicit val ctx = sub.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val out = input.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimers(1800000000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF("user_id", "n_events", "last_us")
+    val q = out.writeStream.format("memory").queryName("timer_fire_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+    // batch 1: user 1's session (10:00, 10:10) → idle deadline 10:40
+    input.addData((ts(10, 0), 1L), (ts(10, 10), 1L))
+    q.processAllAvailable()
+    assert(sub.table("timer_fire_test").count() === 0)
+
+    // batch 2: user 2 at 10:45 advances the watermark to 10:35 — still
+    // BELOW user 1's 10:40 deadline (processAllAvailable drains the
+    // follow-up watermark batch, so this asserts the comparison itself,
+    // not batch plumbing) → nothing may fire.
+    input.addData((ts(10, 45), 2L))
+    q.processAllAvailable()
+    assert(sub.table("timer_fire_test").count() === 0,
+      "timer fired before the watermark passed its deadline")
+
+    // batch 3: user 3 at 11:30 → watermark 11:20, past BOTH user 1's
+    // 10:40 and user 2's 11:15 deadlines → exactly those two sessions
+    // close, with their event counts and last-seen times; user 3
+    // (deadline 12:00) stays open.
+    input.addData((ts(11, 30), 3L))
+    q.processAllAvailable()
+    val rows = sub.table("timer_fire_test")
+      .select("user_id", "n_events", "last_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSet === Set(
+      (1L, 2L, ts(10, 10).getTime * 1000L),
+      (2L, 1L, ts(10, 45).getTime * 1000L)),
+      s"expected users 1 and 2 closed, got ${rows.mkString(",")}")
+
+    q.stop()
+  }
+
   test("session timers close exactly the gap sessions plus watermark-" +
        "expired finals") {
     import org.apache.spark.sql.expressions.Window
