@@ -506,7 +506,70 @@ FROM tot JOIN act ON act.doc_id = tot.doc_id
 ORDER BY tot.doc_id
 """
 
+  /** media_aspect_buckets: aspect-ratio bucketing for image training —
+    * the batching step diffusion/vision pipelines run so a batch shares
+    * one shape (resize within a bucket, never crop across one). Images
+    * are classed by integer ratio `width·100 div height` into the five
+    * standard classes (tall/portrait/square/landscape/wide); per bucket
+    * the query grades the population, the batch count at batch=32
+    * (`ceil` via `(n+31) div 32`), total pixels, and the ratio span.
+    * Reads ONLY the typed metadata struct — the payload column is never
+    * touched, which at 100 TB is the point: planning the epoch costs a
+    * metadata scan, not a decode.
+    *
+    * Scale: one narrow projection + one 5-key map-side-combinable
+    * aggregate; no payload IO, no shuffle beyond the 5-row result.
+    */
+  def mediaAspectBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir).toDF()
+      .select(col("doc_id"), col("meta.media_type").as("media_type"),
+        col("meta.width").cast("long").as("w"),
+        col("meta.height").cast("long").as("h"))
+      .where(col("media_type") === "image")
+      .select(col("w"), col("h"),
+        expr("w * 100 div h").as("ratio_pct"))
+      .select(col("w"), col("h"), col("ratio_pct"),
+        when(col("ratio_pct") < 66, "tall")
+          .when(col("ratio_pct") < 90, "portrait")
+          .when(col("ratio_pct") < 111, "square")
+          .when(col("ratio_pct") < 150, "landscape")
+          .otherwise("wide").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_images"),
+           expr("(count(1) + 31) div 32").as("n_batches"),
+           sum(col("w") * col("h")).as("total_px"),
+           min(col("ratio_pct")).as("min_ratio_pct"),
+           max(col("ratio_pct")).as("max_ratio_pct"))
+      .orderBy("bucket")
+
+  val mediaAspectBucketsOracle: String = """
+WITH img AS (
+  SELECT (16 + n_chars % 48)::BIGINT AS w,
+         (16 + doc_id % 32)::BIGINT AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+r AS (
+  SELECT w, h, w * 100 // h AS ratio_pct FROM img
+),
+b AS (
+  SELECT w, h, ratio_pct,
+         CASE WHEN ratio_pct < 66 THEN 'tall'
+              WHEN ratio_pct < 90 THEN 'portrait'
+              WHEN ratio_pct < 111 THEN 'square'
+              WHEN ratio_pct < 150 THEN 'landscape'
+              ELSE 'wide' END AS bucket
+  FROM r
+)
+SELECT bucket, count(*) AS n_images,
+       CAST((count(*) + 31) // 32 AS BIGINT) AS n_batches,
+       CAST(sum(w * h) AS BIGINT) AS total_px,
+       CAST(min(ratio_pct) AS BIGINT) AS min_ratio_pct,
+       CAST(max(ratio_pct) AS BIGINT) AS max_ratio_pct
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_aspect_buckets" -> (mediaAspectBuckets _),
     "media_silence_trim" -> (mediaSilenceTrim _),
     "media_scene_cuts" -> (mediaSceneCuts _),
     "media_audio_energy" -> (mediaAudioEnergy _),
@@ -517,6 +580,7 @@ ORDER BY tot.doc_id
   )
 
   val oracles: Map[String, String] = Map(
+    "media_aspect_buckets" -> mediaAspectBucketsOracle,
     "media_silence_trim" -> mediaSilenceTrimOracle,
     "media_scene_cuts" -> mediaSceneCutsOracle,
     "media_audio_energy" -> mediaAudioEnergyOracle,

@@ -905,7 +905,66 @@ SELECT doc_id, count(*) AS n_tokens,
 FROM flags GROUP BY doc_id ORDER BY doc_id
 """
 
+  /** pipe_kfold: deterministic 5-fold cross-validation assignment with
+    * a duplicate-LEAKAGE audit — the eval-hygiene twin of
+    * [[trainSplit]]. Folds come from an md5 hash of the doc id (no RNG,
+    * stable under corpus growth, any engine reproduces it); the audit
+    * then counts, per fold, the exact-duplicate groups (normalized
+    * token-set key, [[DedupQueries.dedupExact]]'s definition) that ALSO
+    * appear in another fold — the cross-fold contamination that makes
+    * CV scores lie. A clean corpus reports zero; this testdata's
+    * duplicate families give every fold a non-trivial count.
+    *
+    * Scale: one hash projection, one groupBy(key) for the group spans
+    * (map-side combinable countDistinct over ≤ 5 folds), one keyed
+    * join back — every stage keyed, nothing global but the 5-row sort.
+    */
+  def kfold(spark: SparkSession, sfDir: String): DataFrame = {
+    val fold = (conv(substring(md5(concat(lit("kf#"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("bigint") % 5)
+      .as("fold")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), fold,
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+        concat_ws(" ",
+          sort_array(array_distinct(split(col("text"), " ")))).as("key"))
+      .localCheckpoint() // group audit and per-fold rollup share the scan
+    val groups = docs.groupBy("key")
+      .agg(countDistinct(col("fold")).as("n_folds"))
+    docs.join(groups, "key")
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("n_tokens"),
+           countDistinct(when(col("n_folds") > 1, col("key"))).as("n_leaky_groups"),
+           sum(when(col("n_folds") > 1, 1L).otherwise(0L)).as("n_leaky_docs"))
+      .orderBy("fold")
+  }
+
+  val kfoldOracle: String = """
+WITH docs AS (
+  SELECT doc_id,
+         cast('0x' || substr(md5('kf#' || doc_id), 1, 8) AS bigint) % 5
+           AS fold,
+         len(string_split(text, ' ')) AS n_tokens,
+         array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+           AS key
+  FROM documents
+),
+groups AS (
+  SELECT key, count(DISTINCT fold) AS n_folds FROM docs GROUP BY key
+)
+SELECT fold, count(*) AS n_docs,
+       CAST(sum(d.n_tokens) AS BIGINT) AS n_tokens,
+       count(DISTINCT CASE WHEN g.n_folds > 1 THEN d.key END)
+         AS n_leaky_groups,
+       CAST(sum(CASE WHEN g.n_folds > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaky_docs
+FROM docs d JOIN groups g USING (key)
+GROUP BY fold ORDER BY fold
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_kfold" -> (kfold _),
     "pipe_span_masking" -> (spanMasking _),
     "pipe_preference_pairs" -> (preferencePairs _),
     "pipe_temperature_mix" -> (temperatureMix _),
@@ -929,6 +988,7 @@ FROM flags GROUP BY doc_id ORDER BY doc_id
   )
 
   val oracles: Map[String, String] = Map(
+    "pipe_kfold" -> kfoldOracle,
     "pipe_span_masking" -> spanMaskingOracle,
     "pipe_preference_pairs" -> preferencePairsOracle,
     "pipe_temperature_mix" -> temperatureMixOracle,

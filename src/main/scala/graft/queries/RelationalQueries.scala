@@ -1536,7 +1536,64 @@ SELECT l_returnflag, count(*) AS n,
 FROM lineitem GROUP BY 1 ORDER BY l_returnflag
 """
 
+  /** q63_rfm: RFM customer segmentation — the marketing-warehouse
+    * staple. Per customer: Recency (last order day), Frequency (order
+    * count), Monetary (lifetime cents); each scored into quintiles via
+    * `ntile(5)` with a full (metric, custkey) deterministic tie-break,
+    * then graded as the (r, f, m) segment grid (≤ 125 rows) with
+    * segment population and revenue. Exercises ntile — the one ranking
+    * window function no other graded query carries.
+    *
+    * Scale: the per-customer rollup is map-side combinable and keyed
+    * on o_custkey; the ntile windows then run over the CUSTOMER
+    * DIMENSION (orders of magnitude under the fact table — the global
+    * sort is |customers|·3, not |orders|). At true 100 TB dimension
+    * scale the quintile boundaries would come from one exact
+    * percentile pass instead of a global window; the segment semantics
+    * graded here are identical.
+    */
+  def q63Rfm(spark: SparkSession, sfDir: String): DataFrame = {
+    val money = floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("bigint")
+    val per = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(max(datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+             .cast("long")).as("last_day"),
+           count(lit(1)).as("freq"),
+           sum(money).as("money"))
+    per
+      .withColumn("r_score",
+        ntile(5).over(Window.orderBy(col("last_day"), col("o_custkey"))))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy(col("freq"), col("o_custkey"))))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy(col("money"), col("o_custkey"))))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"), sum(col("money")).as("money_cents"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  val q63Oracle: String = """
+WITH per AS (
+  SELECT o_custkey,
+         max(date_diff('day', DATE '1992-01-01', o_orderdate)) AS last_day,
+         count(*) AS freq,
+         sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) AS money
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT money,
+         ntile(5) OVER (ORDER BY last_day, o_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY freq, o_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY money, o_custkey) AS m_score
+  FROM per
+)
+SELECT r_score, f_score, m_score, count(*) AS n_customers,
+       CAST(sum(money) AS BIGINT) AS money_cents
+FROM scored GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_rfm" -> (q63Rfm _),
     "q61_null_safe_join" -> (q61NullSafeJoin _),
     "q62_try_arithmetic" -> (q62TryArithmetic _),
     "q60_sql_udf" -> (q60SqlUdf _),
@@ -1587,6 +1644,7 @@ FROM lineitem GROUP BY 1 ORDER BY l_returnflag
   )
 
   val oracles: Map[String, String] = Map(
+    "q63_rfm" -> q63Oracle,
     "q61_null_safe_join" -> q61Oracle,
     "q62_try_arithmetic" -> q62Oracle,
     "q60_sql_udf" -> q60Oracle,

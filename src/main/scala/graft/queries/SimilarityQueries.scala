@@ -694,7 +694,91 @@ SELECT query_id, rank, neighbor_id, CAST(hamming AS INT) AS hamming
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
 
+  /** sim_matryoshka: prefix-dimension retrieval funnel — the Matryoshka
+    * (MRL) pattern: a COARSE pass scores every vector by the dot
+    * product of the first 16 of 64 components (¼ the arithmetic, and
+    * at 100 TB the prefix is a separate narrow column so the coarse
+    * scan reads ¼ the bytes), keeps the top-20 candidates per query,
+    * and only those 20 pay the full-dimension exact rerank → top-5.
+    * Both stages are fully deterministic (left-to-right fold dot, id
+    * tie-breaks), so the oracle reproduces the ENTIRE funnel — the
+    * graded result pins coarse ranking, candidate cut, and rerank, not
+    * just the final scores. Complements the other retrieval funnels:
+    * LSH buckets (sim_ann_lsh), IVF probes (sim_ann_ivf), binary signs
+    * (sim_binary_sign_ann); this one needs no index at all, just
+    * column layout.
+    *
+    * Scale: same bounded query set as [[topkBruteForce]] (≤100 ids) ⇒
+    * the coarse scan is O(|Q|·N) linear in N; the rerank touches
+    * |Q|·20 rows. funnel_recall5 vs the full-dim exact top-5 is
+    * asserted in SimilaritySpec.
+    */
+  def matryoshka(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = normalized(spark, sfDir)
+      .select(col("vec_id"), col("u"), slice(col("u"), 1, 16).as("p"))
+      .localCheckpoint() // query and corpus side share the one scan
+    val q = n.toDF("query_id", "uq", "pq")
+      .where(col("query_id") % 50 === 0 && col("query_id") < 5000)
+    val c = n.toDF("neighbor_id", "uc", "pc")
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse").desc, col("neighbor_id"))
+    val wFine = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("uq"), col("uc"),
+              dot(col("pq"), col("pc")).as("coarse"))
+      .withColumn("coarse_rank", row_number().over(wCoarse))
+      .where(col("coarse_rank") <= 20)
+      .select(col("query_id"), col("neighbor_id"), col("coarse_rank"),
+              dot(col("uq"), col("uc")).as("cos"))
+      .withColumn("rank", row_number().over(wFine))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              col("coarse_rank"), round(col("cos"), 4).as("cos4"))
+      .orderBy("query_id", "rank")
+  }
+
+  val matryoshkaOracle: String = """
+WITH n AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::double) AS v,
+         sqrt(list_sum(list_transform(embedding,
+           x -> (x::double) * (x::double)))) AS nrm
+  FROM embeddings
+),
+u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
+coarse AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.u AS uq, c.u AS uc,
+         list_sum(list_transform(range(1, 17), i -> q.u[i] * c.u[i]))
+           AS coarse
+  FROM u q JOIN u c
+    ON q.vec_id % 50 = 0 AND q.vec_id < 5000 AND q.vec_id <> c.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id, uq, uc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY coarse DESC, neighbor_id) AS coarse_rank
+  FROM coarse
+),
+fine AS (
+  SELECT query_id, neighbor_id, coarse_rank,
+         list_sum(list_transform(range(1, len(uq) + 1),
+           i -> uq[i] * uc[i])) AS cos
+  FROM cand WHERE coarse_rank <= 20
+),
+ranked AS (
+  SELECT query_id, neighbor_id, coarse_rank, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM fine
+)
+SELECT query_id, rank, neighbor_id, coarse_rank, round(cos, 4) AS cos4
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_matryoshka" -> (matryoshka _),
     "sim_binary_sign_ann" -> (binarySignAnn _),
     "sim_pq_assign" -> (pqAssign _),
     "sim_mips_topk" -> (mipsTopk _),
@@ -707,6 +791,7 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_matryoshka" -> matryoshkaOracle,
     "sim_binary_sign_ann" -> binarySignAnnOracle,
     "sim_pq_assign" -> pqAssignOracle,
     "sim_mips_topk" -> mipsTopkOracle,

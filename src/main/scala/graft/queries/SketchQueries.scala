@@ -565,7 +565,121 @@ SELECT cells.n_cells,
 FROM cells, ests
 """
 
+  /** sketch_theta_anotb: set-DIFFERENCE cardinality (A-not-B) from two
+    * bounded theta sketches — "how many trigram shingles does src0
+    * carry that src1 never does", the content-NOVELTY estimator a
+    * curation pipeline runs before paying for a new source (the user/
+    * event populations in this testdata are fully dense, so the
+    * asymmetric sets live in the documents' shingle vocabularies).
+    * Completes the theta set algebra: union ≈ KMV, intersection
+    * ([[thetaIntersect]]), difference here. Recipe: θ = min(θ_A, θ_B);
+    * the A-not-B SAMPLE is A's kept hashes below θ that are absent
+    * from B's kept set — complete, because every B-hash below θ ≤ θ_B
+    * is in B's k-min set by construction — and the estimate scales by
+    * the kept fraction: `|sample| · 2⁵⁶ / θ`. The exact difference
+    * rides along to pin accuracy; θ and the sample size make the
+    * estimate auditable.
+    *
+    * Scale: shingling is a narrow per-doc transform; the per-source
+    * DISTINCT + rank window shuffle on the shingle hash once (same
+    * cost class as the exact distinct the sketch replaces — the
+    * production path partial-aggregates k-min sets map-side via
+    * [[graft.functions.KmvSketch]]'s machinery); every join after that
+    * touches ≤ k = $KmvK rows per side plus two one-row scalars.
+    */
+  def thetaAnotB(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = KmvK
+    val full = lit(1L << 56)
+    val sh = Tables.documents(spark, sfDir)
+      .where(col("source").isin("src0", "src1"))
+      .select(col("source"), split(col("text"), " ").as("w"))
+      .select(col("source"), explode(expr(
+        "CASE WHEN size(w) < 3 THEN array() ELSE transform(" +
+        "sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])) END"
+      )).as("g"))
+    val hs = sh.select(col("source"), h56(col("g")).as("h")).distinct()
+    val ranked = hs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("h")))
+      .withColumn("nh", count(lit(1)).over(Window.partitionBy("source")))
+    val theta = ranked.groupBy("source")
+      .agg(max(when(col("rn") === k, col("h"))).as("hk"),
+           max(col("nh")).as("nh"))
+      .select(when(col("nh") < k, full).otherwise(col("hk")).as("th"))
+      .agg(min(col("th")).as("theta"))
+    val a = ranked.where(col("source") === "src0" && col("rn") <= k)
+      .select("h")
+    val b = ranked.where(col("source") === "src1" && col("rn") <= k)
+      .select("h")
+    // Global (group-less) count: one row even if the difference sample
+    // is empty — a groupBy would silently emit zero rows instead.
+    val sample = a.join(b, Seq("h"), "left_anti").crossJoin(theta)
+      .where(col("h") < col("theta"))
+      .agg(count(lit(1)).as("n_sample"))
+    val exact = hs.groupBy("h")
+      .agg(max(when(col("source") === "src0", 1L).otherwise(0L)).as("in_a"),
+           max(when(col("source") === "src1", 1L).otherwise(0L)).as("in_b"))
+      .where(col("in_a") === 1L && col("in_b") === 0L)
+      .agg(count(lit(1)).as("n_exact"))
+    sample.crossJoin(theta).crossJoin(exact)
+      .select(col("n_sample"), col("theta"),
+        expr(s"cast((cast(n_sample AS decimal(19,0)) * ${1L << 56}L)" +
+             " div theta AS bigint)").as("est_anotb"),
+        col("n_exact"))
+  }
+
+  val thetaAnotBOracle: String = s"""
+WITH w AS (
+  SELECT source, string_split(text, ' ') AS w FROM documents
+  WHERE source IN ('src0', 'src1')
+),
+sh AS (
+  SELECT DISTINCT source,
+         cast('0x' || substr(md5(g), 1, 14) AS bigint) AS h
+  FROM (SELECT source,
+               unnest(CASE WHEN len(w) < 3 THEN []
+                      ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)] END) AS g
+        FROM w)
+),
+ranked AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY source) AS nh
+  FROM sh
+),
+theta AS (
+  SELECT min(CASE WHEN nh < $KmvK THEN ${1L << 56}
+                  ELSE hk END) AS theta
+  FROM (SELECT source, max(nh) AS nh,
+               max(CASE WHEN rn = $KmvK THEN h END) AS hk
+        FROM ranked GROUP BY source)
+),
+sample AS (
+  SELECT count(*) AS n_sample
+  FROM ranked a CROSS JOIN theta t
+  WHERE a.source = 'src0' AND a.rn <= $KmvK AND a.h < t.theta
+    AND NOT EXISTS (
+      SELECT 1 FROM ranked b
+      WHERE b.source = 'src1' AND b.rn <= $KmvK AND b.h = a.h)
+),
+exact AS (
+  SELECT count(*) AS n_exact FROM (
+    SELECT h,
+           max(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS in_a,
+           max(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS in_b
+    FROM sh GROUP BY h)
+  WHERE in_a = 1 AND in_b = 0
+)
+SELECT s.n_sample, t.theta,
+       cast((s.n_sample::hugeint * ${1L << 56}) // t.theta AS bigint)
+         AS est_anotb,
+       e.n_exact
+FROM sample s CROSS JOIN theta t CROSS JOIN exact e
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_theta_anotb" -> (thetaAnotB _),
     "sketch_cms_merge" -> (cmsMerge _),
     "sketch_ams_f2" -> (amsF2 _),
     "sketch_bloom_fp" -> (bloomFp _),
@@ -578,6 +692,7 @@ FROM cells, ests
   )
 
   val oracles: Map[String, String] = Map(
+    "sketch_theta_anotb" -> thetaAnotBOracle,
     "sketch_cms_merge" -> cmsMergeOracle,
     "sketch_ams_f2" -> amsF2Oracle,
     "sketch_bloom_fp" -> bloomFpOracle,

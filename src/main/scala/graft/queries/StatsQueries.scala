@@ -1560,7 +1560,87 @@ FROM point,
      (SELECT mean_b FROM ranked WHERE rn = 29) hi
 """
 
+  /** stats_spearman: Spearman rank correlation between the daily order
+    * COUNT and the daily revenue — "do busier days also bill more?" —
+    * with proper average-rank tie handling, entirely in exact integer
+    * arithmetic. Ranks are carried DOUBLED (2·avgRank = 2·rank + |ties|
+    * − 1, an integer even when the average rank is x.5), so Pearson
+    * over them needs no rationals; the graded outputs are the exact
+    * moment numerators (num = n·Σxy − Σx·Σy, sxx, syy), the sign, and
+    * ρ² in ppm via one decimal(38,0) division — no square root ever
+    * taken, so the hash gate is bit-exact cross-engine. Completes the
+    * correlation panel: Pearson (q29), Kendall-style (mann_kendall),
+    * Spearman here.
+    *
+    * Scale: the daily rollup is map-side combinable and CALENDAR-
+    * bounded (~2.4k rows at any sf), so the two global rank windows
+    * run over thousands of rows regardless of corpus size; magnitudes
+    * are bounded by the calendar too (2·rank ≤ 2·days, Σx² ≤ days³ ≈
+    * 1.4e10), with only the final ρ² product needing decimal(38,0).
+    */
+  def spearman(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+        .cast("long").as("day"))
+      .agg(count(lit(1)).as("nx"), sum(cents(col("o_totalprice"))).as("ny"))
+    val ranked = daily
+      .withColumn("rx", lit(2L) * rank().over(Window.orderBy("nx"))
+        + count(lit(1)).over(Window.partitionBy("nx")) - lit(1L))
+      .withColumn("ry", lit(2L) * rank().over(Window.orderBy("ny"))
+        + count(lit(1)).over(Window.partitionBy("ny")) - lit(1L))
+    ranked
+      .agg(count(lit(1)).as("n"), sum(col("rx")).as("sx"),
+           sum(col("ry")).as("sy"), sum(col("rx") * col("rx")).as("sxx"),
+           sum(col("ry") * col("ry")).as("syy"),
+           sum(col("rx") * col("ry")).as("sxy"))
+      .select(col("n").as("n_days"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den_x"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("den_y"))
+      .select(col("n_days"), col("num"), col("den_x"), col("den_y"),
+        when(col("num") > 0, 1L).when(col("num") < 0, -1L).otherwise(0L)
+          .as("rho_sign"),
+        expr("cast((cast(num AS decimal(38,0)) * num * 1000000)" +
+             " div (cast(den_x AS decimal(38,0)) * den_y) AS bigint)")
+          .as("rho2_ppm"))
+  }
+
+  val spearmanOracle: String = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1992-01-01', o_orderdate) AS day,
+         count(*) AS nx,
+         sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) AS ny
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT 2 * rank() OVER (ORDER BY nx)
+           + count(*) OVER (PARTITION BY nx) - 1 AS rx,
+         2 * rank() OVER (ORDER BY ny)
+           + count(*) OVER (PARTITION BY ny) - 1 AS ry
+  FROM daily
+),
+m AS (
+  SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+         sum(rx * rx) AS sxx, sum(ry * ry) AS syy, sum(rx * ry) AS sxy
+  FROM ranked
+),
+d AS (
+  SELECT CAST(n AS BIGINT) AS n_days,
+         CAST(n * sxy - sx * sy AS BIGINT) AS num,
+         CAST(n * sxx - sx * sx AS BIGINT) AS den_x,
+         CAST(n * syy - sy * sy AS BIGINT) AS den_y
+  FROM m
+)
+SELECT n_days, num, den_x, den_y,
+       CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+            AS BIGINT) AS rho_sign,
+       CAST((num::hugeint * num * 1000000) // (den_x::hugeint * den_y)
+            AS bigint) AS rho2_ppm
+FROM d
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_spearman" -> (spearman _),
     "stats_theilsen" -> (theilSen _),
     "stats_mann_kendall" -> (mannKendall _),
     "stats_seasonality" -> (seasonality _),
@@ -1589,6 +1669,7 @@ FROM point,
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_spearman" -> spearmanOracle,
     "q52_attribution" -> attributionOracle,
     "stats_autocorr" -> autocorrOracle,
     "stats_winsorized" -> winsorizedOracle,

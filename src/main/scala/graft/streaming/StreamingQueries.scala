@@ -891,7 +891,79 @@ SELECT user_id, count(*) AS n_closed,
 FROM closed GROUP BY user_id ORDER BY user_id
 """
 
+  /** stream_chained_windows: CHAINED event-time window aggregations —
+    * two stateful operators in one streaming query (Spark ≥ 3.5 /
+    * 4.x capability; earlier engines force an intermediate sink): a
+    * 10-minute tumbling count per event type re-aggregated, via
+    * `window_time`'s event-time re-assignment, into hourly rows that
+    * carry `sum`, `max` and bucket-count over their six 10-minute
+    * sub-buckets. `max_10min`/`n_buckets` are NOT derivable from a
+    * single hourly aggregation — they prove the two-level pipeline
+    * actually ran as two stateful stages. Append mode (required for
+    * chained stateful operators); replay is the controlled
+    * [all_events, spacer, spacer] feed: spacer #1 makes the
+    * end-of-data watermark operative for the level-1 eviction whose
+    * emissions feed level 2, spacer #2 gives level 2 a batch in which
+    * that same watermark closes its hourly windows (watermark
+    * propagation crosses one operator per micro-batch).
+    *
+    * Scale: level-1 state is keyed by (10-min window, type), level-2
+    * by (hour, type) — both bounded by the calendar × type product,
+    * evicted as the watermark passes; each level shuffles on its own
+    * key exactly as the equivalent batch rollup would.
+    */
+  def chainedWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = graft.queries.Tables.events(spark, sfDir)
+    val stage = stageBatches(spark, sfDir, "chained_windows", raw, Seq(
+      (lit(true): org.apache.spark.sql.Column) -> "all_events",
+      lit(false) -> "spacer_empty_1",
+      lit(false) -> "spacer_empty_2"))
+    val schema = raw.schema
+    runToCompletion(spark, sub =>
+      sub.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n10"))
+        .groupBy(window(window_time(col("window")), "1 hour"),
+                 col("event_type"))
+        .agg(sum(col("n10")).as("n_hour"), max(col("n10")).as("max_10min"),
+             count(lit(1)).as("n_buckets")),
+      "append")
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+              col("event_type"), col("n_hour"), col("max_10min"),
+              col("n_buckets"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Two-level rollup mirror with the append-mode emission rule: an
+    * hourly window is emitted iff its end ≤ final watermark
+    * (`max ts − 1 min`); all data arrives in batch 0, so no 10-minute
+    * bucket is late-dropped and every emitted hour carries its full
+    * set of sub-buckets.
+    */
+  val chainedWindowsOracle: String = """
+WITH m AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+b10 AS (
+  SELECT (epoch_us(ts) // 600000000) * 600 AS b10_start,
+         event_type, count(*) AS n10
+  FROM events GROUP BY 1, 2
+),
+hourly AS (
+  SELECT (b10_start // 3600) * 3600 AS window_start, event_type,
+         sum(n10) AS n_hour, max(n10) AS max_10min, count(*) AS n_buckets
+  FROM b10 GROUP BY 1, 2
+)
+SELECT window_start, event_type, CAST(n_hour AS BIGINT) AS n_hour,
+       CAST(max_10min AS BIGINT) AS max_10min, n_buckets
+FROM hourly, m
+WHERE (window_start + 3600) * 1000000 <= m.max_us - 60000000
+ORDER BY window_start, event_type
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_chained_windows" -> (chainedWindows _),
     "stream_session_timers" -> (sessionTimers _),
     "stream_foreachbatch_upsert" -> (foreachBatchUpsert _),
     "stream_dedup_watermark" -> (dedupWatermark _),
@@ -909,6 +981,7 @@ FROM closed GROUP BY user_id ORDER BY user_id
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_chained_windows" -> chainedWindowsOracle,
     "stream_session_timers" -> sessionTimersOracle,
     "stream_foreachbatch_upsert" -> foreachBatchUpsertOracle,
     "stream_dedup_watermark" -> dedupWatermarkOracle,

@@ -49,12 +49,19 @@ class PlanShapeSpec extends SparkSpec {
   // aggregate with the ONE-ROW top-user estimate row — scalar attach.
   // sim_binary_sign_ann: bounded-query-set exact Hamming baseline like
   // sim_topk_bruteforce — O(|Q|·N) with |Q| ≤ 100, never O(N²).
+  // sketch_theta_anotb: same shape as sketch_theta_intersect — its
+  // nested-loop joins attach the ONE-ROW theta scalar and the ONE-ROW
+  // exact-difference count; the data joins (anti over ≤ k hashes) are
+  // hash joins.
+  // sim_matryoshka: bounded-query-set coarse scan like
+  // sim_topk_bruteforce — O(|Q|·N) with |Q| ≤ 100, never O(N²); the
+  // full-dim rerank touches only |Q|·20 candidates.
   private val quadraticBaselines = Set(
     "sim_cosine_pairs", "sim_topk_bruteforce", "dedup_embedding_clusters",
     "sim_ann_ivf", "dedup_ann_recall", "sketch_theta_intersect",
     "sim_mips_topk", "text_source_drift", "sketch_ams_f2",
     "stats_bootstrap_ci", "q56_funnel", "sketch_cms_merge",
-    "sim_binary_sign_ann")
+    "sim_binary_sign_ann", "sketch_theta_anotb", "sim_matryoshka")
 
   private val sideEffecting = (n: String) =>
     n.startsWith("io_") || n.startsWith("stream_")
