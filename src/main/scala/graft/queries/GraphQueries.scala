@@ -1165,7 +1165,89 @@ SELECT p AS part, CAST(score AS BIGINT) AS authority_fp
 FROM a2 ORDER BY authority_fp DESC, part LIMIT 20
 """
 
+  /** graph_ppr: PERSONALIZED PageRank — random walk with restart from a
+    * seed basket (the 10 smallest part ids), 5 synchronous iterations
+    * in the same 10⁹ fixed-point integer arithmetic as
+    * [[pageRankTop]]. The restart mass lands only on the seeds
+    * (`[v ∈ S]·0.15·scale + 0.85·Σ r(u)/deg(u)`), so the top-20 is
+    * "parts most related to this basket" — the recommender query — and
+    * the rank vector stays SPARSE: only nodes within 5 hops of a seed
+    * ever hold mass, which is what makes push-style PPR cheap at
+    * 100 TB (the `rank > 0` filter keeps the iterated state at the
+    * reached-set size, not |V|).
+    *
+    * Scale: per iteration, one broadcast-guarded join of the sparse
+    * rank vector into the checkpointed edge list + one map-side
+    * combinable sum — identical cost shape to [[pageRankTop]] but on
+    * the reached set only; lazy checkpoint per iteration truncates
+    * plan growth exactly as the CC loop does.
+    */
+  def pprTop(spark: SparkSession, sfDir: String): DataFrame = {
+    val scaleF = 1000000000L
+    val base = 150000000L
+    val iters = 5
+    val e = undirectedEdges(spark, sfDir)
+    val dedges = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+    val deg = dedges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val contribEdges = dedges.join(deg, "src").localCheckpoint()
+    val nodes = allNodes(spark, sfDir)
+    val seeds = nodes.orderBy("node").limit(10)
+      .select(col("node"), lit(1L).as("is_seed")).localCheckpoint()
+    val m = contribEdges.count()
+    var rank = seeds.select(col("node"), lit(scaleF).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = contribEdges
+        .join(Hints.maybeBroadcast(rank.withColumnRenamed("node", "src"), m),
+          Seq("src"))
+        .select(col("dst").as("node"), expr("rank div deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("c"))
+      rank = nodes
+        .join(Hints.maybeBroadcast(seeds, m), Seq("node"), "left")
+        .join(Hints.maybeBroadcast(contribs, m), Seq("node"), "left")
+        .select(col("node"),
+          expr(s"coalesce(is_seed, 0L) * $base" +
+               " + (85 * coalesce(c, 0L)) div 100").as("rank"))
+        .where(col("rank") > 0)
+        .localCheckpoint(false)
+    }
+    rank.orderBy(col("rank").desc, col("node")).limit(20)
+  }
+
+  private val pprOracle: String = {
+    val rounds = (1 to 5).map { i =>
+      s""",
+c$i AS (
+  SELECT d.dst AS node, cast(sum(r.rank // g.deg) AS bigint) AS c
+  FROM dedges d
+  JOIN r${i - 1} r ON r.node = d.src
+  JOIN deg g ON g.node = d.src
+  GROUP BY 1
+),
+r$i AS (
+  SELECT * FROM (
+    SELECT n.node,
+           cast(CASE WHEN s.node IS NOT NULL THEN 150000000 ELSE 0 END
+                + (85 * coalesce(c.c, 0)) // 100 AS bigint) AS rank
+    FROM nodes n
+    LEFT JOIN seeds s ON s.node = n.node
+    LEFT JOIN c$i c ON c.node = n.node)
+  WHERE rank > 0
+)"""
+    }.mkString
+    edgesCte + """
+, dedges AS (SELECT u AS src, v AS dst FROM e
+             UNION ALL SELECT v AS src, u AS dst FROM e),
+deg AS (SELECT src AS node, count(*) AS deg FROM dedges GROUP BY 1),
+seeds AS (SELECT node FROM nodes ORDER BY node LIMIT 10),
+r0 AS (SELECT node, cast(1000000000 AS bigint) AS rank FROM seeds)
+""" + rounds + """
+SELECT node, rank FROM r5 ORDER BY rank DESC, node LIMIT 20
+"""
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_ppr" -> (pprTop _),
     "graph_hits" -> (hitsTop _),
     "graph_walk" -> (walk _),
     "graph_assortativity" -> (assortativity _),
@@ -1210,6 +1292,7 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
 """
 
   val oracles: Map[String, String] = Map(
+    "graph_ppr" -> pprOracle,
     "graph_hits" -> hitsOracle,
     "graph_walk" -> walkOracle,
     "graph_assortativity" -> assortativityOracle,

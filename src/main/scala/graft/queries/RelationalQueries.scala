@@ -1592,7 +1592,85 @@ SELECT r_score, f_score, m_score, count(*) AS n_customers,
 FROM scored GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score
 """
 
+  /** q64_collation: the Spark 4 COLLATION surface — case-insensitive
+    * equality inside DISTINCT aggregation via
+    * `collate(x, 'UTF8_LCASE')`, graded against the binary-collation
+    * count of the same column. The input deliberately mixes case (even
+    * part keys lowercase their type), so per brand the binary distinct
+    * sees ~2× the case-insensitive distinct — the gap IS the feature
+    * under test, and the oracle reproduces the collated count with
+    * `lower()` (UTF8_LCASE ≡ lowercase-fold on this ASCII data; full
+    * ICU collations have no cross-engine mirror, which is why the
+    * graded one is LCASE).
+    *
+    * Scale: one narrow projection + one map-side-combinable grouped
+    * distinct per collation — collation changes the comparator, not
+    * the plan shape.
+    */
+  def q64Collation(spark: SparkSession, sfDir: String): DataFrame = {
+    val mixed = when(col("p_partkey") % 2 === 0, lower(col("p_type")))
+      .otherwise(col("p_type"))
+    Tables.part(spark, sfDir)
+      .select(col("p_brand"), mixed.as("mixed"))
+      .groupBy("p_brand")
+      .agg(countDistinct(col("mixed")).as("n_binary"),
+           countDistinct(expr("collate(mixed, 'UTF8_LCASE')")).as("n_lcase"),
+           count(lit(1)).as("n_parts"))
+      .orderBy("p_brand")
+  }
+
+  val q64Oracle: String = """
+WITH m AS (
+  SELECT p_brand,
+         CASE WHEN p_partkey % 2 = 0 THEN lower(p_type) ELSE p_type END
+           AS mixed
+  FROM part
+)
+SELECT p_brand, count(DISTINCT mixed) AS n_binary,
+       count(DISTINCT lower(mixed)) AS n_lcase,
+       count(*) AS n_parts
+FROM m GROUP BY 1 ORDER BY p_brand
+"""
+
+  /** q65_pipe_syntax: the Spark 4 SQL PIPE syntax (`|>`) plus named
+    * PARAMETERIZED SQL in one graded query — the two SQL-surface
+    * features an analyst migrating from a notebook engine asks about
+    * first. The pipeline (scan |> filter |> aggregate |> filter |>
+    * sort) is the linear form of a classic priority rollup; the status
+    * filter and the having floor arrive as NAMED PARAMETERS through
+    * `spark.sql(query, args)` — never string-interpolated. The oracle
+    * is the same query in ANSI form, so the gate proves pipe
+    * resolution changes syntax only, not semantics.
+    *
+    * Scale: identical plan to the ANSI form — one map-side-combinable
+    * aggregate over a pushed-down filter; syntax sugar costs nothing.
+    */
+  def q65PipeSyntax(spark: SparkSession, sfDir: String): DataFrame = {
+    val view = s"orders_pipe_${viewSuffix(sfDir)}"
+    Tables.orders(spark, sfDir).createOrReplaceTempView(view)
+    spark.sql(
+      s"""FROM $view
+         ||> WHERE o_orderstatus = :status
+         ||> AGGREGATE count(*) AS n_orders,
+         |     sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) AS cents
+         |     GROUP BY o_orderpriority
+         ||> WHERE n_orders >= :floor
+         ||> ORDER BY o_orderpriority""".stripMargin,
+      Map("status" -> "F", "floor" -> 10))
+  }
+
+  val q65Oracle: String = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) AS BIGINT)
+         AS cents
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority HAVING count(*) >= 10
+ORDER BY o_orderpriority
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_pipe_syntax" -> (q65PipeSyntax _),
+    "q64_collation" -> (q64Collation _),
     "q63_rfm" -> (q63Rfm _),
     "q61_null_safe_join" -> (q61NullSafeJoin _),
     "q62_try_arithmetic" -> (q62TryArithmetic _),
@@ -1644,6 +1722,8 @@ FROM scored GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score
   )
 
   val oracles: Map[String, String] = Map(
+    "q65_pipe_syntax" -> q65Oracle,
+    "q64_collation" -> q64Oracle,
     "q63_rfm" -> q63Oracle,
     "q61_null_safe_join" -> q61Oracle,
     "q62_try_arithmetic" -> q62Oracle,

@@ -1639,7 +1639,74 @@ SELECT n_days, num, den_x, den_y,
 FROM d
 """
 
+  /** stats_ab_test: two-proportion z-test — the experimentation
+    * primitive. Users split into variants by `user_id mod 2`
+    * (deterministic assignment, as a real bucketing service would
+    * hash); "conversion" is a heavy-purchaser flag (≥ 14 purchase
+    * events, straddling the per-user median of ~13 so both outcomes
+    * are populated). The graded statistic is z² of the pooled
+    * two-proportion test in EXACT integer arithmetic — the algebraic
+    * collapse `z² = (c_a·n_b − c_b·n_a)²·N / (n_a·n_b·C·(N−C))` needs
+    * one decimal(38,0) division and no square root — plus the lift
+    * sign, so significance (z² vs 3.84 for p<.05) and direction are
+    * both bit-exact cross-engine. Completes the inference panel:
+    * rank-sum (mannwhitney), trend (mann_kendall), drift (ks_test),
+    * randomness (runs_test), proportions here.
+    *
+    * Scale: one keyed per-user rollup (map-side combinable), one 2-row
+    * aggregate, one scalar reshape — nothing global, no windows.
+    */
+  def abTest(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("n_purch"))
+      .select((col("user_id") % 2).as("variant"),
+        when(col("n_purch") >= 14, 1L).otherwise(0L).as("conv"))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+      .agg(max(when(col("variant") === 0, col("n"))).as("n_a"),
+           max(when(col("variant") === 0, col("c"))).as("c_a"),
+           max(when(col("variant") === 1, col("n"))).as("n_b"),
+           max(when(col("variant") === 1, col("c"))).as("c_b"))
+      .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        (col("c_a") * col("n_b") - col("c_b") * col("n_a")).as("d"),
+        (col("n_a") + col("n_b")).as("nn"),
+        (col("c_a") + col("c_b")).as("cc"))
+      .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        expr("cast((cast(d AS decimal(38,0)) * d * nn * 1000000)" +
+             " div (cast(n_a AS decimal(38,0)) * n_b * cc * (nn - cc))" +
+             " AS bigint)").as("z2_ppm"),
+        when(col("d") > 0, 1L).when(col("d") < 0, -1L).otherwise(0L)
+          .as("lift_sign"))
+  }
+
+  val abTestOracle: String = """
+WITH per AS (
+  SELECT user_id % 2 AS variant,
+         CASE WHEN count(*) >= 14 THEN 1 ELSE 0 END AS conv
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+g AS (SELECT variant, count(*) AS n, sum(conv) AS c FROM per GROUP BY 1),
+w AS (
+  SELECT CAST(max(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n_a,
+         CAST(max(CASE WHEN variant = 0 THEN c END) AS BIGINT) AS c_a,
+         CAST(max(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n_b,
+         CAST(max(CASE WHEN variant = 1 THEN c END) AS BIGINT) AS c_b
+  FROM g
+),
+d AS (SELECT *, c_a * n_b - c_b * n_a AS d, n_a + n_b AS nn,
+             c_a + c_b AS cc
+      FROM w)
+SELECT n_a, c_a, n_b, c_b,
+       CAST((d::hugeint * d * nn * 1000000)
+            // (n_a::hugeint * n_b * cc * (nn - cc)) AS BIGINT) AS z2_ppm,
+       CAST(CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 ELSE 0 END AS BIGINT)
+         AS lift_sign
+FROM d
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_ab_test" -> (abTest _),
     "stats_spearman" -> (spearman _),
     "stats_theilsen" -> (theilSen _),
     "stats_mann_kendall" -> (mannKendall _),
@@ -1669,6 +1736,7 @@ FROM d
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_ab_test" -> abTestOracle,
     "stats_spearman" -> spearmanOracle,
     "q52_attribution" -> attributionOracle,
     "stats_autocorr" -> autocorrOracle,

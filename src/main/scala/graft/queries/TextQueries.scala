@@ -747,7 +747,65 @@ FROM occ JOIN df USING (g)
 GROUP BY doc_id ORDER BY doc_id
 """
 
+  /** text_rake_keywords: RAKE keyword extraction — candidate phrases
+    * are the maximal runs of non-stopword tokens (the stopwords
+    * DELIMIT, they never score), each word accumulates
+    * `deg += phrase length` and `freq += 1` over every phrase it
+    * appears in, and the RAKE score is deg/freq — words that live in
+    * long phrases beat words that appear alone. Phrase runs are the
+    * gaps-and-islands identity applied at TOKEN level (`pos −
+    * row_number()` over the non-stopword tokens per doc — the same
+    * idiom as q58_islands at day level), so "phrase detection" is one
+    * window, no UDF, no sequential scan. Scores stay integer
+    * (`deg·10⁶ div freq`); top-20 with a full (score, deg, word)
+    * tie-break.
+    *
+    * Scale: everything keys on doc_id until the final word rollup
+    * (map-side combinable, vocabulary-bounded); the explode is the
+    * corpus token count — the same linear pass every text query pays.
+    */
+  def rakeKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    val sw = array(Stopwords("en").map(lit): _*)
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val nonsw = toks.where(!array_contains(sw, col("w")))
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .withColumn("plen", count(lit(1)).over(
+        Window.partitionBy("doc_id", "grp")))
+    nonsw.groupBy("w")
+      .agg(sum(col("plen")).as("deg"), count(lit(1)).as("freq"))
+      .select(col("w").as("word"), col("deg"), col("freq"),
+        expr("(deg * 1000000) div freq").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("deg").desc, col("word"))
+      .limit(20)
+  }
+
+  val rakeOracle: String = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (
+  SELECT doc_id, unnest(w) AS w, generate_subscripts(w, 1) AS pos FROM t
+),
+nonsw AS (
+  SELECT doc_id, w, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM tok WHERE w NOT IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')
+),
+ph AS (
+  SELECT doc_id, w, grp,
+         count(*) OVER (PARTITION BY doc_id, grp) AS plen
+  FROM nonsw
+),
+sc AS (
+  SELECT w AS word, sum(plen) AS deg, count(*) AS freq FROM ph GROUP BY w
+)
+SELECT word, CAST(deg AS BIGINT) AS deg, freq,
+       CAST((deg * 1000000) // freq AS BIGINT) AS score_ppm
+FROM sc ORDER BY score_ppm DESC, deg DESC, word LIMIT 20
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rake_keywords" -> (rakeKeywords _),
     "text_hapax" -> (hapax _),
     "text_boilerplate" -> (boilerplate _),
     "text_novelty" -> (novelty _),
@@ -790,6 +848,7 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
 """
 
   val oracles: Map[String, String] = Map(
+    "text_rake_keywords" -> rakeOracle,
     "text_hapax" -> hapaxOracle,
     "text_boilerplate" -> boilerplateOracle,
     "text_novelty" -> noveltyOracle,
