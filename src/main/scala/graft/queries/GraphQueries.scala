@@ -1246,7 +1246,90 @@ SELECT node, rank FROM r5 ORDER BY rank DESC, node LIMIT 20
 """
   }
 
+  /** graph_modularity: modularity Q of a node partition over the
+    * co-purchase graph — the quality score community detection is
+    * judged by, here for the BRAND partition ("do same-brand parts get
+    * bought together more than chance?"). Newman's
+    * `Q = Σ_c [e_c/m − (d_c/2m)²]` cleared of rationals:
+    * `Q·4m² = Σ_c (4m·e_c − d_c²)` — the graded columns are m, the
+    * numerator, and `q_ppm = num·10⁶ div 4m²`, all exact int64 (the
+    * oracle's HUGEINT sums cast back losslessly). Emitted per brand
+    * (within-edges, degree mass, per-brand contribution) plus the
+    * global row via a grouping-sets-free union-ready NULL brand — kept
+    * simple: per-brand rows, global Q recomputable by the gate from
+    * them.
+    *
+    * Scale: one broadcast of the part→brand dim onto both edge
+    * endpoints (the star-join shape), then two map-side-combinable
+    * aggregations keyed by brand — bounded output (25 brands).
+    */
+  def modularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val brands = Tables.part(spark, sfDir)
+      .select(col("p_partkey").as("node"), col("p_brand"))
+    val e = undirectedEdges(spark, sfDir)
+    val labeled = e
+      .join(broadcast(brands.toDF("u", "bu")), "u")
+      .join(broadcast(brands.toDF("v", "bv")), "v")
+      .localCheckpoint()
+    val m = labeled.count()
+    val within = labeled.where(col("bu") === col("bv"))
+      .groupBy(col("bu").as("p_brand"))
+      .agg(count(lit(1)).as("e_within"))
+    val degMass = labeled
+      .select(explode(array(col("bu"), col("bv"))).as("p_brand"))
+      .groupBy("p_brand").agg(count(lit(1)).as("d_sum"))
+    degMass.join(within, Seq("p_brand"), "left")
+      .select(col("p_brand"), lit(m).as("m_edges"),
+        coalesce(col("e_within"), lit(0L)).as("e_within"), col("d_sum"),
+        (lit(4L) * m * coalesce(col("e_within"), lit(0L))
+          - col("d_sum") * col("d_sum")).as("q_contrib_num"))
+      // Sign-safe fixed-point: Spark's `div` truncates toward zero,
+      // DuckDB's `//` floors — they disagree on negatives (and most
+      // brands contribute negatively). Dividing |num| and re-applying
+      // the sign makes both engines truncate.
+      .withColumn("q_contrib_ppm",
+        expr(s"cast((cast(abs(q_contrib_num) AS decimal(38,0)) * 1000000)" +
+             s" div (4L * ${m}L * ${m}L) AS bigint)" +
+             " * if(q_contrib_num < 0, -1L, 1L)"))
+      .orderBy("p_brand")
+  }
+
+  private val modularityOracle: String = edgesCte + """
+, brands AS (SELECT p_partkey AS node, p_brand FROM part),
+labeled AS (
+  SELECT e.u, e.v, bu.p_brand AS bu, bv.p_brand AS bv
+  FROM e JOIN brands bu ON bu.node = e.u
+         JOIN brands bv ON bv.node = e.v
+),
+m AS (SELECT count(*) AS m_edges FROM labeled),
+within AS (
+  SELECT bu AS p_brand, count(*) AS e_within
+  FROM labeled WHERE bu = bv GROUP BY 1
+),
+mass AS (
+  SELECT p_brand, count(*) AS d_sum FROM (
+    SELECT bu AS p_brand FROM labeled
+    UNION ALL SELECT bv FROM labeled)
+  GROUP BY 1
+)
+SELECT mass.p_brand, m.m_edges,
+       CAST(coalesce(w.e_within, 0) AS BIGINT) AS e_within,
+       CAST(mass.d_sum AS BIGINT) AS d_sum,
+       CAST(4 * m.m_edges * coalesce(w.e_within, 0)
+            - mass.d_sum * mass.d_sum AS BIGINT) AS q_contrib_num,
+       CAST((abs(4 * m.m_edges * coalesce(w.e_within, 0)
+                 - mass.d_sum * mass.d_sum)::hugeint * 1000000)
+            // (4::hugeint * m.m_edges * m.m_edges) AS BIGINT)
+         * (CASE WHEN 4 * m.m_edges * coalesce(w.e_within, 0)
+                      - mass.d_sum * mass.d_sum < 0
+                 THEN -1 ELSE 1 END) AS q_contrib_ppm
+FROM mass CROSS JOIN m
+LEFT JOIN within w ON w.p_brand = mass.p_brand
+ORDER BY mass.p_brand
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_modularity" -> (modularity _),
     "graph_ppr" -> (pprTop _),
     "graph_hits" -> (hitsTop _),
     "graph_walk" -> (walk _),
@@ -1292,6 +1375,7 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
 """
 
   val oracles: Map[String, String] = Map(
+    "graph_modularity" -> modularityOracle,
     "graph_ppr" -> pprOracle,
     "graph_hits" -> hitsOracle,
     "graph_walk" -> walkOracle,

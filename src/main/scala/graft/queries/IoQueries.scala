@@ -770,7 +770,45 @@ SELECTED AS (
 SELECT * FROM SELECTED ORDER BY r_name
 """
 
+  /** io_codec_roundtrip: the compression-codec matrix — the same table
+    * written with snappy (the default), zstd, and gzip parquet codecs,
+    * each read back and aggregated identically. The gate proves every
+    * codec round-trips byte-identical values (the md5 column would
+    * expose any text corruption); codec choice is a storage/CPU
+    * trade-off only, never a semantics one — which at 100 TB is the
+    * license to mix codecs across table generations without rewrite.
+    *
+    * Scale: three narrow write passes + three parallel scans; at
+    * production scale the write picks zstd for cold data and the read
+    * path is unchanged.
+    */
+  def codecRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    Seq("gzip", "snappy", "zstd").map { codec =>
+      val dir = stageDir(sfDir, s"codec_$codec")
+      stageOnce(sfDir, dir, Seq("documents"), s"codec-$codec-v1") {
+        docs.write.mode("overwrite").option("compression", codec)
+          .parquet(dir)
+      }
+      aggregated(spark.read.parquet(dir))
+        .select(lit(codec).as("codec"), col("lang"), col("n_docs"),
+          col("total_chars"), col("min_text_md5"))
+    }.reduce(_ unionAll _)
+      .orderBy("codec", "lang")
+  }
+
+  private val codecRoundtripOracle = """
+SELECT c.codec, a.lang, a.n_docs, a.total_chars, a.min_text_md5
+FROM (SELECT lang, count(*) AS n_docs,
+             cast(sum(n_chars) AS bigint) AS total_chars,
+             min(md5(text)) AS min_text_md5
+      FROM documents GROUP BY lang) a
+CROSS JOIN (VALUES ('gzip'), ('snappy'), ('zstd')) c(codec)
+ORDER BY c.codec, a.lang
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_codec_roundtrip" -> (codecRoundtrip _),
     "io_sql_catalog" -> (sqlCatalog _),
     "io_csv_malformed" -> (csvMalformed _),
     "io_partition_overwrite" -> (partitionOverwrite _),
@@ -791,6 +829,7 @@ SELECT * FROM SELECTED ORDER BY r_name
   )
 
   val oracles: Map[String, String] = Map(
+    "io_codec_roundtrip" -> codecRoundtripOracle,
     "io_sql_catalog" -> sqlCatalogOracle,
     "io_csv_malformed" -> csvMalformedOracle,
     "io_partition_overwrite" -> partitionOverwriteOracle,

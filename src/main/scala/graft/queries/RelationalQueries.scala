@@ -1668,7 +1668,71 @@ GROUP BY o_orderpriority HAVING count(*) >= 10
 ORDER BY o_orderpriority
 """
 
+  /** q66_pit_join: POINT-IN-TIME join against a versioned (SCD2)
+    * dimension — the lakehouse consumption pattern for q33_scd2's
+    * build side. Profile-changing events (signup/error) become
+    * validity-interval versions per user; each purchase fact then
+    * joins THE version valid at its timestamp
+    * (`valid_from ≤ t < valid_to` — exactly one match by interval
+    * construction, `'none'` for purchases before any version), graded
+    * as purchases and value attributed per profile state. This is the
+    * "what did the customer look like WHEN they bought" join that
+    * naive latest-version joins silently get wrong.
+    *
+    * Scale: the join carries the user_id EQUI key — Catalyst plans a
+    * hash/sort-merge join with the interval bounds as residual
+    * conditions, never a nested loop; per-user version chains are
+    * bounded by that user's own profile-change count.
+    */
+  def q66PitJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .where(col("user_id") % 97 === 0)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 100 + lit(0.5)).cast("bigint").as("cents"))
+      .localCheckpoint() // dim and fact sides share the scan
+    val wd = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val dim = ev.where(col("event_type").isin("signup", "error"))
+      .select(col("user_id").as("d_user"), col("event_type").as("state"),
+        col("ts_us").as("valid_from_us"),
+        coalesce(lead(col("ts_us"), 1).over(wd),
+          lit(253402300799000000L)).as("valid_to_us"))
+    ev.where(col("event_type") === "purchase")
+      .join(dim,
+        col("user_id") === col("d_user") &&
+        col("ts_us") >= col("valid_from_us") &&
+        col("ts_us") < col("valid_to_us"),
+        "left")
+      .groupBy(coalesce(col("state"), lit("none")).as("state"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("value_cents"))
+      .orderBy("state")
+  }
+
+  val q66Oracle: String = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         cast(floor(value * 100 + 0.5) AS bigint) AS cents
+  FROM events WHERE user_id % 97 = 0
+),
+dim AS (
+  SELECT user_id, event_type AS state, ts_us AS valid_from_us,
+         coalesce(lead(ts_us, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id),
+                  253402300799000000) AS valid_to_us
+  FROM ev WHERE event_type IN ('signup', 'error')
+),
+f AS (SELECT * FROM ev WHERE event_type = 'purchase')
+SELECT coalesce(d.state, 'none') AS state,
+       count(*) AS n_purchases,
+       CAST(sum(f.cents) AS BIGINT) AS value_cents
+FROM f LEFT JOIN dim d
+  ON d.user_id = f.user_id
+ AND f.ts_us >= d.valid_from_us AND f.ts_us < d.valid_to_us
+GROUP BY 1 ORDER BY state
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_pit_join" -> (q66PitJoin _),
     "q65_pipe_syntax" -> (q65PipeSyntax _),
     "q64_collation" -> (q64Collation _),
     "q63_rfm" -> (q63Rfm _),
@@ -1722,6 +1786,7 @@ ORDER BY o_orderpriority
   )
 
   val oracles: Map[String, String] = Map(
+    "q66_pit_join" -> q66Oracle,
     "q65_pipe_syntax" -> q65Oracle,
     "q64_collation" -> q64Oracle,
     "q63_rfm" -> q63Oracle,

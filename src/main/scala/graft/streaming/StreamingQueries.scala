@@ -962,7 +962,87 @@ WHERE (window_start + 3600) * 1000000 <= m.max_us - 60000000
 ORDER BY window_start, event_type
 """
 
+  /** stream_checkpoint_recovery: exactly-once across a RESTART — the
+    * fault-tolerance contract every other streaming query here assumes
+    * but none grades. The hourly-counts aggregation runs TWICE against
+    * the same checkpointLocation: run 1 sees only the first half of
+    * the events (split at the midpoint timestamp) and stops; the
+    * second half is then added and run 2 starts FRESH from the
+    * checkpoint. The graded complete-mode output equals the batch
+    * aggregation over ALL events — which can only happen if (a) the
+    * state store recovered run 1's counts (else the first half would
+    * be missing) AND (b) the file-source offset log skipped the
+    * already-processed file (else the first half would double). Both
+    * failure modes are hash-visible, so the gate pins recovery, not
+    * just aggregation.
+    *
+    * Scale: checkpointing is the production default; state and offsets
+    * are per-key/per-file metadata, so recovery cost is proportional
+    * to state size, not history length.
+    */
+  def checkpointRecovery(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val raw = graft.queries.Tables.events(spark, sfDir)
+    val bounds = raw.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts")))).head()
+    val midUs = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val base = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stream", sfDir.replaceAll("[^A-Za-z0-9._-]", "_"),
+      "ckpt_recovery")
+    if (Files.exists(base)) {
+      val walk = Files.walk(base)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      finally walk.close()
+    }
+    val inDir = base.resolve("in")
+    val ckpt = base.resolve("ckpt")
+    Files.createDirectories(inDir)
+    def stagePart(pred: org.apache.spark.sql.Column, name: String) = {
+      val tmp = base.resolve(s"tmp_$name")
+      raw.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+    }
+    val fa = stagePart(unix_micros(col("ts")) < midUs, "a")
+    val fb = stagePart(unix_micros(col("ts")) >= midUs, "b")
+    Files.move(fa, inDir.resolve("a.parquet"))
+    val schema = raw.schema
+    def runOnce(): (SparkSession, String) = {
+      val name = s"graft_ckpt_${nameCounter.incrementAndGet()}"
+      val sub = spark.newSession()
+      sub.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = sub.readStream.schema(schema).parquet(inDir.toString)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (sub, name)
+    }
+    runOnce() // first half only; stops at end-of-available
+    Files.move(fb, inDir.resolve("b.parquet"))
+    val (sub2, name2) = runOnce() // fresh query, same checkpoint
+    sub2.table(name2)
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+              col("event_type"), col("n"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Complete-mode recovery result ≡ the plain batch rollup over all
+    * events (no watermark holdback in complete mode).
+    */
+  val checkpointRecoveryOracle: String = """
+SELECT (cast(floor(epoch(ts) / 3600) AS bigint) * 3600) AS window_start,
+       event_type, count(*) AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_checkpoint_recovery" -> (checkpointRecovery _),
     "stream_chained_windows" -> (chainedWindows _),
     "stream_session_timers" -> (sessionTimers _),
     "stream_foreachbatch_upsert" -> (foreachBatchUpsert _),
@@ -981,6 +1061,7 @@ ORDER BY window_start, event_type
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_checkpoint_recovery" -> checkpointRecoveryOracle,
     "stream_chained_windows" -> chainedWindowsOracle,
     "stream_session_timers" -> sessionTimersOracle,
     "stream_foreachbatch_upsert" -> foreachBatchUpsertOracle,
