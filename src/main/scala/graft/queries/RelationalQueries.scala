@@ -1731,7 +1731,109 @@ FROM f LEFT JOIN dim d
 GROUP BY 1 ORDER BY state
 """
 
+  /** q67_generators: the table-GENERATOR builtin family in one query —
+    * `inline` (array<struct> → columns), `posexplode_outer` (empty
+    * arrays still emit a null row — the outer-generator contract that
+    * keeps parent rows alive), and `stack` (the literal-row unpivot).
+    * Each form's output is reduced to long-form (metric, value) rows
+    * whose arithmetic the oracle reproduces relationally, so the gate
+    * pins the generator SEMANTICS (row multiplicities, null-row
+    * emission) rather than any opaque shape. The custom-Generator
+    * complement is [[graft.functions.CliquePairs]]; these are the
+    * built-in ones a SQL user reaches for first.
+    *
+    * Scale: the per-order collect is keyed and bounded by order size;
+    * every downstream aggregate is map-side combinable over a
+    * checkpointed ≤|orders|/100 base.
+    */
+  def q67Generators(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .where(col("l_orderkey") % 100 === 0)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(struct(col("l_linenumber"),
+        floor(col("l_quantity")).cast("bigint").as("qty")))).as("lines"))
+      .localCheckpoint()
+    val inlined = li.selectExpr("l_orderkey", "inline(lines)")
+    val outer = li
+      .select(col("l_orderkey"),
+        expr("filter(lines, x -> x.qty >= 46)").as("big"))
+      .selectExpr("l_orderkey", "posexplode_outer(big) AS (pos, line)")
+    val st = inlined.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"), sum(col("qty")).as("sum_qty"))
+      .selectExpr("l_orderkey",
+        "stack(2, 'n_lines', n_lines, 'sum_qty', sum_qty) AS (metric, value)")
+    def row(metric: String, df: DataFrame): DataFrame =
+      df.select(lit(metric).as("metric"), col("value").cast("long").as("value"))
+    row("inline_rows", inlined.agg(count(lit(1)).as("value")))
+      .unionAll(row("inline_qty_total", inlined.agg(sum(col("qty")).as("value"))))
+      .unionAll(row("outer_rows", outer.agg(count(lit(1)).as("value"))))
+      .unionAll(row("outer_big_lines", outer.agg(count(col("pos")).as("value"))))
+      .unionAll(row("outer_empty_orders",
+        outer.where(col("pos").isNull).agg(count(lit(1)).as("value"))))
+      .unionAll(row("stack_rows", st.agg(count(lit(1)).as("value"))))
+      .unionAll(row("stack_qty_total",
+        st.where(col("metric") === "sum_qty").agg(sum(col("value")).as("value"))))
+      .orderBy("metric")
+  }
+
+  val q67Oracle: String = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, cast(floor(l_quantity) AS bigint) AS qty
+  FROM lineitem WHERE l_orderkey % 100 = 0
+),
+per AS (
+  SELECT l_orderkey, count(*) AS n_lines, sum(qty) AS sum_qty
+  FROM li GROUP BY 1
+),
+big AS (
+  SELECT l_orderkey, count(*) AS n_big FROM li WHERE qty >= 46 GROUP BY 1
+)
+SELECT * FROM (
+  SELECT 'inline_qty_total' AS metric, CAST(sum(qty) AS BIGINT) AS value
+  FROM li
+  UNION ALL SELECT 'inline_rows', count(*) FROM li
+  UNION ALL SELECT 'outer_big_lines',
+    CAST((SELECT coalesce(sum(n_big), 0) FROM big) AS BIGINT)
+  UNION ALL SELECT 'outer_empty_orders',
+    CAST((SELECT count(*) FROM per) - (SELECT count(*) FROM big) AS BIGINT)
+  UNION ALL SELECT 'outer_rows',
+    CAST((SELECT coalesce(sum(n_big), 0) FROM big)
+         + (SELECT count(*) FROM per) - (SELECT count(*) FROM big) AS BIGINT)
+  UNION ALL SELECT 'stack_qty_total', CAST(sum(sum_qty) AS BIGINT) FROM per
+  UNION ALL SELECT 'stack_rows', 2 * count(*) FROM per
+)
+ORDER BY metric
+"""
+
+  /** q68_timezone: named-zone conversion pinned against pure offset
+    * arithmetic — `from_utc_timestamp(ts, 'America/New_York')` graded
+    * as the (utc_hour, ny_hour) joint distribution. The events span
+    * January 2024 only, so the zone sits at EST (UTC−5) for every row
+    * and the oracle can state the conversion as `(h − 5) mod 24`
+    * without an engine timezone database in the loop (DuckDB's ICU
+    * rules need not match Java's); the gate still proves Spark
+    * resolved the NAMED zone to the right offset for these instants.
+    *
+    * Scale: a narrow projection + a ≤24²-row aggregate.
+    */
+  def q68Timezone(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(hour(col("ts")).as("utc_hour"),
+        hour(from_utc_timestamp(col("ts"), "America/New_York")).as("ny_hour"))
+      .groupBy("utc_hour", "ny_hour").agg(count(lit(1)).as("n"))
+      .orderBy("utc_hour")
+
+  val q68Oracle: String = """
+SELECT CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS utc_hour,
+       CAST(((epoch_us(ts) // 3600000000) - 5) % 24 AS INT) AS ny_hour,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2 ORDER BY utc_hour
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_generators" -> (q67Generators _),
+    "q68_timezone" -> (q68Timezone _),
     "q66_pit_join" -> (q66PitJoin _),
     "q65_pipe_syntax" -> (q65PipeSyntax _),
     "q64_collation" -> (q64Collation _),
@@ -1786,6 +1888,8 @@ GROUP BY 1 ORDER BY state
   )
 
   val oracles: Map[String, String] = Map(
+    "q67_generators" -> q67Oracle,
+    "q68_timezone" -> q68Oracle,
     "q66_pit_join" -> q66Oracle,
     "q65_pipe_syntax" -> q65Oracle,
     "q64_collation" -> q64Oracle,

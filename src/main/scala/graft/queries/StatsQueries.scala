@@ -1705,7 +1705,56 @@ SELECT n_a, c_a, n_b, c_b,
 FROM d
 """
 
+  /** stats_capture_recapture: Lincoln–Petersen population estimation —
+    * "how many clicking users exist, estimated from two overlapping
+    * observation windows" (the first 3 and last 3 days of the feed,
+    * bounds derived from the data so a regenerated vintage keeps both
+    * captures populated). `N̂ = n₁·n₂ div m` in pure integers, with the
+    * true population alongside — the mark-recapture estimator used
+    * whenever full enumeration is impossible (bot-traffic sizing,
+    * rare-event populations) and its accuracy, graded.
+    *
+    * Scale: one keyed per-user rollup with two map-side-combinable
+    * flags, one 1-row aggregate. The capture windows are metadata
+    * scalars (two driver longs), not joins.
+    */
+  def captureRecapture(spark: SparkSession, sfDir: String): DataFrame = {
+    val clicks = Tables.events(spark, sfDir)
+      .where(col("event_type") === "click")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .localCheckpoint()
+    val b = clicks.agg(min(col("day")), max(col("day"))).head()
+    val (lo, hi) = (b.getLong(0) + 3, b.getLong(1) - 2)
+    clicks
+      .groupBy("user_id")
+      .agg(max(when(col("day") < lo, 1L).otherwise(0L)).as("c1"),
+           max(when(col("day") >= hi, 1L).otherwise(0L)).as("c2"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+           sum(col("c1") * col("c2")).as("m"), count(lit(1)).as("n_true"))
+      .select(col("n1"), col("n2"), col("m"), col("n_true"),
+        expr("(n1 * n2) div m").as("n_est"))
+  }
+
+  val captureRecaptureOracle: String = """
+WITH c AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events WHERE event_type = 'click'
+),
+b AS (SELECT min(day) + 3 AS lo, max(day) - 2 AS hi FROM c),
+caps AS (
+  SELECT user_id,
+         max(CASE WHEN day < (SELECT lo FROM b) THEN 1 ELSE 0 END) AS c1,
+         max(CASE WHEN day >= (SELECT hi FROM b) THEN 1 ELSE 0 END) AS c2
+  FROM c GROUP BY user_id
+)
+SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+       CAST(sum(c1 * c2) AS BIGINT) AS m, count(*) AS n_true,
+       CAST((sum(c1) * sum(c2)) // sum(c1 * c2) AS BIGINT) AS n_est
+FROM caps
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_capture_recapture" -> (captureRecapture _),
     "stats_ab_test" -> (abTest _),
     "stats_spearman" -> (spearman _),
     "stats_theilsen" -> (theilSen _),
@@ -1736,6 +1785,7 @@ FROM d
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_capture_recapture" -> captureRecaptureOracle,
     "stats_ab_test" -> abTestOracle,
     "stats_spearman" -> spearmanOracle,
     "q52_attribution" -> attributionOracle,
