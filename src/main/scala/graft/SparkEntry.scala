@@ -27,6 +27,7 @@ object SparkEntry {
       SimilarityQueries.all ++ TextQueries.all ++ PipelineQueries.all ++
       IoQueries.all ++ GraphQueries.all ++ StatsQueries.all ++
       SketchQueries.all ++ MatchQueries.all ++ EventQueries.all ++
+      GeoQueries.all ++
       graft.streaming.StreamingQueries.all ++
       graft.multimodal.MultimodalQueries.all
 
@@ -38,6 +39,7 @@ object SparkEntry {
     SimilarityQueries.oracles ++ TextQueries.oracles ++ PipelineQueries.oracles ++
     IoQueries.oracles ++ GraphQueries.oracles ++ StatsQueries.oracles ++
     SketchQueries.oracles ++ MatchQueries.oracles ++ EventQueries.oracles ++
+    GeoQueries.oracles ++
     graft.streaming.StreamingQueries.oracles ++
     graft.multimodal.MultimodalQueries.oracles
 }

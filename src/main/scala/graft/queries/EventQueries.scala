@@ -279,7 +279,66 @@ FROM daily JOIN e ON e.day = daily.day
 ORDER BY daily.day
 """
 
+  /** q69_ohlc: time-series candles — per day, the Open/High/Low/Close
+    * of the event `value` stream (integer cents), the downsampled bar
+    * representation every monitoring/finance dashboard draws. Open and
+    * close are first/last in the total `(ts, event_id)` order via
+    * full-frame `first/last_value` window functions; high/low/volume
+    * are plain combinable aggregates. The window total order makes the
+    * bars deterministic under any parallelism.
+    *
+    * Scale: one shuffle keyed by day (window partition = the
+    * aggregation key), output bounded by the calendar. At 100 TB the
+    * open/close would ride `min/max_by`-style struct aggregates to stay
+    * fully map-side combinable; the window form is graded because it
+    * pins the frame semantics (`ROWS BETWEEN UNBOUNDED PRECEDING AND
+    * UNBOUNDED FOLLOWING`) both engines share.
+    */
+  def ohlc(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("day").orderBy("us", "event_id")
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("bigint").as("cents"))
+      .withColumn("open_cents", first(col("cents")).over(full))
+      .withColumn("close_cents", last(col("cents")).over(full))
+      .groupBy("day")
+      .agg(max(col("open_cents")).as("open_cents"),
+           max(col("cents")).as("high_cents"),
+           min(col("cents")).as("low_cents"),
+           max(col("close_cents")).as("close_cents"),
+           count(lit(1)).as("n_events"),
+           sum(col("cents")).as("volume_cents"))
+      .orderBy("day")
+  }
+
+  val ohlcOracle: String = """
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, epoch_us(ts) AS us,
+         event_id, cast(floor(value * 100 + 0.5) AS bigint) AS cents
+  FROM events
+),
+f AS (
+  SELECT day, cents,
+         first_value(cents) OVER w AS open_cents,
+         last_value(cents) OVER w AS close_cents
+  FROM e
+  WINDOW w AS (PARTITION BY day ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT day, max(open_cents) AS open_cents,
+       CAST(max(cents) AS BIGINT) AS high_cents,
+       CAST(min(cents) AS BIGINT) AS low_cents,
+       max(close_cents) AS close_cents,
+       count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS volume_cents
+FROM f GROUP BY day ORDER BY day
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_ohlc" -> (ohlc _),
     "q55_sessionize" -> (sessionize _),
     "q56_funnel" -> (funnel _),
     "q57_retention" -> (retention _),
@@ -288,6 +347,7 @@ ORDER BY daily.day
   )
 
   val oracles: Map[String, String] = Map(
+    "q69_ohlc" -> ohlcOracle,
     "q55_sessionize" -> sessionizeOracle,
     "q56_funnel" -> funnelOracle,
     "q57_retention" -> retentionOracle,

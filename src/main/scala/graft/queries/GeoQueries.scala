@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Spatial operators over a synthetic integer plane — the operator
+  * family (proximity joins, nearest neighbors) that geo workloads need
+  * and that vanilla engines usually bolt on via grid/space-filling
+  * tricks; here the tricks ARE the graded surface.
+  *
+  * Points are derived deterministically from the customer table: each
+  * customer gets md5-hash coordinates uniform on a 1 000 000² integer
+  * plane, so both engines rebuild the exact same point set and every
+  * distance is an exact int64 (squared Euclidean — no sqrt, no trig, no
+  * cross-engine float divergence).
+  *
+  * Scale: the grid join is the standard production shape — cell width =
+  * search radius, so a qualifying pair can differ by at most one cell
+  * index per axis and the 3×3 probe is COMPLETE; cost is one ×9 explode
+  * plus an equi-join on the cell key, linear in points for bounded
+  * density (never an all-pairs product). The kNN query uses the
+  * bounded-query-set exact scan (|Q| ≤ 100 fixed), the same O(|Q|·N)
+  * pattern as sim_topk_bruteforce.
+  */
+object GeoQueries {
+
+  private val Side = 1000000L // plane edge length
+  private val R = 5000L       // search radius = grid cell width
+
+  private def h56(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 14), 16, 10).cast("bigint")
+
+  /** (id, x, y) points on the integer plane, one per customer. */
+  private def points(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(
+      col("c_custkey").as("id"),
+      (h56(concat(lit("gx#"), col("c_custkey"))) % Side).as("x"),
+      (h56(concat(lit("gy#"), col("c_custkey"))) % Side).as("y"))
+
+  /** geo_grid_join: all point pairs within distance R, found via the
+    * cell-grid candidate join (cell = coordinate div R; the left side
+    * probes its 3×3 cell neighborhood, the right side sits in its own
+    * cell, so each candidate pair arises exactly once) and verified
+    * with exact integer squared distance. Graded as the pair-count
+    * histogram over dist² quartile shells — which pins candidate
+    * generation, dedup, and verification, not just a count.
+    */
+  def gridJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = points(spark, sfDir)
+      .select(col("id"), col("x"), col("y"),
+        expr(s"x div ${R}L").as("cx"), expr(s"y div ${R}L").as("cy"))
+      .localCheckpoint() // probe and build side share the scan
+    val probes = p.select(col("id").as("a"), col("x").as("xa"),
+        col("y").as("ya"),
+        explode(expr("transform(sequence(0, 8)," +
+          " i -> named_struct('cx', cx + i div 3 - 1," +
+          " 'cy', cy + i % 3 - 1))"))
+          .as("cell"))
+      .select(col("a"), col("xa"), col("ya"),
+        col("cell.cx").as("cx"), col("cell.cy").as("cy"))
+    probes.join(p.toDF("b", "xb", "yb", "cx", "cy"), Seq("cx", "cy"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        ((col("xa") - col("xb")) * (col("xa") - col("xb"))
+          + (col("ya") - col("yb")) * (col("ya") - col("yb"))).as("d2"))
+      .where(col("d2") <= lit(R * R))
+      .groupBy(expr(s"(d2 * 4) div ${R * R}L").as("shell"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("d2")).as("min_d2"),
+           max(col("d2")).as("max_d2"))
+      .orderBy("shell")
+  }
+
+  val gridJoinOracle: String = s"""
+WITH p AS (
+  SELECT c_custkey AS id,
+         cast('0x' || substr(md5('gx#' || c_custkey), 1, 14) AS bigint)
+           % $Side AS x,
+         cast('0x' || substr(md5('gy#' || c_custkey), 1, 14) AS bigint)
+           % $Side AS y
+  FROM customer
+),
+c AS (SELECT id, x, y, x // $R AS cx, y // $R AS cy FROM p),
+probes AS (
+  SELECT id AS a, x AS xa, y AS ya,
+         cx + dx.d AS cx, cy + dy.d AS cy
+  FROM c,
+       (SELECT unnest([-1, 0, 1]) AS d) dx,
+       (SELECT unnest([-1, 0, 1]) AS d) dy
+),
+pairs AS (
+  SELECT pr.a, b.id AS b,
+         (pr.xa - b.x) * (pr.xa - b.x) + (pr.ya - b.y) * (pr.ya - b.y)
+           AS d2
+  FROM probes pr JOIN c b ON b.cx = pr.cx AND b.cy = pr.cy
+  WHERE pr.a < b.id
+)
+SELECT (d2 * 4) // ${R * R} AS shell, count(*) AS n_pairs,
+       CAST(min(d2) AS BIGINT) AS min_d2, CAST(max(d2) AS BIGINT) AS max_d2
+FROM pairs WHERE d2 <= ${R * R}
+GROUP BY 1 ORDER BY shell
+"""
+
+  /** geo_knn: exact 3 nearest neighbors for a fixed bounded query set
+    * (ids ≡ 0 mod 150 — ≤ 100 queries at any sf), squared-distance
+    * metric, full (d², id) deterministic tie-break. The brute-force
+    * O(|Q|·N) scan is the correctness baseline of the family (exactly
+    * the sim_topk_bruteforce pattern on a different metric space); the
+    * linear-at-scale path is [[gridJoin]]'s cells with expanding-ring
+    * probes.
+    */
+  def knn(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = points(spark, sfDir).localCheckpoint()
+    val q = p.toDF("qid", "qx", "qy").where(col("qid") % 150 === 0)
+    val w = Window.partitionBy("qid").orderBy("d2", "id")
+    q.join(p, col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        ((col("qx") - col("x")) * (col("qx") - col("x"))
+          + (col("qy") - col("y")) * (col("qy") - col("y"))).as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("id").as("neighbor"), col("d2"))
+      .orderBy("qid", "rank")
+  }
+
+  val knnOracle: String = s"""
+WITH p AS (
+  SELECT c_custkey AS id,
+         cast('0x' || substr(md5('gx#' || c_custkey), 1, 14) AS bigint)
+           % $Side AS x,
+         cast('0x' || substr(md5('gy#' || c_custkey), 1, 14) AS bigint)
+           % $Side AS y
+  FROM customer
+),
+scored AS (
+  SELECT q.id AS qid, c.id AS id,
+         (q.x - c.x) * (q.x - c.x) + (q.y - c.y) * (q.y - c.y) AS d2
+  FROM p q JOIN p c ON q.id % 150 = 0 AND q.id <> c.id
+),
+ranked AS (
+  SELECT qid, id, d2,
+         row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS rank
+  FROM scored
+)
+SELECT qid, rank, id AS neighbor, CAST(d2 AS BIGINT) AS d2
+FROM ranked WHERE rank <= 3 ORDER BY qid, rank
+"""
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_grid_join" -> (gridJoin _),
+    "geo_knn" -> (knn _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "geo_grid_join" -> gridJoinOracle,
+    "geo_knn" -> knnOracle,
+  )
+}
