@@ -32,7 +32,7 @@ object GeoQueries {
     conv(substring(md5(c), 1, 14), 16, 10).cast("bigint")
 
   /** (id, x, y) points on the integer plane, one per customer. */
-  private def points(spark: SparkSession, sfDir: String): DataFrame =
+  private[queries] def points(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir).select(
       col("c_custkey").as("id"),
       (h56(concat(lit("gx#"), col("c_custkey"))) % Side).as("x"),
