@@ -990,7 +990,74 @@ SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2
 ORDER BY doc_a, doc_b
 """
 
+  /** dedup_incremental_batch: the INCREMENTAL production shape — a new
+    * document batch (a deterministic hash-selected ~10%) deduplicated
+    * against the standing corpus and within itself, without ever
+    * re-deduplicating the corpus. A new doc is dropped if its
+    * normalized token-set key already exists in the corpus (semi-join
+    * against the corpus key index — at 100 TB that index is the
+    * persisted asset this query models); survivors then keep only the
+    * min doc_id per key within the batch. Graded as the full
+    * disposition accounting: n_new = dropped_vs_corpus +
+    * dropped_within_batch + kept, an identity the gate enforces.
+    *
+    * Scale: the corpus side reduces to its DISTINCT key index once;
+    * the per-batch work is |batch|-sized — the whole point of the
+    * incremental shape (contrast [[dedupExact]], which reprocesses the
+    * corpus every run).
+    */
+  def incrementalBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        concat_ws(" ",
+          sort_array(array_distinct(split(col("text"), " ")))).as("key"),
+        (conv(substring(md5(concat(lit("inc#"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("bigint")
+          % 10 === 0).as("is_new"))
+      .localCheckpoint() // corpus index and batch share the scan
+    val corpusKeys = keyed.where(!col("is_new")).select("key").distinct()
+      .withColumn("in_corpus", lit(1))
+    keyed.where(col("is_new"))
+      .join(corpusKeys, Seq("key"), "left")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("key").orderBy("doc_id")))
+      .agg(count(lit(1)).as("n_new"),
+        sum(when(col("in_corpus") === 1, 1L).otherwise(0L))
+          .as("n_dropped_corpus"),
+        sum(when(col("in_corpus").isNull && col("rk") > 1, 1L)
+          .otherwise(0L)).as("n_dropped_within"),
+        sum(when(col("in_corpus").isNull && col("rk") === 1, 1L)
+          .otherwise(0L)).as("n_kept"))
+  }
+
+  val incrementalBatchOracle: String = """
+WITH keyed AS (
+  SELECT doc_id,
+         array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                         ' ') AS key,
+         cast('0x' || substr(md5('inc#' || doc_id), 1, 8) AS bigint) % 10
+           = 0 AS is_new
+  FROM documents
+),
+corpus AS (SELECT DISTINCT key FROM keyed WHERE NOT is_new),
+newd AS (
+  SELECT k.doc_id, k.key,
+         CASE WHEN c.key IS NOT NULL THEN 1 ELSE 0 END AS in_corpus,
+         row_number() OVER (PARTITION BY k.key ORDER BY k.doc_id) AS rk
+  FROM keyed k LEFT JOIN corpus c ON c.key = k.key
+  WHERE k.is_new
+)
+SELECT count(*) AS n_new,
+       CAST(sum(in_corpus) AS BIGINT) AS n_dropped_corpus,
+       CAST(sum(CASE WHEN in_corpus = 0 AND rk > 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped_within,
+       CAST(sum(CASE WHEN in_corpus = 0 AND rk = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM newd
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental_batch" -> (incrementalBatch _),
     "dedup_cdc_chunks" -> (cdcChunkPairs _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_est" -> (minhashEst _),
@@ -1005,6 +1072,7 @@ ORDER BY doc_a, doc_b
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_incremental_batch" -> incrementalBatchOracle,
     "dedup_cdc_chunks" -> cdcChunkPairsOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_minhash_est" -> minhashEstOracle,

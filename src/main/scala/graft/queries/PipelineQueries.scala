@@ -963,7 +963,65 @@ FROM docs d JOIN groups g USING (key)
 GROUP BY fold ORDER BY fold
 """
 
+  /** pipe_fim: fill-in-the-middle split planning — the FIM transform
+    * code-model training applies to a fraction of documents: two
+    * hash-derived token boundaries cut each doc into prefix / middle /
+    * suffix, and a hash bit picks PSM vs SPM segment order. Like
+    * [[spanMasking]], the plan is CLOSED-FORM per doc (pure mod
+    * arithmetic on the token count — no RNG, no explode, no window),
+    * so both engines derive identical splits and the gate checks every
+    * boundary. Graded per doc: segment lengths, mode, and the
+    * middle-fraction ppm.
+    *
+    * Scale: a narrow projection — the cheapest possible shape; the
+    * actual corpus rewrite would be one `substring` pass downstream.
+    */
+  def fim(spark: SparkSession, sfDir: String): DataFrame = {
+    def h(salt: String) = conv(substring(md5(concat(lit(salt),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("bigint")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+        h("fim1#").as("h1"), h("fim2#").as("h2"), h("fimm#").as("hm"))
+      .select(col("doc_id"), col("n_tokens"),
+        least(col("h1") % col("n_tokens"), col("h2") % col("n_tokens"))
+          .as("lo"),
+        greatest(col("h1") % col("n_tokens"), col("h2") % col("n_tokens"))
+          .as("hi"),
+        when(col("hm") % 2 === 0, "psm").otherwise("spm").as("mode"))
+      .select(col("doc_id"), col("n_tokens"), col("mode"),
+        col("lo").as("n_prefix"),
+        (col("hi") - col("lo")).as("n_middle"),
+        (col("n_tokens") - col("hi")).as("n_suffix"),
+        expr("((hi - lo) * 1000000) div n_tokens").as("middle_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val fimOracle: String = """
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         cast('0x' || substr(md5('fim1#' || doc_id), 1, 8) AS bigint) AS h1,
+         cast('0x' || substr(md5('fim2#' || doc_id), 1, 8) AS bigint) AS h2,
+         cast('0x' || substr(md5('fimm#' || doc_id), 1, 8) AS bigint) AS hm
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         least(h1 % n_tokens, h2 % n_tokens) AS lo,
+         greatest(h1 % n_tokens, h2 % n_tokens) AS hi,
+         CASE WHEN hm % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode
+  FROM d
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, mode,
+       CAST(lo AS BIGINT) AS n_prefix,
+       CAST(hi - lo AS BIGINT) AS n_middle,
+       CAST(n_tokens - hi AS BIGINT) AS n_suffix,
+       CAST(((hi - lo) * 1000000) // n_tokens AS BIGINT) AS middle_ppm
+FROM b ORDER BY doc_id
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_fim" -> (fim _),
     "pipe_kfold" -> (kfold _),
     "pipe_span_masking" -> (spanMasking _),
     "pipe_preference_pairs" -> (preferencePairs _),
@@ -988,6 +1046,7 @@ GROUP BY fold ORDER BY fold
   )
 
   val oracles: Map[String, String] = Map(
+    "pipe_fim" -> fimOracle,
     "pipe_kfold" -> kfoldOracle,
     "pipe_span_masking" -> spanMaskingOracle,
     "pipe_preference_pairs" -> preferencePairsOracle,

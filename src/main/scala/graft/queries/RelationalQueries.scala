@@ -1831,7 +1831,59 @@ FROM events
 GROUP BY 1, 2 ORDER BY utc_hour
 """
 
+  /** q70_weighted_median: revenue-WEIGHTED median of order quantity per
+    * return flag — "the quantity at which half the money sits", which
+    * an unweighted median (q18) misstates whenever big-ticket lines
+    * cluster at particular sizes. Exact integer definition: the
+    * smallest quantity whose running weight doubles past the total
+    * (`2·cumw ≥ totw`), so no interpolation and no floats; weights are
+    * exact cents.
+    *
+    * Scale: one window keyed by the group (running weight in quantity
+    * order) + one combinable total per group — the standard two-pass
+    * weighted-quantile shape; nothing global.
+    */
+  def q70WeightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        floor(col("l_quantity")).cast("bigint").as("qty"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("bigint")
+          .as("w"))
+      .groupBy("l_returnflag", "qty").agg(sum(col("w")).as("w"))
+    val win = Window.partitionBy("l_returnflag").orderBy("qty")
+    base
+      .withColumn("cumw", sum(col("w")).over(win))
+      .withColumn("totw", sum(col("w")).over(
+        Window.partitionBy("l_returnflag")))
+      .where(col("cumw") * 2 >= col("totw"))
+      .groupBy("l_returnflag")
+      .agg(min(col("qty")).as("weighted_median_qty"),
+           max(col("totw")).as("total_weight_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  val q70Oracle: String = """
+WITH base AS (
+  SELECT l_returnflag, cast(floor(l_quantity) AS bigint) AS qty,
+         sum(cast(floor(l_extendedprice * 100 + 0.5) AS bigint)) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+c AS (
+  SELECT l_returnflag, qty, w,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY qty
+                      ROWS UNBOUNDED PRECEDING) AS cumw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS totw
+  FROM base
+)
+SELECT l_returnflag,
+       CAST(min(qty) AS BIGINT) AS weighted_median_qty,
+       CAST(max(totw) AS BIGINT) AS total_weight_cents
+FROM c WHERE cumw * 2 >= totw
+GROUP BY 1 ORDER BY l_returnflag
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_weighted_median" -> (q70WeightedMedian _),
     "q67_generators" -> (q67Generators _),
     "q68_timezone" -> (q68Timezone _),
     "q66_pit_join" -> (q66PitJoin _),
@@ -1888,6 +1940,7 @@ GROUP BY 1, 2 ORDER BY utc_hour
   )
 
   val oracles: Map[String, String] = Map(
+    "q70_weighted_median" -> q70Oracle,
     "q67_generators" -> q67Oracle,
     "q68_timezone" -> q68Oracle,
     "q66_pit_join" -> q66Oracle,

@@ -1041,7 +1041,73 @@ GROUP BY 1, 2
 ORDER BY window_start, event_type
 """
 
+  /** stream_state_reader: STATE-STORE INTROSPECTION — the `statestore`
+    * batch data source (Spark 4 state reader) pointed at a streaming
+    * aggregation's checkpoint. The hourly-counts query runs once with
+    * a checkpoint; the graded result is then computed FROM THE STATE
+    * FILES, not from the query output: per event type, the sum of the
+    * per-window count buffers and the number of state rows (= live
+    * windows). A hash match proves the operator's internal state is
+    * externally readable and exactly mirrors the data — the
+    * operational superpower for debugging a stuck 100 TB stream
+    * (inspect state without touching the query).
+    *
+    * Scale: the state reader is an ordinary parallel batch scan over
+    * the state files — introspection cost is state size, not history.
+    */
+  def stateReader(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val raw = graft.queries.Tables.events(spark, sfDir)
+    val base = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stream", sfDir.replaceAll("[^A-Za-z0-9._-]", "_"),
+      "state_reader")
+    if (Files.exists(base)) {
+      val walk = Files.walk(base)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      finally walk.close()
+    }
+    val inDir = base.resolve("in")
+    val ckpt = base.resolve("ckpt")
+    Files.createDirectories(base)
+    raw.coalesce(1).write.parquet(inDir.toString)
+    val schema = raw.schema
+    val name = s"graft_state_${nameCounter.incrementAndGet()}"
+    val sub = spark.newSession()
+    sub.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = sub.readStream.schema(schema).parquet(inDir.toString)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val state = spark.read.format("statestore").load(ckpt.toString)
+    // The value buffer's field name is plan-derived ("count(1)" or
+    // similar) — locate the single long field instead of hardcoding it.
+    val valueType = state.schema("value").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val countField = valueType.fields
+      .find(_.dataType == org.apache.spark.sql.types.LongType)
+      .getOrElse(sys.error(s"no long buffer field in $valueType")).name
+    state.select(col("key.event_type").as("event_type"),
+        col(s"value.`$countField`").as("n"))
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_windows"))
+      .orderBy("event_type")
+  }
+
+  /** State must mirror the data exactly: per type, total events and
+    * the number of distinct hourly windows (= state rows).
+    */
+  val stateReaderOracle: String = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       count(DISTINCT epoch_us(ts) // 3600000000) AS n_windows
+FROM events GROUP BY 1 ORDER BY event_type
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_state_reader" -> (stateReader _),
     "stream_checkpoint_recovery" -> (checkpointRecovery _),
     "stream_chained_windows" -> (chainedWindows _),
     "stream_session_timers" -> (sessionTimers _),
@@ -1061,6 +1127,7 @@ ORDER BY window_start, event_type
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_state_reader" -> stateReaderOracle,
     "stream_checkpoint_recovery" -> checkpointRecoveryOracle,
     "stream_chained_windows" -> chainedWindowsOracle,
     "stream_session_timers" -> sessionTimersOracle,
