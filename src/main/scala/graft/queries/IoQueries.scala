@@ -807,7 +807,56 @@ CROSS JOIN (VALUES ('gzip'), ('snappy'), ('zstd')) c(codec)
 ORDER BY c.codec, a.lang
 """
 
+  /** io_analyze_stats: the `ANALYZE TABLE … COMPUTE STATISTICS` /
+    * cost-based-optimizer surface — the statistics the CBO joins and
+    * reorders by, graded for correctness against the data. A catalog
+    * copy of `orders` is analyzed (table row count + column stats for
+    * the two LOW-cardinality columns, where the ndv sketch is exact);
+    * the graded row reads the numbers back from the CATALOG metadata,
+    * so a hash match proves ANALYZE measured, persisted, and exposed
+    * the truth the optimizer will consume. High-cardinality ndv is
+    * deliberately out of scope: it is an HLL approximation with no
+    * cross-engine mirror.
+    *
+    * Scale: ANALYZE is one combinable aggregation pass; stats land in
+    * catalog metadata — reading them back is metadata-only.
+    */
+  def analyzeStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageDir(sfDir, "analyze")
+    val tbl = "graft_stats_orders_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(x => java.nio.file.Files.delete(x))
+      finally walk.close()
+    }
+    spark.sql(s"CREATE TABLE $tbl USING PARQUET LOCATION '$dir' AS " +
+      s"SELECT o_orderkey, o_orderstatus, o_orderpriority " +
+      s"FROM parquet.`$sfDir/orders.parquet`")
+    spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS " +
+      "FOR COLUMNS o_orderstatus, o_orderpriority")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+    val stats = meta.stats.getOrElse(sys.error("ANALYZE wrote no stats"))
+    def ndv(c: String): Long =
+      stats.colStats(c).distinctCount.map(_.toLong).getOrElse(-1L)
+    spark.range(1).select(
+      lit(stats.rowCount.map(_.toLong).getOrElse(-1L)).as("row_count"),
+      lit(ndv("o_orderstatus")).as("status_ndv"),
+      lit(ndv("o_orderpriority")).as("priority_ndv"))
+  }
+
+  private val analyzeStatsOracle = """
+SELECT count(*) AS row_count,
+       count(DISTINCT o_orderstatus) AS status_ndv,
+       count(DISTINCT o_orderpriority) AS priority_ndv
+FROM orders
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_analyze_stats" -> (analyzeStats _),
     "io_codec_roundtrip" -> (codecRoundtrip _),
     "io_sql_catalog" -> (sqlCatalog _),
     "io_csv_malformed" -> (csvMalformed _),
@@ -829,6 +878,7 @@ ORDER BY c.codec, a.lang
   )
 
   val oracles: Map[String, String] = Map(
+    "io_analyze_stats" -> analyzeStatsOracle,
     "io_codec_roundtrip" -> codecRoundtripOracle,
     "io_sql_catalog" -> sqlCatalogOracle,
     "io_csv_malformed" -> csvMalformedOracle,

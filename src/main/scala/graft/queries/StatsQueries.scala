@@ -1753,7 +1753,90 @@ SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
 FROM caps
 """
 
+  /** stats_diff_in_diff: the difference-in-differences estimator — the
+    * 2×2 (variant × pre/post) design every observational launch
+    * analysis runs: DiD = (ȳ_B,post − ȳ_B,pre) − (ȳ_A,post − ȳ_A,pre)
+    * over per-purchase value, with the period split at the feed's
+    * midpoint day (data-derived scalar). All four cell means are
+    * cleared to one decimal(38,0) fraction over the common denominator
+    * n₁n₂n₃n₄, divided sign-safely (|num| then re-signed — Spark `div`
+    * truncates, DuckDB `//` floors), so the causal estimate is graded
+    * bit-exact along with every cell's n and sum.
+    *
+    * Scale: one map-side-combinable 4-cell aggregate + a scalar
+    * reshape; nothing else.
+    */
+  def diffInDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("variant"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 100 + lit(0.5)).cast("bigint").as("cents"))
+      .localCheckpoint()
+    val b = ev.agg(min(col("day")), max(col("day"))).head()
+    val mid = (b.getLong(0) + b.getLong(1)) / 2
+    def cell(v: Int, post: Boolean, f: String) = {
+      val in = col("variant") === v &&
+        (if (post) col("day") >= mid else col("day") < mid)
+      val x = if (f == "n") when(in, 1L).otherwise(0L)
+              else when(in, col("cents")).otherwise(0L)
+      sum(x).as(s"${f}_${if (v == 0) "a" else "b"}_${if (post) "post" else "pre"}")
+    }
+    ev.agg(cell(0, false, "n"), cell(0, false, "s"),
+           cell(0, true, "n"), cell(0, true, "s"),
+           cell(1, false, "n"), cell(1, false, "s"),
+           cell(1, true, "n"), cell(1, true, "s"))
+      .select(col("*"),
+        expr("cast(s_b_post AS decimal(38,0)) * n_b_pre * n_a_post * n_a_pre" +
+             " - cast(s_b_pre AS decimal(38,0)) * n_b_post * n_a_post * n_a_pre" +
+             " - cast(s_a_post AS decimal(38,0)) * n_a_pre * n_b_post * n_b_pre" +
+             " + cast(s_a_pre AS decimal(38,0)) * n_a_post * n_b_post * n_b_pre")
+          .as("num"),
+        expr("cast(n_a_pre AS decimal(38,0)) * n_a_post * n_b_pre * n_b_post")
+          .as("den"))
+      .select(col("n_a_pre"), col("s_a_pre"), col("n_a_post"), col("s_a_post"),
+        col("n_b_pre"), col("s_b_pre"), col("n_b_post"), col("s_b_post"),
+        expr("cast((abs(num) * 1000000) div den AS bigint)" +
+             " * if(num < 0, -1L, 1L)").as("did_micros"))
+  }
+
+  val diffInDiffOracle: String = """
+WITH ev AS (
+  SELECT user_id % 2 AS variant, epoch_us(ts) // 86400000000 AS day,
+         cast(floor(value * 100 + 0.5) AS bigint) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+b AS (SELECT (min(day) + max(day)) // 2 AS mid FROM ev),
+cells AS (
+  SELECT
+    CAST(sum(CASE WHEN variant = 0 AND day < (SELECT mid FROM b) THEN 1 ELSE 0 END) AS BIGINT) AS n_a_pre,
+    CAST(sum(CASE WHEN variant = 0 AND day < (SELECT mid FROM b) THEN cents ELSE 0 END) AS BIGINT) AS s_a_pre,
+    CAST(sum(CASE WHEN variant = 0 AND day >= (SELECT mid FROM b) THEN 1 ELSE 0 END) AS BIGINT) AS n_a_post,
+    CAST(sum(CASE WHEN variant = 0 AND day >= (SELECT mid FROM b) THEN cents ELSE 0 END) AS BIGINT) AS s_a_post,
+    CAST(sum(CASE WHEN variant = 1 AND day < (SELECT mid FROM b) THEN 1 ELSE 0 END) AS BIGINT) AS n_b_pre,
+    CAST(sum(CASE WHEN variant = 1 AND day < (SELECT mid FROM b) THEN cents ELSE 0 END) AS BIGINT) AS s_b_pre,
+    CAST(sum(CASE WHEN variant = 1 AND day >= (SELECT mid FROM b) THEN 1 ELSE 0 END) AS BIGINT) AS n_b_post,
+    CAST(sum(CASE WHEN variant = 1 AND day >= (SELECT mid FROM b) THEN cents ELSE 0 END) AS BIGINT) AS s_b_post
+  FROM ev
+),
+d AS (
+  SELECT *,
+    s_b_post::hugeint * n_b_pre * n_a_post * n_a_pre
+      - s_b_pre::hugeint * n_b_post * n_a_post * n_a_pre
+      - s_a_post::hugeint * n_a_pre * n_b_post * n_b_pre
+      + s_a_pre::hugeint * n_a_post * n_b_post * n_b_pre AS num,
+    n_a_pre::hugeint * n_a_post * n_b_pre * n_b_post AS den
+  FROM cells
+)
+SELECT n_a_pre, s_a_pre, n_a_post, s_a_post,
+       n_b_pre, s_b_pre, n_b_post, s_b_post,
+       CAST((abs(num) * 1000000) // den AS BIGINT)
+         * (CASE WHEN num < 0 THEN -1 ELSE 1 END) AS did_micros
+FROM d
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_diff_in_diff" -> (diffInDiff _),
     "stats_capture_recapture" -> (captureRecapture _),
     "stats_ab_test" -> (abTest _),
     "stats_spearman" -> (spearman _),
@@ -1785,6 +1868,7 @@ FROM caps
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_diff_in_diff" -> diffInDiffOracle,
     "stats_capture_recapture" -> captureRecaptureOracle,
     "stats_ab_test" -> abTestOracle,
     "stats_spearman" -> spearmanOracle,

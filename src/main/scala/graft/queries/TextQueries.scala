@@ -804,7 +804,72 @@ SELECT word, CAST(deg AS BIGINT) AS deg, freq,
 FROM sc ORDER BY score_ppm DESC, deg DESC, word LIMIT 20
 """
 
+  /** text_collocation_pmi: document-level collocation mining — word
+    * pairs that co-occur in the same document far more than their
+    * marginal frequencies predict. The PMI ratio is kept EXACT by
+    * cross-multiplication (`N·c_ab·10⁶ div (c_a·c_b)` — the inside of
+    * the log, in ppm; log is monotone so the RANKING is identical to
+    * true PMI and no transcendental enters the gate). Document
+    * frequencies, not token counts, so a word pair repeated inside one
+    * doc counts once — the standard collocation convention.
+    * Complements text_bigram_lm (adjacency) with unordered same-doc
+    * association.
+    *
+    * Scale: the per-doc pair explode is quadratic in the DOC's
+    * distinct-token count (bounded by doc length, never corpus size) —
+    * same per-row bound as every shingle query; the pair rollup is
+    * map-side combinable and vocabulary²-bounded.
+    */
+  def collocationPmi(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        array_sort(array_distinct(split(col("text"), " "))).as("ts"))
+      .localCheckpoint() // marginals and pairs share the scan
+    val n = docs.count()
+    val marg = docs.select(explode(col("ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val pairs = docs
+      .select(col("doc_id"), explode(expr(
+        "flatten(transform(ts, (a, i) -> transform(slice(ts, i + 2," +
+        " size(ts)), b -> named_struct('a', a, 'b', b))))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+    pairs
+      .join(marg.toDF("a", "c_a"), "a")
+      .join(marg.toDF("b", "c_b"), "b")
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        expr(s"(${n}L * c_ab * 1000000) div (c_a * c_b)").as("pmi_ratio_ppm"))
+      .orderBy(col("pmi_ratio_ppm").desc, col("c_ab").desc, col("a"),
+        col("b"))
+      .limit(20)
+  }
+
+  val collocationPmiOracle: String = """
+WITH d AS (
+  SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS ts
+  FROM documents
+),
+n AS (SELECT count(*) AS n FROM d),
+marg AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(ts) AS w FROM d) GROUP BY 1
+),
+pairs AS (
+  SELECT a, b, count(*) AS c_ab FROM (
+    SELECT ts[i.i] AS a, unnest(ts[i.i + 1 :]) AS b
+    FROM d, (SELECT unnest(range(1, 1000)) AS i) i
+    WHERE i.i < len(ts))
+  GROUP BY 1, 2
+)
+SELECT p.a, p.b, p.c_ab,
+       ma.c AS c_a, mb.c AS c_b,
+       CAST(((SELECT n FROM n) * p.c_ab * 1000000) // (ma.c * mb.c)
+            AS BIGINT) AS pmi_ratio_ppm
+FROM pairs p JOIN marg ma ON ma.w = p.a JOIN marg mb ON mb.w = p.b
+ORDER BY pmi_ratio_ppm DESC, c_ab DESC, a, b LIMIT 20
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_collocation_pmi" -> (collocationPmi _),
     "text_rake_keywords" -> (rakeKeywords _),
     "text_hapax" -> (hapax _),
     "text_boilerplate" -> (boilerplate _),
@@ -848,6 +913,7 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
 """
 
   val oracles: Map[String, String] = Map(
+    "text_collocation_pmi" -> collocationPmiOracle,
     "text_rake_keywords" -> rakeOracle,
     "text_hapax" -> hapaxOracle,
     "text_boilerplate" -> boilerplateOracle,
