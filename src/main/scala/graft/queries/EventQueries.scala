@@ -337,7 +337,53 @@ SELECT day, max(open_cents) AS open_cents,
 FROM f GROUP BY day ORDER BY day
 """
 
+  /** q72_user_paths: top user journeys — each user's first three
+    * events, ordered by the (ts, event_id) total order, concatenated
+    * into a path string ("signup>view>click") and counted across the
+    * population. The sequence-mining complement of the Markov
+    * transition matrix (stats_markov_transitions): that one is
+    * memoryless pairs, this one is actual ordered prefixes. The
+    * per-user ordering rides `sort_array(collect_list(struct(rn, …)))`
+    * — deterministic under any parallelism, no order-dependent
+    * collect_list assumption.
+    *
+    * Scale: one window + one aggregation, both keyed by user_id; the
+    * path rollup is bounded by |event_types|³.
+    */
+  def userPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .groupBy("user_id")
+      .agg(array_join(expr(
+        "transform(sort_array(collect_list(struct(rn, event_type)))," +
+        " x -> x.event_type)"), ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(10)
+  }
+
+  val userPathsOracle: String = """
+WITH e AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM e WHERE rn <= 3 GROUP BY user_id
+)
+SELECT path, count(*) AS n_users
+FROM p GROUP BY 1 ORDER BY n_users DESC, path LIMIT 10
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_user_paths" -> (userPaths _),
     "q69_ohlc" -> (ohlc _),
     "q55_sessionize" -> (sessionize _),
     "q56_funnel" -> (funnel _),
@@ -347,6 +393,7 @@ FROM f GROUP BY day ORDER BY day
   )
 
   val oracles: Map[String, String] = Map(
+    "q72_user_paths" -> userPathsOracle,
     "q69_ohlc" -> ohlcOracle,
     "q55_sessionize" -> sessionizeOracle,
     "q56_funnel" -> funnelOracle,

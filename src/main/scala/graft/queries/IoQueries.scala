@@ -855,7 +855,42 @@ SELECT count(*) AS row_count,
 FROM orders
 """
 
+  /** io_metadata_columns: the `_metadata` hidden-column surface —
+    * `file_path` and `row_index` exposed by the parquet reader, the
+    * provenance columns every lineage/debugging workflow leans on
+    * ("which file did this row come from"). The staged copy writes ONE
+    * file per lang partition (single writer task), so per lang the
+    * graded numbers are fully deterministic: distinct files = 1 and
+    * `max(row_index) + 1` = the partition's row count — proving
+    * row_index is per-file, 0-based, and gap-free.
+    *
+    * Scale: metadata columns are generated at scan time from reader
+    * state — zero storage, zero shuffle; the rollup is combinable.
+    */
+  def metadataColumns(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageDir(sfDir, "metacols")
+    stageOnce(sfDir, dir, Seq("documents"), "metacols-v1") {
+      Tables.documents(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    }
+    spark.read.parquet(dir)
+      .select(col("lang"), col("_metadata.file_path").as("fp"),
+        col("_metadata.row_index").as("ri"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_rows"),
+           countDistinct(col("fp")).as("n_files"),
+           (max(col("ri")) + 1).as("max_row_index_plus1"))
+      .orderBy("lang")
+  }
+
+  private val metadataColumnsOracle = """
+SELECT lang, count(*) AS n_rows, 1::BIGINT AS n_files,
+       count(*) AS max_row_index_plus1
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_metadata_columns" -> (metadataColumns _),
     "io_analyze_stats" -> (analyzeStats _),
     "io_codec_roundtrip" -> (codecRoundtrip _),
     "io_sql_catalog" -> (sqlCatalog _),
@@ -878,6 +913,7 @@ FROM orders
   )
 
   val oracles: Map[String, String] = Map(
+    "io_metadata_columns" -> metadataColumnsOracle,
     "io_analyze_stats" -> analyzeStatsOracle,
     "io_codec_roundtrip" -> codecRoundtripOracle,
     "io_sql_catalog" -> sqlCatalogOracle,

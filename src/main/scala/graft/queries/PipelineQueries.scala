@@ -1020,7 +1020,131 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, mode,
 FROM b ORDER BY doc_id
 """
 
+  /** pipe_calibration: reliability curve of the quality classifier —
+    * per heuristic score bucket (0..4, [[qualityFilter]]'s rule count),
+    * how often the doc is actually "good" (here: not an exact
+    * duplicate, the one ground-truth label this corpus carries). The
+    * calibration table is what decides whether a filter's score can be
+    * thresholded or must be recalibrated — a real eval step before any
+    * score-gated corpus cut; rates are integer ppm.
+    *
+    * Scale: two keyed passes (score projection, dup-key group sizes)
+    * joined on doc_id, then a 5-row combinable rollup.
+    */
+  def calibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val scores = qualityFilter(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy("key")
+    val labels = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        concat_ws(" ",
+          sort_array(array_distinct(split(col("text"), " ")))).as("key"))
+      .select(col("doc_id"),
+        (count(lit(1)).over(w) === 1).cast("long").as("is_unique"))
+    scores.join(labels, "doc_id")
+      .groupBy("quality_score")
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_unique")).as("n_unique"))
+      .select(col("quality_score"), col("n_docs"), col("n_unique"),
+        expr("(n_unique * 1000000) div n_docs").as("unique_ppm"))
+      .orderBy("quality_score")
+  }
+
+  val calibrationOracle: String = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+m AS (
+  SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_types,
+         list_sum(list_transform(w, x -> length(x))) AS sum_len,
+         len(list_filter(w, x -> list_contains(
+           ['the','a','of','and','to','in','is'], x))) AS sw_hits
+  FROM t),
+s AS (
+  SELECT doc_id,
+         (CASE WHEN n_tokens BETWEEN 20 AND 400 THEN 1 ELSE 0 END)
+       + (CASE WHEN sum_len >= 2 * n_tokens AND sum_len <= 8 * n_tokens
+               THEN 1 ELSE 0 END)
+       + (CASE WHEN sw_hits * 50 >= n_tokens THEN 1 ELSE 0 END)
+       + (CASE WHEN n_types * 5 >= n_tokens THEN 1 ELSE 0 END)
+           AS quality_score
+  FROM m),
+k AS (
+  SELECT doc_id,
+         array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                         ' ') AS key
+  FROM documents),
+lab AS (
+  SELECT doc_id,
+         CASE WHEN count(*) OVER (PARTITION BY key) = 1 THEN 1 ELSE 0 END
+           AS is_unique
+  FROM k)
+SELECT s.quality_score, count(*) AS n_docs,
+       CAST(sum(lab.is_unique) AS BIGINT) AS n_unique,
+       CAST((sum(lab.is_unique) * 1000000) // count(*) AS BIGINT)
+         AS unique_ppm
+FROM s JOIN lab ON lab.doc_id = s.doc_id
+GROUP BY 1 ORDER BY quality_score
+"""
+
+  /** pipe_token_budget: training-token budget allocation by the
+    * largest-remainder (Hamilton) method — given a global budget of
+    * 1 000 000 tokens, each source gets `floor(budget·its_tokens/total)`
+    * and the leftover seats go to the largest fractional remainders
+    * (ties broken by source name), so the allocations sum EXACTLY to
+    * the budget — the property naive per-source rounding violates and
+    * the reason apportionment methods exist. Everything is integer:
+    * remainders compare as `budget·tokens mod total`.
+    *
+    * Scale: one combinable per-source rollup (20 rows) + one rank
+    * window over those 20 rows; the driver never sees data.
+    */
+  def tokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 1000000L
+    val per = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("t"))
+      .groupBy("source").agg(sum(col("t")).as("tokens"))
+    val tot = per.withColumn("total", sum(col("tokens")).over(Window
+      .partitionBy()))
+    val scored = tot.select(col("source"), col("tokens"),
+        expr(s"(${budget}L * tokens) div total").as("base"),
+        expr(s"(${budget}L * tokens) % total").as("rem"),
+        col("total"))
+      .withColumn("leftover",
+        lit(budget) - sum(col("base")).over(Window.partitionBy()))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+    scored
+      .select(col("source"), col("tokens"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy("source")
+  }
+
+  val tokenBudgetOracle: String = """
+WITH per AS (
+  SELECT source, sum(len(string_split(text, ' '))) AS tokens
+  FROM documents GROUP BY 1
+),
+t AS (SELECT *, sum(tokens) OVER () AS total FROM per),
+s AS (
+  SELECT source, tokens,
+         (1000000 * tokens) // total AS base,
+         (1000000 * tokens) % total AS rem
+  FROM t
+),
+l AS (
+  SELECT *, 1000000 - sum(base) OVER () AS leftover,
+         row_number() OVER (ORDER BY rem DESC, source) AS rk
+  FROM s
+)
+SELECT source, CAST(tokens AS BIGINT) AS tokens,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM l ORDER BY source
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_token_budget" -> (tokenBudget _),
+    "pipe_calibration" -> (calibration _),
     "pipe_fim" -> (fim _),
     "pipe_kfold" -> (kfold _),
     "pipe_span_masking" -> (spanMasking _),
@@ -1046,6 +1170,8 @@ FROM b ORDER BY doc_id
   )
 
   val oracles: Map[String, String] = Map(
+    "pipe_token_budget" -> tokenBudgetOracle,
+    "pipe_calibration" -> calibrationOracle,
     "pipe_fim" -> fimOracle,
     "pipe_kfold" -> kfoldOracle,
     "pipe_span_masking" -> spanMaskingOracle,

@@ -1882,7 +1882,48 @@ FROM c WHERE cumw * 2 >= totw
 GROUP BY 1 ORDER BY l_returnflag
 """
 
+  /** q71_log_histogram: power-of-two (log₂-spaced) histogram of order
+    * value — the latency/size-histogram shape every observability
+    * stack uses, where linear bins (q30) drown the tail. The bin index
+    * is `bit_length(cents)` — an exact integer log₂, no floats, no
+    * log() — and each bin row carries its [2^(k-1), 2^k) bounds so the
+    * result is self-describing.
+    *
+    * Scale: a narrow projection + a ≤64-row combinable rollup.
+    */
+  def q71LogHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(floor(col("o_totalprice") * 100 + lit(0.5)).cast("bigint")
+        .as("cents"))
+      // bin = bit width of the value = exact floor(log2)+1, computed as
+      // the length of the binary string — no floats anywhere.
+      .withColumn("bin", length(expr("bin(cents)")))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_orders"), min(col("cents")).as("min_cents"),
+           max(col("cents")).as("max_cents"))
+      .select(col("bin"),
+        expr("shiftleft(1L, bin - 1)").as("bin_lo"),
+        expr("shiftleft(1L, bin) - 1").as("bin_hi"),
+        col("n_orders"), col("min_cents"), col("max_cents"))
+      .orderBy("bin")
+
+  val q71Oracle: String = """
+WITH c AS (
+  SELECT cast(floor(o_totalprice * 100 + 0.5) AS bigint) AS cents
+  FROM orders
+),
+b AS (SELECT cents, length(printf('%b', cents)) AS bin FROM c)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(1::BIGINT << (bin - 1) AS BIGINT) AS bin_lo,
+       CAST((1::BIGINT << bin) - 1 AS BIGINT) AS bin_hi,
+       count(*) AS n_orders,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents
+FROM b GROUP BY bin ORDER BY bin
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_log_histogram" -> (q71LogHistogram _),
     "q70_weighted_median" -> (q70WeightedMedian _),
     "q67_generators" -> (q67Generators _),
     "q68_timezone" -> (q68Timezone _),
@@ -1940,6 +1981,7 @@ GROUP BY 1 ORDER BY l_returnflag
   )
 
   val oracles: Map[String, String] = Map(
+    "q71_log_histogram" -> q71Oracle,
     "q70_weighted_median" -> q70Oracle,
     "q67_generators" -> q67Oracle,
     "q68_timezone" -> q68Oracle,
