@@ -1142,7 +1142,67 @@ SELECT source, CAST(tokens AS BIGINT) AS tokens,
 FROM l ORDER BY source
 """
 
+  /** pipe_dataset_diff: dataset VERSION diffing — the release audit
+    * run between corpus v1 and v2: per source, how many docs were
+    * removed, changed, or kept byte-identical. v2 is derived
+    * deterministically (every 97th doc dropped — a takedown batch;
+    * German docs re-redacted — a policy change), and the diff compares
+    * md5 content fingerprints under a doc_id-keyed join (left, since
+    * this v2 adds nothing; a version with additions flips it to
+    * full-outer), so the accounting is exact and the gate proves the
+    * diff finds precisely the injected changes, nothing else.
+    *
+    * Scale: fingerprints reduce each side to (id, 16 bytes); the
+    * full-outer join keys on doc_id — the standard two-snapshot diff
+    * that never materializes either corpus twice. (`io_table_checksum`
+    * is the cheaper partition-level screen; this is the row-level
+    * drill-down a detected delta triggers.)
+    */
+  def datasetDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val v1 = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), md5(col("text")).as("fp"))
+      .localCheckpoint() // v2 derives from the same scan
+    val v2 = Tables.documents(spark, sfDir)
+      .where(col("doc_id") % 97 =!= 0)
+      .select(col("source"), col("doc_id"),
+        md5(when(col("lang") === "de",
+          regexp_replace(col("text"), "the", "[...]"))
+          .otherwise(col("text"))).as("fp"))
+    v1.toDF("source", "doc_id", "fp1")
+      .join(v2.select(col("doc_id"), col("fp").as("fp2")),
+        Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_v1"),
+        sum(when(col("fp2").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("fp2").isNotNull && col("fp1") =!= col("fp2"), 1L)
+          .otherwise(0L)).as("n_changed"),
+        sum(when(col("fp1") === col("fp2"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  val datasetDiffOracle: String = """
+WITH v1 AS (
+  SELECT source, doc_id, md5(text) AS fp FROM documents
+),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN lang = 'de' THEN replace(text, 'the', '[...]')
+                  ELSE text END) AS fp
+  FROM documents WHERE doc_id % 97 <> 0
+)
+SELECT v1.source, count(*) AS n_v1,
+       CAST(sum(CASE WHEN v2.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(sum(CASE WHEN v2.fp IS NOT NULL AND v1.fp <> v2.fp
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(sum(CASE WHEN v1.fp = v2.fp THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM v1 LEFT JOIN v2 ON v2.doc_id = v1.doc_id
+GROUP BY v1.source ORDER BY v1.source
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_dataset_diff" -> (datasetDiff _),
     "pipe_token_budget" -> (tokenBudget _),
     "pipe_calibration" -> (calibration _),
     "pipe_fim" -> (fim _),
@@ -1170,6 +1230,7 @@ FROM l ORDER BY source
   )
 
   val oracles: Map[String, String] = Map(
+    "pipe_dataset_diff" -> datasetDiffOracle,
     "pipe_token_budget" -> tokenBudgetOracle,
     "pipe_calibration" -> calibrationOracle,
     "pipe_fim" -> fimOracle,

@@ -1106,7 +1106,57 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
 FROM events GROUP BY 1 ORDER BY event_type
 """
 
+  /** stream_progress_metrics: the OBSERVABILITY contract — the numbers
+    * a production stream is monitored by, graded against relational
+    * truth. The hourly aggregation runs over the [all_events, spacer]
+    * replay; the graded row then comes from the `StreamingQueryProgress`
+    * API, not the sink: total `numInputRows` across batches must equal
+    * the table count (no row lost or double-counted by the metrics
+    * path), and the final reported event-time watermark must be
+    * exactly `max(ts) − 1 min` at millisecond precision (Spark tracks
+    * watermarks in ms — the flooring is part of the pinned contract).
+    * If the metrics lied, every lag alert built on them would too.
+    *
+    * Scale: progress metadata is O(batches), independent of data size.
+    */
+  def progressMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = graft.queries.Tables.events(spark, sfDir)
+    val stage = stageBatches(spark, sfDir, "progress_metrics", raw, Seq(
+      (lit(true): org.apache.spark.sql.Column) -> "all_events",
+      lit(false) -> "spacer_empty"))
+    val schema = raw.schema
+    val name = s"graft_progress_${nameCounter.incrementAndGet()}"
+    val sub = spark.newSession()
+    sub.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = sub.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val progresses = q.recentProgress
+    val totalRows = progresses.map(_.numInputRows).sum
+    val wmUs = java.time.Instant
+      .parse(progresses.last.eventTime.get("watermark"))
+      .toEpochMilli * 1000L
+    spark.range(1).select(lit(totalRows).as("total_input_rows"),
+      lit(wmUs).as("watermark_us"))
+  }
+
+  /** Metrics truth: rows in == table count; watermark == max(ts) − 1
+    * min, floored to the millisecond Spark tracks watermarks at.
+    */
+  val progressMetricsOracle: String = """
+SELECT count(*) AS total_input_rows,
+       CAST(((max(epoch_us(ts)) // 1000) - 60000) * 1000 AS BIGINT)
+         AS watermark_us
+FROM events
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_progress_metrics" -> (progressMetrics _),
     "stream_state_reader" -> (stateReader _),
     "stream_checkpoint_recovery" -> (checkpointRecovery _),
     "stream_chained_windows" -> (chainedWindows _),
@@ -1127,6 +1177,7 @@ FROM events GROUP BY 1 ORDER BY event_type
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_progress_metrics" -> progressMetricsOracle,
     "stream_state_reader" -> stateReaderOracle,
     "stream_checkpoint_recovery" -> checkpointRecoveryOracle,
     "stream_chained_windows" -> chainedWindowsOracle,
