@@ -1922,7 +1922,59 @@ SELECT CAST(bin AS INT) AS bin,
 FROM b GROUP BY bin ORDER BY bin
 """
 
+  /** q74_range_tvf: the table-valued-function surface — `range()` in a
+    * SQL FROM clause generating the calendar spine, anti-checked
+    * against the observed order days: "which days have NO orders".
+    * q26_gapfill builds its spine with `sequence()`+explode (the
+    * expression route); this is the TVF route a SQL user writes, and
+    * the graded missing-day count proves the generated spine is exact.
+    *
+    * Scale: the spine is calendar-bounded; the observed-day distinct
+    * is one combinable pass.
+    */
+  def q74RangeTvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val view = s"orders_tvf_${viewSuffix(sfDir)}"
+    Tables.orders(spark, sfDir).createOrReplaceTempView(view)
+    // Spine bounds as driver scalars inlined into the TVF arguments
+    // (the bm25 driver-scalar pattern): range() takes literal args.
+    val b = spark.sql("SELECT min(datediff(o_orderdate, DATE '1992-01-01'))," +
+      s" max(datediff(o_orderdate, DATE '1992-01-01')) FROM $view").head()
+    val (lo, hi) = (b.getInt(0), b.getInt(1))
+    spark.sql(
+      s"""WITH cal AS (SELECT id AS day FROM range($lo, ${hi + 1})),
+         |obs AS (
+         |  SELECT DISTINCT datediff(o_orderdate, DATE '1992-01-01') AS day
+         |  FROM $view
+         |)
+         |SELECT count(*) AS n_calendar,
+         |       (SELECT count(*) FROM obs) AS n_observed,
+         |       cast(count(*) - (SELECT count(*) FROM obs) AS bigint)
+         |         AS n_missing
+         |FROM cal""".stripMargin)
+  }
+
+  val q74Oracle: String = """
+WITH b AS (
+  SELECT min(date_diff('day', DATE '1992-01-01', o_orderdate)) AS lo,
+         max(date_diff('day', DATE '1992-01-01', o_orderdate)) AS hi
+  FROM orders
+),
+cal AS (
+  SELECT r.range AS day FROM range(0, 5000) r
+  WHERE r.range BETWEEN (SELECT lo FROM b) AND (SELECT hi FROM b)
+),
+obs AS (
+  SELECT DISTINCT date_diff('day', DATE '1992-01-01', o_orderdate) AS day
+  FROM orders
+)
+SELECT count(*) AS n_calendar,
+       (SELECT count(*) FROM obs) AS n_observed,
+       CAST(count(*) - (SELECT count(*) FROM obs) AS BIGINT) AS n_missing
+FROM cal
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_range_tvf" -> (q74RangeTvf _),
     "q71_log_histogram" -> (q71LogHistogram _),
     "q70_weighted_median" -> (q70WeightedMedian _),
     "q67_generators" -> (q67Generators _),
@@ -1981,6 +2033,7 @@ FROM b GROUP BY bin ORDER BY bin
   )
 
   val oracles: Map[String, String] = Map(
+    "q74_range_tvf" -> q74Oracle,
     "q71_log_histogram" -> q71Oracle,
     "q70_weighted_median" -> q70Oracle,
     "q67_generators" -> q67Oracle,

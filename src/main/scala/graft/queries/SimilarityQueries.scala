@@ -777,7 +777,61 @@ SELECT query_id, rank, neighbor_id, coarse_rank, round(cos, 4) AS cos4
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
 
+  /** sim_threshold_sweep: similarity-threshold calibration — the pair
+    * count at candidate thresholds (0.30 / 0.35 / 0.40), computed
+    * exactly over the bounded deterministic subset (`vec_id < 1000`,
+    * the same cap as the dedup_embedding_clusters baseline). This is
+    * the sweep a pipeline owner runs BEFORE fixing a near-dup
+    * threshold: each threshold's blast radius, plus the score range,
+    * in one pass over the pair scores.
+    *
+    * Scale: the exact pair scan is the bounded-subset correctness
+    * baseline (≤ cap²/2 pairs at any corpus size); a corpus-wide sweep
+    * rides the LSH-bucketed path with per-bucket counting instead.
+    */
+  def thresholdSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = normalized(spark, sfDir).where(col("vec_id") < 1000)
+      .localCheckpoint()
+    val cnt = n.count()
+    require(cnt <= 2000, s"threshold sweep subset is $cnt rows — cap blown")
+    n.toDF("a", "ua").join(n.toDF("b", "ub"), col("a") < col("b"))
+      .select(dot(col("ua"), col("ub")).as("cos"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("cos") >= 0.30, 1L).otherwise(0L)).as("n_ge_30"),
+        sum(when(col("cos") >= 0.35, 1L).otherwise(0L)).as("n_ge_35"),
+        sum(when(col("cos") >= 0.40, 1L).otherwise(0L)).as("n_ge_40"),
+        round(min(col("cos")), 4).as("min_cos4"),
+        round(max(col("cos")), 4).as("max_cos4"))
+  }
+
+  val thresholdSweepOracle: String = """
+WITH n AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::double) AS v,
+         sqrt(list_sum(list_transform(embedding,
+           x -> (x::double) * (x::double)))) AS nrm
+  FROM embeddings WHERE vec_id < 1000
+),
+u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
+p AS (
+  SELECT list_sum(list_transform(range(1, len(a.u) + 1),
+           i -> a.u[i] * b.u[i])) AS cos
+  FROM u a JOIN u b ON a.vec_id < b.vec_id
+)
+SELECT count(*) AS n_pairs,
+       CAST(sum(CASE WHEN cos >= 0.30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ge_30,
+       CAST(sum(CASE WHEN cos >= 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ge_35,
+       CAST(sum(CASE WHEN cos >= 0.40 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ge_40,
+       round(min(cos), 4) AS min_cos4,
+       round(max(cos), 4) AS max_cos4
+FROM p
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_threshold_sweep" -> (thresholdSweep _),
     "sim_matryoshka" -> (matryoshka _),
     "sim_binary_sign_ann" -> (binarySignAnn _),
     "sim_pq_assign" -> (pqAssign _),
@@ -791,6 +845,7 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_threshold_sweep" -> thresholdSweepOracle,
     "sim_matryoshka" -> matryoshkaOracle,
     "sim_binary_sign_ann" -> binarySignAnnOracle,
     "sim_pq_assign" -> pqAssignOracle,

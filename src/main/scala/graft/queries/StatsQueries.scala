@@ -1835,7 +1835,84 @@ SELECT n_a_pre, s_a_pre, n_a_post, s_a_post,
 FROM d
 """
 
+  /** stats_simpson: aggregation-reversal (Simpson's paradox) audit —
+    * does the pooled association between quantity and line value point
+    * the same way as the per-group associations? The graded signal is
+    * the SIGN of the covariance numerator `n·Σxy − Σx·Σy` (exact
+    * integers — no variance normalization needed for a sign) pooled
+    * and per return flag, plus how many groups disagree with the
+    * pooled sign. A non-zero disagreement count is the "don't trust
+    * the pooled number" flag every metrics review needs before acting
+    * on an aggregate trend.
+    *
+    * Scale: one combinable moment pass per group + one 3-row rollup;
+    * the pooled moments are the group moments summed — nothing is
+    * computed twice.
+    */
+  def simpson(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("g"),
+        floor(col("l_quantity")).cast("bigint").as("x"),
+        cents(col("l_extendedprice")).as("y"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+           sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"))
+      .localCheckpoint() // pooled row reuses the group moments
+    val grp = m.select(col("g"), col("n"),
+      (col("n").cast("decimal(38,0)") * col("sxy")
+        - col("sx").cast("decimal(38,0)") * col("sy")).as("cov_num"))
+    val pooled = m.agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+        sum(col("sy")).as("sy"), sum(col("sxy")).as("sxy"))
+      .select(lit("_pooled").as("g"), col("n"),
+        (col("n").cast("decimal(38,0)") * col("sxy")
+          - col("sx").cast("decimal(38,0)") * col("sy")).as("cov_num"))
+    val signed = grp.unionAll(pooled)
+      .select(col("g"), col("n"),
+        when(col("cov_num") > 0, 1L).when(col("cov_num") < 0, -1L)
+          .otherwise(0L).as("cov_sign"))
+      .localCheckpoint()
+    val pooledSign = signed.where(col("g") === "_pooled")
+      .head().getAs[Long]("cov_sign")
+    signed
+      .withColumn("disagrees_with_pooled",
+        (col("g") =!= "_pooled" && col("cov_sign") =!= pooledSign)
+          .cast("long"))
+      .orderBy("g")
+  }
+
+  val simpsonOracle: String = """
+WITH m AS (
+  SELECT l_returnflag AS g, count(*) AS n,
+         sum(cast(floor(l_quantity) AS bigint)) AS sx,
+         sum(cast(floor(l_extendedprice * 100 + 0.5) AS bigint)) AS sy,
+         sum(cast(floor(l_quantity) AS bigint)
+             * cast(floor(l_extendedprice * 100 + 0.5) AS bigint)) AS sxy
+  FROM lineitem GROUP BY 1
+),
+rows_ AS (
+  SELECT g, CAST(n AS BIGINT) AS n,
+         CAST(n * sxy - sx * sy AS hugeint) AS cov_num
+  FROM m
+  UNION ALL
+  SELECT '_pooled', CAST(sum(n) AS BIGINT),
+         sum(n)::hugeint * sum(sxy) - sum(sx)::hugeint * sum(sy)
+  FROM m
+),
+s AS (
+  SELECT g, n,
+         CAST(CASE WHEN cov_num > 0 THEN 1 WHEN cov_num < 0 THEN -1
+              ELSE 0 END AS BIGINT) AS cov_sign
+  FROM rows_
+),
+p AS (SELECT cov_sign AS ps FROM s WHERE g = '_pooled')
+SELECT g, n, cov_sign,
+       CAST(CASE WHEN g <> '_pooled' AND cov_sign <> (SELECT ps FROM p)
+            THEN 1 ELSE 0 END AS BIGINT) AS disagrees_with_pooled
+FROM s ORDER BY g
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_simpson" -> (simpson _),
     "stats_diff_in_diff" -> (diffInDiff _),
     "stats_capture_recapture" -> (captureRecapture _),
     "stats_ab_test" -> (abTest _),
@@ -1868,6 +1945,7 @@ FROM d
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_simpson" -> simpsonOracle,
     "stats_diff_in_diff" -> diffInDiffOracle,
     "stats_capture_recapture" -> captureRecaptureOracle,
     "stats_ab_test" -> abTestOracle,

@@ -58,13 +58,15 @@ class PlanShapeSpec extends SparkSpec {
   // full-dim rerank touches only |Q|·20 candidates.
   // geo_knn: bounded-query-set exact spatial scan — same O(|Q|·N)
   // baseline pattern; the linear path is geo_grid_join's cells.
+  // sim_threshold_sweep: bounded-subset exact pair scan (cap² with the
+  // cap enforced by a require) — the dedup_embedding_clusters shape.
   private val quadraticBaselines = Set(
     "sim_cosine_pairs", "sim_topk_bruteforce", "dedup_embedding_clusters",
     "sim_ann_ivf", "dedup_ann_recall", "sketch_theta_intersect",
     "sim_mips_topk", "text_source_drift", "sketch_ams_f2",
     "stats_bootstrap_ci", "q56_funnel", "sketch_cms_merge",
     "sim_binary_sign_ann", "sketch_theta_anotb", "sim_matryoshka",
-    "geo_knn")
+    "geo_knn", "sim_threshold_sweep")
 
   private val sideEffecting = (n: String) =>
     n.startsWith("io_") || n.startsWith("stream_")
