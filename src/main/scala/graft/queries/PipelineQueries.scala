@@ -1201,7 +1201,57 @@ FROM v1 LEFT JOIN v2 ON v2.doc_id = v1.doc_id
 GROUP BY v1.source ORDER BY v1.source
 """
 
+  /** pipe_oversample: minority-class rebalancing by integer
+    * replication — each language's docs are replicated
+    * `floor(maxN / n)` times so no class trains at less than ~half the
+    * majority's weight, the deterministic no-RNG form of oversampling
+    * (the fractional remainder would be a hash-selected partial copy —
+    * [[trainSplit]]'s mechanism — kept out so the factor stays exactly
+    * auditable). The explode actually RUNS (the gate counts the
+    * replicated rows), not just the plan for it.
+    *
+    * Scale: the class-count table is a broadcast dim; replication is a
+    * narrow explode with per-row factor — output is ≤ |classes|·maxN
+    * rows, the intended training-set size.
+    */
+  def oversample(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy("lang").agg(count(lit(1)).as("n_orig"))
+      .localCheckpoint()
+    val maxN = counts.agg(max(col("n_orig"))).head().getLong(0)
+    val rep = counts.select(col("lang"), col("n_orig"),
+      expr(s"${maxN}L div n_orig").as("rep"))
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+      .join(broadcast(rep), "lang")
+      .select(col("lang"), col("n_orig"),
+        explode(expr("sequence(1L, rep)")).as("copy"))
+      .groupBy("lang")
+      .agg(max(col("n_orig")).as("n_orig"),
+           max(col("copy")).as("rep_factor"),
+           count(lit(1)).as("n_after"))
+      .select(col("lang"), col("n_orig"), col("rep_factor"), col("n_after"),
+        expr(s"(n_after * 1000000) div ${maxN}L").as("share_of_max_ppm"))
+      .orderBy("lang")
+  }
+
+  val oversampleOracle: String = """
+WITH c AS (SELECT lang, count(*) AS n_orig FROM documents GROUP BY 1),
+m AS (SELECT max(n_orig) AS maxn FROM c),
+r AS (SELECT lang, n_orig, (SELECT maxn FROM m) // n_orig AS rep FROM c),
+x AS (
+  SELECT d.lang, r.n_orig, unnest(range(1, r.rep + 1)) AS copy
+  FROM documents d JOIN r ON r.lang = d.lang
+)
+SELECT lang, CAST(max(n_orig) AS BIGINT) AS n_orig,
+       CAST(max(copy) AS BIGINT) AS rep_factor,
+       count(*) AS n_after,
+       CAST((count(*) * 1000000) // (SELECT maxn FROM m) AS BIGINT)
+         AS share_of_max_ppm
+FROM x GROUP BY lang ORDER BY lang
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_oversample" -> (oversample _),
     "pipe_dataset_diff" -> (datasetDiff _),
     "pipe_token_budget" -> (tokenBudget _),
     "pipe_calibration" -> (calibration _),
@@ -1230,6 +1280,7 @@ GROUP BY v1.source ORDER BY v1.source
   )
 
   val oracles: Map[String, String] = Map(
+    "pipe_oversample" -> oversampleOracle,
     "pipe_dataset_diff" -> datasetDiffOracle,
     "pipe_token_budget" -> tokenBudgetOracle,
     "pipe_calibration" -> calibrationOracle,

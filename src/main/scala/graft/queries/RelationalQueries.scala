@@ -1973,7 +1973,71 @@ SELECT count(*) AS n_calendar,
 FROM cal
 """
 
+  /** q75_three_valued_logic: the SQL NULL truth table, graded — every
+    * (a, b) combination over {true, false, null} evaluated through
+    * AND / OR / NOT / = / IS DISTINCT FROM and emitted as strings
+    * ('t'/'f'/'null'). Three-valued logic is where engines quietly
+    * diverge from programmer intuition (NULL AND FALSE = FALSE but
+    * NULL OR FALSE = NULL; NULL = NULL is NULL while IS DISTINCT FROM
+    * says FALSE); pinning the full table cross-engine certifies the
+    * foundation every filter in this suite stands on. The 9 input rows
+    * come from the range TVF with nullif-derived booleans — no table
+    * data needed, no data ever shaped like this naturally.
+    *
+    * Scale: nine rows; the value is semantic, not computational.
+    */
+  def q75ThreeValuedLogic(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql("""
+      WITH v AS (
+        SELECT id div 3 AS ia, id % 3 AS ib FROM range(0, 9)
+      ),
+      b AS (
+        SELECT ia, ib,
+               CASE WHEN ia = 0 THEN true WHEN ia = 1 THEN false END AS a,
+               CASE WHEN ib = 0 THEN true WHEN ib = 1 THEN false END AS b
+        FROM v
+      ),
+      e AS (
+        SELECT cast(ia AS bigint) AS ia, cast(ib AS bigint) AS ib,
+               a AND b AS and_r, a OR b AS or_r, NOT a AS not_a,
+               a = b AS eq_r, a IS DISTINCT FROM b AS distinct_r
+        FROM b
+      )
+      SELECT ia, ib,
+             coalesce(cast(and_r AS string), 'null') AS and_r,
+             coalesce(cast(or_r AS string), 'null') AS or_r,
+             coalesce(cast(not_a AS string), 'null') AS not_a,
+             coalesce(cast(eq_r AS string), 'null') AS eq_r,
+             cast(distinct_r AS string) AS distinct_r
+      FROM e ORDER BY ia, ib""")
+
+  val q75Oracle: String = """
+WITH v AS (
+  SELECT r.range // 3 AS ia, r.range % 3 AS ib FROM range(0, 9) r
+),
+b AS (
+  SELECT ia, ib,
+         CASE WHEN ia = 0 THEN true WHEN ia = 1 THEN false END AS a,
+         CASE WHEN ib = 0 THEN true WHEN ib = 1 THEN false END AS b
+  FROM v
+),
+e AS (
+  SELECT CAST(ia AS BIGINT) AS ia, CAST(ib AS BIGINT) AS ib,
+         a AND b AS and_r, a OR b AS or_r, NOT a AS not_a,
+         a = b AS eq_r, a IS DISTINCT FROM b AS distinct_r
+  FROM b
+)
+SELECT ia, ib,
+       coalesce(CAST(and_r AS varchar), 'null') AS and_r,
+       coalesce(CAST(or_r AS varchar), 'null') AS or_r,
+       coalesce(CAST(not_a AS varchar), 'null') AS not_a,
+       coalesce(CAST(eq_r AS varchar), 'null') AS eq_r,
+       CAST(distinct_r AS varchar) AS distinct_r
+FROM e ORDER BY ia, ib
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_three_valued_logic" -> (q75ThreeValuedLogic _),
     "q74_range_tvf" -> (q74RangeTvf _),
     "q71_log_histogram" -> (q71LogHistogram _),
     "q70_weighted_median" -> (q70WeightedMedian _),
@@ -2033,6 +2097,7 @@ FROM cal
   )
 
   val oracles: Map[String, String] = Map(
+    "q75_three_valued_logic" -> q75Oracle,
     "q74_range_tvf" -> q74Oracle,
     "q71_log_histogram" -> q71Oracle,
     "q70_weighted_median" -> q70Oracle,
