@@ -23,6 +23,7 @@ object SparkEntry {
       "cc_copurchase" -> (CCQueries.ccCopurchase _),
       "cc_components" -> (CCQueries.ccCopurchaseComponents _),
       "cc_graphx" -> (CCQueries.ccGraphx _),
+      "cc_percolation" -> (CCQueries.ccPercolation _),
     ) ++ RelationalQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ TextQueries.all ++ PipelineQueries.all ++
       IoQueries.all ++ GraphQueries.all ++ StatsQueries.all ++
@@ -35,6 +36,7 @@ object SparkEntry {
     "cc_copurchase" -> CCQueries.copurchaseOracle,
     "cc_components" -> CCQueries.copurchaseComponentsOracle,
     "cc_graphx" -> CCQueries.copurchaseOracle,
+    "cc_percolation" -> CCQueries.ccPercolationOracle,
   ) ++ RelationalQueries.oracles ++ DedupQueries.oracles ++
     SimilarityQueries.oracles ++ TextQueries.oracles ++ PipelineQueries.oracles ++
     IoQueries.oracles ++ GraphQueries.oracles ++ StatsQueries.oracles ++

@@ -108,6 +108,90 @@ walk(node, comp) AS (
 SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
 """
 
+  /** cc_percolation: component structure as the co-purchase WEIGHT
+    * threshold rises — the percolation curve community analysis reads
+    * before trusting any clustering: at w ≥ 2 (parts co-bought in two
+    * or more orders) how much of the giant component survives, and at
+    * w ≥ 3? Each threshold graph gets the full Large/Small-Star
+    * fixpoint (the engine's flagship operator, here exercised as a
+    * reusable primitive over progressively sparser graphs), with
+    * self-pairs for every part so isolated nodes stay visible
+    * singleton components (reference semantics). Graded per threshold:
+    * component count, largest size, non-singleton count.
+    *
+    * Scale: the weighted pair count is the one all-pairs stage —
+    * bounded by Σk² over ORDER sizes (k ≈ a handful), the triangle-
+    * counting cost shape, never corpus²; each threshold's fixpoint
+    * runs on a strictly sparser edge set than the base graph.
+    */
+  def ccPercolation(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .localCheckpoint()
+    val weighted = li.toDF("o", "u").join(li.toDF("o", "v"), Seq("o"))
+      .where(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val selfPairs = li.select(col("p").as("src")).distinct()
+      .select(col("src"), col("src").as("dst"))
+    Seq(2, 3).map { t =>
+      val edges = weighted.where(col("w") >= t)
+        .select(col("v").as("src"), col("u").as("dst"))
+        .unionAll(selfPairs)
+      val res = ConnectedComponents.runContracted(edges, maxIterations = 20)
+      require(res.converged,
+        s"percolation CC (w >= $t) did not converge in ${res.iterations}")
+      res.assignments.groupBy("component").agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_components"),
+          max(col("cnt")).as("largest_size"),
+          sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_nonsingleton"))
+        .select(lit(t.toLong).as("threshold"), col("n_components"),
+          col("largest_size"), col("n_nonsingleton"))
+    }.reduce(_ unionAll _).orderBy("threshold")
+  }
+
+  val ccPercolationOracle: String = """
+WITH RECURSIVE li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+pw AS (
+  SELECT a.p AS u, b.p AS v, count(*) AS w
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+),
+nodes AS (SELECT DISTINCT p AS node FROM li),
+e2 AS (SELECT u AS src, v AS dst FROM pw WHERE w >= 2
+       UNION SELECT v, u FROM pw WHERE w >= 2),
+w2(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, x.comp FROM w2 x JOIN e2 e ON e.src = x.node
+),
+a2 AS (SELECT node, min(comp) AS c FROM w2 GROUP BY node),
+z2 AS (SELECT c, count(*) AS cnt FROM a2 GROUP BY c),
+e3 AS (SELECT u AS src, v AS dst FROM pw WHERE w >= 3
+       UNION SELECT v, u FROM pw WHERE w >= 3),
+w3(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, x.comp FROM w3 x JOIN e3 e ON e.src = x.node
+),
+a3 AS (SELECT node, min(comp) AS c FROM w3 GROUP BY node),
+z3 AS (SELECT c, count(*) AS cnt FROM a3 GROUP BY c)
+SELECT * FROM (
+  SELECT 2::BIGINT AS threshold, count(*) AS n_components,
+         CAST(max(cnt) AS BIGINT) AS largest_size,
+         CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nonsingleton
+  FROM z2
+  UNION ALL
+  SELECT 3::BIGINT, count(*), CAST(max(cnt) AS BIGINT),
+         CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM z3
+)
+ORDER BY threshold
+"""
+
   val copurchaseComponentsOracle: String = """
 WITH RECURSIVE li AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
