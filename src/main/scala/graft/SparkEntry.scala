@@ -18,19 +18,37 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     CCQueries.ccCopurchase(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map[String, (SparkSession, String) => DataFrame](
+  /** The per-module registries, named — [[queries]] is their union.
+    * Kept as a list so RegistrySpec can prove the union is disjoint:
+    * `++` silently shadows a duplicated query name (last module wins)
+    * and both maps would shadow consistently, which the two
+    * set-difference checks cannot see (ADVICE r5).
+    */
+  private[graft] val queryModules: Seq[(String, Map[String, (SparkSession, String) => DataFrame])] = Seq(
+    "cc" -> Map[String, (SparkSession, String) => DataFrame](
       "cc_copurchase" -> (CCQueries.ccCopurchase _),
       "cc_components" -> (CCQueries.ccCopurchaseComponents _),
       "cc_graphx" -> (CCQueries.ccGraphx _),
       "cc_percolation" -> (CCQueries.ccPercolation _),
-    ) ++ RelationalQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ TextQueries.all ++ PipelineQueries.all ++
-      IoQueries.all ++ GraphQueries.all ++ StatsQueries.all ++
-      SketchQueries.all ++ MatchQueries.all ++ EventQueries.all ++
-      GeoQueries.all ++
-      graft.streaming.StreamingQueries.all ++
-      graft.multimodal.MultimodalQueries.all
+    ),
+    "relational" -> RelationalQueries.all,
+    "dedup" -> DedupQueries.all,
+    "similarity" -> SimilarityQueries.all,
+    "text" -> TextQueries.all,
+    "pipeline" -> PipelineQueries.all,
+    "io" -> IoQueries.all,
+    "graph" -> GraphQueries.all,
+    "stats" -> StatsQueries.all,
+    "sketch" -> SketchQueries.all,
+    "match" -> MatchQueries.all,
+    "event" -> EventQueries.all,
+    "geo" -> GeoQueries.all,
+    "streaming" -> graft.streaming.StreamingQueries.all,
+    "multimodal" -> graft.multimodal.MultimodalQueries.all,
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queryModules.map(_._2).reduce(_ ++ _)
 
   def oracleSql: Map[String, String] = Map(
     "cc_copurchase" -> CCQueries.copurchaseOracle,

@@ -102,7 +102,9 @@ GROUP BY 1 ORDER BY shell
 """
 
   /** geo_knn: exact 3 nearest neighbors for a fixed bounded query set
-    * (ids ≡ 0 mod 150 — ≤ 100 queries at any sf), squared-distance
+    * (ids ≡ 0 mod 150 AND < 15000 — the absolute cap makes |Q| ≤ 100
+    * at EVERY sf, not just sf ≤ 0.1; without it |Q| grows linearly
+    * with scale and the scan is O(N²/150), ADVICE r5), squared-distance
     * metric, full (d², id) deterministic tie-break. The brute-force
     * O(|Q|·N) scan is the correctness baseline of the family (exactly
     * the sim_topk_bruteforce pattern on a different metric space); the
@@ -111,7 +113,8 @@ GROUP BY 1 ORDER BY shell
     */
   def knn(spark: SparkSession, sfDir: String): DataFrame = {
     val p = points(spark, sfDir).localCheckpoint()
-    val q = p.toDF("qid", "qx", "qy").where(col("qid") % 150 === 0)
+    val q = p.toDF("qid", "qx", "qy")
+      .where(col("qid") % 150 === 0 && col("qid") < 15000)
     val w = Window.partitionBy("qid").orderBy("d2", "id")
     q.join(p, col("qid") =!= col("id"))
       .select(col("qid"), col("id"),
@@ -135,7 +138,7 @@ WITH p AS (
 scored AS (
   SELECT q.id AS qid, c.id AS id,
          (q.x - c.x) * (q.x - c.x) + (q.y - c.y) * (q.y - c.y) AS d2
-  FROM p q JOIN p c ON q.id % 150 = 0 AND q.id <> c.id
+  FROM p q JOIN p c ON q.id % 150 = 0 AND q.id < 15000 AND q.id <> c.id
 ),
 ranked AS (
   SELECT qid, id, d2,

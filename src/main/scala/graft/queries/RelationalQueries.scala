@@ -1813,15 +1813,28 @@ ORDER BY metric
     * without an engine timezone database in the loop (DuckDB's ICU
     * rules need not match Java's); the gate still proves Spark
     * resolved the NAMED zone to the right offset for these instants.
+    * A regenerated data vintage crossing the 2024-03-10 DST
+    * transition would silently turn the oracle's fixed −5 wrong, so
+    * the query REQUIRES the standard-time window up front — a
+    * regeneration fails loudly at the source instead of reading as a
+    * Spark timezone bug (ADVICE r5).
     *
-    * Scale: a narrow projection + a ≤24²-row aggregate.
+    * Scale: a narrow projection + a ≤24²-row aggregate (the vintage
+    * guard is one combinable max over the same narrow column).
     */
-  def q68Timezone(spark: SparkSession, sfDir: String): DataFrame =
+  def q68Timezone(spark: SparkSession, sfDir: String): DataFrame = {
+    val maxDay = Tables.events(spark, sfDir)
+      .agg(max(to_date(col("ts"))).cast("string")).head.getString(0)
+    require(maxDay < "2024-03-10",
+      s"events vintage reaches $maxDay >= 2024-03-10 (US DST transition): " +
+        "q68's fixed EST(-5) oracle is only valid in the standard-time " +
+        "window — regenerate the oracle arithmetic, don't trust this gate")
     Tables.events(spark, sfDir)
       .select(hour(col("ts")).as("utc_hour"),
         hour(from_utc_timestamp(col("ts"), "America/New_York")).as("ny_hour"))
       .groupBy("utc_hour", "ny_hour").agg(count(lit(1)).as("n"))
       .orderBy("utc_hour")
+  }
 
   val q68Oracle: String = """
 SELECT CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS utc_hour,
@@ -1960,8 +1973,11 @@ WITH b AS (
   FROM orders
 ),
 cal AS (
-  SELECT r.range AS day FROM range(0, 5000) r
-  WHERE r.range BETWEEN (SELECT lo FROM b) AND (SELECT hi FROM b)
+  -- spine sized by the data (ADVICE r5: the old hardcoded range(0,
+  -- 5000) would silently truncate if the order-date span ever grew);
+  -- the range TVF itself rejects subquery args, but unnest(range(...))
+  -- as a list expression accepts them.
+  SELECT unnest(range((SELECT lo FROM b), (SELECT hi FROM b) + 1)) AS day
 ),
 obs AS (
   SELECT DISTINCT date_diff('day', DATE '1992-01-01', o_orderdate) AS day

@@ -854,10 +854,12 @@ marg AS (
   SELECT w, count(*) AS c FROM (SELECT unnest(ts) AS w FROM d) GROUP BY 1
 ),
 pairs AS (
+  -- anchor indices derived from each doc's own length (ADVICE r5: a
+  -- fixed range(1, 1000) cap would silently drop pairs for any doc
+  -- with >= 1000 distinct tokens while the Spark side has no cap)
   SELECT a, b, count(*) AS c_ab FROM (
-    SELECT ts[i.i] AS a, unnest(ts[i.i + 1 :]) AS b
-    FROM d, (SELECT unnest(range(1, 1000)) AS i) i
-    WHERE i.i < len(ts))
+    SELECT ts[i] AS a, unnest(ts[i + 1 :]) AS b
+    FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM d))
   GROUP BY 1, 2
 )
 SELECT p.a, p.b, p.c_ab,

@@ -57,7 +57,8 @@ class PlanShapeSpec extends SparkSpec {
   // sim_topk_bruteforce — O(|Q|·N) with |Q| ≤ 100, never O(N²); the
   // full-dim rerank touches only |Q|·20 candidates.
   // geo_knn: bounded-query-set exact spatial scan — same O(|Q|·N)
-  // baseline pattern; the linear path is geo_grid_join's cells.
+  // baseline pattern (|Q| ≤ 100 enforced by the absolute qid < 15000
+  // cap, sf-independent); the linear path is geo_grid_join's cells.
   // sim_threshold_sweep: bounded-subset exact pair scan (cap² with the
   // cap enforced by a require) — the dedup_embedding_clusters shape.
   private val quadraticBaselines = Set(

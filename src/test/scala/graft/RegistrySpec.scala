@@ -25,4 +25,17 @@ class RegistrySpec extends AnyFunSuite {
     assert(dangling.isEmpty,
       s"oracles without a query: ${dangling.toSeq.sorted}")
   }
+
+  test("no query name is registered by two modules") {
+    // `++` over the module maps silently shadows a duplicated name
+    // (last module wins), and because queries and oracleSql would
+    // shadow CONSISTENTLY the set-difference checks above can't see
+    // it — the shadowed implementation would just never be graded.
+    val collisions = SparkEntry.queryModules
+      .flatMap { case (mod, m) => m.keys.map(_ -> mod) }
+      .groupBy(_._1).filter(_._2.size > 1)
+      .map { case (q, ms) => s"$q <- ${ms.map(_._2).mkString(", ")}" }
+    assert(collisions.isEmpty,
+      s"query names registered by multiple modules: ${collisions.toSeq.sorted}")
+  }
 }
