@@ -50,4 +50,35 @@ object CCTextDriver {
         s"${res.iterations} iterations — no output written to $outPath")
     res
   }
+
+  /** spark-submit entry point, reference CCDriver.scala:40-79 parity:
+    * `graft.cc.CCTextDriver <cliqueFile> [outPath] [maxIterations]`.
+    * Defaults mirror the reference exactly — output path is
+    * `<cliqueFile>_cc_out` and maxIterations is 20 — with the two
+    * hardcodes surfaced as optional args. Reuses an already-active
+    * session when present (tests, spark-shell); otherwise builds a
+    * local one the way the reference's embedded SparkConf does, but
+    * sized to the host rather than the reference's `local[1]`.
+    */
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: graft.cc.CCTextDriver <cliqueFile> [outPath] [maxIterations]")
+    val inPath = args(0)
+    val outPath = if (args.length > 1) args(1) else inPath + "_cc_out"
+    val maxIter = if (args.length > 2) args(2).toInt else 20
+    val active = SparkSession.getActiveSession
+    val spark = active.getOrElse(SparkSession.builder()
+      .appName("ConnectedComponent")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        Runtime.getRuntime.availableProcessors())
+      .getOrCreate())
+    try {
+      val res = run(spark, inPath, outPath, maxIter)
+      if (res.converged)
+        println(s"Converged in ${res.iterations} iterations")
+      else
+        println("Max iteration reached.  Could not converge")
+    } finally if (active.isEmpty) spark.stop()
+  }
 }

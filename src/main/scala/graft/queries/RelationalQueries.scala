@@ -1935,6 +1935,42 @@ SELECT CAST(bin AS INT) AS bin,
 FROM b GROUP BY bin ORDER BY bin
 """
 
+  /** q73_bitwise_agg: the bitwise/boolean aggregate surface —
+    * `bit_and`/`bit_or`/`bit_xor` over a key column and
+    * `bool_and`/`bool_or` over predicates, per order priority. These
+    * five are the aggregates this suite hadn't pinned (q46's bitmap
+    * distinct uses SCALAR shifts; io_checksum uses bit_xor only as a
+    * content hash), and they're exactly the shape cross-engine bugs
+    * hide in: engines agree on sum() long before they agree on what
+    * bit_and of an empty-ish group or a NULL-laden predicate returns.
+    * Also closes the q73 numbering gap flagged in the r5 verdict.
+    *
+    * Scale: map-side combinable by construction (all five are
+    * commutative semigroup folds), 5-group output.
+    */
+  def q73BitwiseAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("bit_and(o_custkey)").as("and_cust"),
+        expr("bit_or(o_custkey)").as("or_cust"),
+        expr("bit_xor(o_custkey)").as("xor_cust"),
+        expr("bool_and(o_totalprice > 1000)").as("all_over_1k"),
+        expr("bool_or(o_orderstatus = 'F')").as("any_finished"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  val q73Oracle: String = """
+SELECT o_orderpriority,
+       CAST(bit_and(o_custkey) AS BIGINT) AS and_cust,
+       CAST(bit_or(o_custkey) AS BIGINT) AS or_cust,
+       CAST(bit_xor(o_custkey) AS BIGINT) AS xor_cust,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_orderstatus = 'F') AS any_finished,
+       count(*) AS n
+FROM orders GROUP BY 1 ORDER BY o_orderpriority
+"""
+
   /** q74_range_tvf: the table-valued-function surface — `range()` in a
     * SQL FROM clause generating the calendar spine, anti-checked
     * against the observed order days: "which days have NO orders".
@@ -2054,6 +2090,7 @@ FROM e ORDER BY ia, ib
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_three_valued_logic" -> (q75ThreeValuedLogic _),
+    "q73_bitwise_agg" -> (q73BitwiseAgg _),
     "q74_range_tvf" -> (q74RangeTvf _),
     "q71_log_histogram" -> (q71LogHistogram _),
     "q70_weighted_median" -> (q70WeightedMedian _),
@@ -2114,6 +2151,7 @@ FROM e ORDER BY ia, ib
 
   val oracles: Map[String, String] = Map(
     "q75_three_valued_logic" -> q75Oracle,
+    "q73_bitwise_agg" -> q73Oracle,
     "q74_range_tvf" -> q74Oracle,
     "q71_log_histogram" -> q71Oracle,
     "q70_weighted_median" -> q70Oracle,

@@ -23,6 +23,26 @@ class CCDriverParitySpec extends SparkSpec {
     assert(lines === Set("5 1 1 2 3 4 5", "3 6 6 7 8", "1 9 9"))
   }
 
+  test("main(args) CLI: default output path and maxIterations mirror the reference") {
+    val dir = Files.createTempDirectory("cc_text_main").toFile
+    val in = new java.io.File(dir, "cliques.txt")
+    Files.writeString(in.toPath, "1 2 3\n3 4\n1 5\n2\n6\n7 8\n6 8\n9\n")
+    // One-arg form: output defaults to <input>_cc_out, exactly the
+    // reference CCDriver.scala:75 path. The spec session is active, so
+    // main reuses it instead of building (and stopping) its own.
+    CCTextDriver.main(Array(in.getPath))
+    val lines = spark.read.text(in.getPath + "_cc_out")
+      .collect().map(_.getString(0)).toSet
+    assert(lines === Set("5 1 1 2 3 4 5", "3 6 6 7 8", "1 9 9"))
+    // Explicit out path + maxIterations form.
+    val out2 = new java.io.File(dir, "out2").getPath
+    CCTextDriver.main(Array(in.getPath, out2, "20"))
+    val lines2 = spark.read.text(out2).collect().map(_.getString(0)).toSet
+    assert(lines2 === lines)
+    // No args is a loud usage error, not an index crash.
+    intercept[IllegalArgumentException] { CCTextDriver.main(Array.empty) }
+  }
+
   test("text scan parses whitespace separators and skips blank lines") {
     val dir = Files.createTempDirectory("cc_text2").toFile
     val in = new java.io.File(dir, "cliques.txt")
