@@ -71,7 +71,9 @@ object Bench {
       timedBuild("_prewarm_cc_hq_base") {
         graft.queries.GraphQueries.prewarmHqBases(spark, sfDir) },
       timedBuild("_prewarm_graph_memos") {
-        graft.queries.GraphQueries.prewarmGraphMemos(spark, sfDir) })
+        graft.queries.GraphQueries.prewarmGraphMemos(spark, sfDir) },
+      timedBuild("_prewarm_percolation") {
+        graft.queries.CCQueries.prewarmPercolation(spark, sfDir) })
     // A failed query is recorded as -1 (visible in the JSON) and kept
     // out of the total — silently charging its elapsed time would make
     // a broken suite look fast.

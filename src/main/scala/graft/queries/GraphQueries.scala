@@ -23,8 +23,7 @@ object GraphQueries {
     * treats a derived graph table as a table, not a subquery to re-run
     * per analytic.
     */
-  private val edgeMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val edgeMemo = new Memo[DataFrame]
 
   /** Distinct undirected co-purchase edges, canonically oriented
     * `(u < v)`. All-pairs per order — required here, unlike CC, because
@@ -34,9 +33,8 @@ object GraphQueries {
     * cap k upstream (the same knob SCALE.md documents for minhash
     * buckets).
     */
-  private def undirectedEdges(spark: SparkSession, sfDir: String): DataFrame = {
-    if (edgeMemo.size > 4) edgeMemo.clear()
-    edgeMemo.computeIfAbsent((spark, sfDir), { case (s, d) =>
+  private def undirectedEdges(spark: SparkSession, sfDir: String): DataFrame =
+    edgeMemo(spark, sfDir) { (s, d) =>
       val cliques = Tables.lineitem(s, d)
         .groupBy("l_orderkey")
         .agg(collect_set(col("l_partkey")).as("nodes"))
@@ -45,8 +43,7 @@ object GraphQueries {
         .select(col("dst").as("u"), col("src").as("v")) // src>=dst ⇒ u<v
         .distinct()
         .localCheckpoint()
-    })
-  }
+    }
 
   private def allNodes(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)

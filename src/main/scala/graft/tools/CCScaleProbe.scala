@@ -14,7 +14,19 @@ import graft.cc.{CliqueGen, ConnectedComponents, EdgeBuilder}
   *
   * Usage: GRAFT_CC_VERBOSE=1 runMain graft.tools.CCScaleProbe [nBlocks] [mode]
   * (nBlocks=1000 ~ 4M edges, 5000 ~ 20M, 25000 ~ 100M;
-  * mode = all | contracted | plain — split the biggest runs).
+  * mode = all | contracted | plain | incremental — split the biggest
+  * runs).
+  *
+  * `incremental` (r5 verdict item 5) probes the label-MAINTENANCE path
+  * at scale: base fixpoint on 90% of the blocks' star edges, then the
+  * [[graft.queries.GraphQueries.ccIncremental]] composition for the
+  * remaining 10% — the claim under test is that the delta pass costs
+  * O(delta + join-against-base), NOT another full fixpoint, while the
+  * composed labels stay exact against ground truth.
+  *
+  * Every run reports PEAK cached storage (max over 250ms samples of
+  * all cached/checkpointed RDD mem+disk) — the number that must not
+  * grow superlinearly with the graph, or a 1000-executor run evicts.
   */
 object CCScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -37,22 +49,20 @@ object CCScaleProbe {
 
     time("warmup") { spark.range(2000000).selectExpr("sum(id)").collect() }
 
-    // Round-robin repartition: CliqueGen emits each block inside ONE
-    // task, which would hand the partition-local contraction its best
-    // case (every component task-local, one rep per node). Scattering
-    // the edges mimics how a real corpus arrives — components smeared
-    // across every task — which is the case the contraction must beat.
-    val edges = time(s"generate nBlocks=$nBlocks (cliques -> edges, scattered, checkpointed)") {
-      val e = EdgeBuilder.cliqueEdgesGen(CliqueGen.cliques(spark, nBlocks))
-        .repartition(32)
-        .localCheckpoint()
-      e.count()
-      e
-    }
-    val nEdges = edges.count()
-    val nNodes = edges.select(col("src").as("n"))
-      .union(edges.select(col("dst"))).distinct().count()
-    System.err.println(s"[probe] graph: $nEdges edges (with duplicates), $nNodes nodes")
+    // Peak cached-storage sampler: localCheckpoints live in the block
+    // manager, so the max over samples bounds the fixpoint's working
+    // set (current + previous round while the swap happens).
+    @volatile var peakStorage = 0L
+    val sampler = new Thread(() => {
+      try while (true) {
+        val s = spark.sparkContext.getRDDStorageInfo
+          .map(i => i.memSize + i.diskSize).sum
+        if (s > peakStorage) peakStorage = s
+        Thread.sleep(250)
+      } catch { case _: InterruptedException => () }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
 
     // The 100 TB front door: partition-local contraction + inner solve.
     // smallGraphThreshold=0 forces the distributed fixpoint on the rep
@@ -65,6 +75,79 @@ object CCScaleProbe {
       val missing = truth.join(got, Seq("node"), "left_anti").count()
       System.err.println(s"[probe] $label vs ground truth: wrong=$bad missing=$missing")
       require(bad == 0 && missing == 0, s"$label diverged from ground truth")
+    }
+
+    // Round-robin repartition: CliqueGen emits each block inside ONE
+    // task, which would hand the partition-local contraction its best
+    // case (every component task-local, one rep per node). Scattering
+    // the edges mimics how a real corpus arrives — components smeared
+    // across every task — which is the case the contraction must beat.
+    lazy val edges = {
+      val e = time(s"generate nBlocks=$nBlocks (cliques -> edges, scattered, checkpointed)") {
+        val x = EdgeBuilder.cliqueEdgesGen(CliqueGen.cliques(spark, nBlocks))
+          .repartition(32)
+          .localCheckpoint()
+        x.count()
+        x
+      }
+      val nEdges = e.count()
+      val nNodes = e.select(col("src").as("n"))
+        .union(e.select(col("dst"))).distinct().count()
+      System.err.println(s"[probe] graph: $nEdges edges (with duplicates), $nNodes nodes")
+      e
+    }
+
+    if (mode == "incremental") {
+      import org.apache.spark.sql.DataFrame
+      val all = CliqueGen.cliques(spark, nBlocks)
+      def starScattered(p: org.apache.spark.sql.Column): DataFrame = {
+        val e = EdgeBuilder.starEdges(all.where(p)).repartition(32)
+          .localCheckpoint()
+        e.count(); e
+      }
+      val baseEdges = time("base edges (90% of blocks, scattered)") {
+        starScattered(col("block") % 10 =!= 7) }
+      val base = time("base fixpoint (90% of blocks)") {
+        val r = ConnectedComponents.runContracted(baseEdges,
+          smallGraphThreshold = 0)
+        val a = r.assignments.localCheckpoint(); a.count(); a
+      }
+      val delta = time("delta edges (10% of blocks)") {
+        starScattered(col("block") % 10 === 7) }
+      // The ccIncremental composition (GraphQueries.scala): contract
+      // delta endpoints through base labels, solve the small label
+      // graph, relabel touched base components, union never-seen nodes.
+      val composed = time("delta maintenance pass") {
+        val srcLbl = base.toDF("src", "src_lbl")
+        val dstLbl = base.toDF("dst", "dst_lbl")
+        val labelEdges = delta
+          .join(srcLbl, Seq("src"), "left")
+          .join(dstLbl, Seq("dst"), "left")
+          .select(coalesce(col("src_lbl"), col("src")).as("src"),
+                  coalesce(col("dst_lbl"), col("dst")).as("dst"))
+        val inner = ConnectedComponents.runAuto(labelEdges)
+        val relabel = inner.assignments.toDF("component", "new_component")
+        val rebased = base
+          .join(relabel, Seq("component"), "left")
+          .select(col("node"),
+            coalesce(col("new_component"), col("component")).as("component"))
+        val deltaOnly = delta.select(col("src").as("node"))
+          .unionAll(delta.select(col("dst").as("node")))
+          .distinct()
+          .join(base.select("node"), Seq("node"), "left_anti")
+          .join(inner.assignments.toDF("node", "component"), Seq("node"), "left")
+        val c = rebased.unionAll(deltaOnly).localCheckpoint(); c.count(); c
+      }
+      mismatches("incremental composition", composed)
+      // Like-for-like comparison: what NOT maintaining would cost.
+      val fullEdges = time("full edges (100% of blocks, scattered)") {
+        starScattered(lit(true)) }
+      val full = time("from-scratch full solve") {
+        val r = ConnectedComponents.runContracted(fullEdges,
+          smallGraphThreshold = 0)
+        val a = r.assignments.localCheckpoint(); a.count(); a
+      }
+      mismatches("from-scratch", full)
     }
 
     if (mode == "all" || mode == "contracted") {
@@ -91,6 +174,8 @@ object CCScaleProbe {
         s"iterations=${plain.iterations}")
       mismatches("plain", plain.assignments)
     }
+    System.err.println(
+      f"[probe] peak cached storage: ${peakStorage / 1048576.0}%.1f MiB")
     System.err.println("[probe] PASS")
     spark.stop()
   }
