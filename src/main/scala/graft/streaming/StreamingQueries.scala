@@ -1155,6 +1155,43 @@ SELECT count(*) AS total_input_rows,
 FROM events
 """
 
+  /** stream_rollup_reagg: multi-grain rollups FROM a stream — the one
+    * grouping-sets surface streaming can't do directly (r5 verdict
+    * item 8). A streaming ROLLUP would need each input row to update
+    * several overlapping state rows, which Structured Streaming
+    * (correctly) refuses; the production pattern is to stream ONLY the
+    * finest grain — here (day, event_type) counts — and derive every
+    * coarser grain by re-aggregating the streamed result in batch,
+    * exact because count re-aggregates as sum. The graded output is
+    * the full rollup with `grouping_id()`, so the gate checks the
+    * fine level, the per-day level, and the grand total all derive
+    * correctly from streamed state.
+    *
+    * Scale: streaming state is the fine grain only (|days|·|types|
+    * rows); the batch rollup reads the compact streamed result, never
+    * the raw stream again.
+    */
+  def rollupReagg(spark: SparkSession, sfDir: String): DataFrame = {
+    val fine = runToCompletion(spark, sub => eventsStream(sub, sfDir)
+        .withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n")),
+      "complete")
+      .select(to_date(col("window.start")).as("day"),
+              col("event_type"), col("n"))
+    fine.rollup(col("day"), col("event_type"))
+      .agg(sum(col("n")).as("n_events"), grouping_id().as("gid"))
+      .orderBy(col("day").asc_nulls_first, col("event_type").asc_nulls_first)
+  }
+
+  val rollupReaggOracle: String = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       count(*) AS n_events, grouping_id(CAST(ts AS DATE), event_type) AS gid
+FROM events
+GROUP BY ROLLUP(CAST(ts AS DATE), event_type)
+ORDER BY day ASC NULLS FIRST, event_type ASC NULLS FIRST
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_progress_metrics" -> (progressMetrics _),
     "stream_state_reader" -> (stateReader _),
@@ -1174,6 +1211,7 @@ FROM events
     "stream_sessions" -> (sessions _),
     "stream_stateful_agg" -> (statefulUserAgg _),
     "stream_file_sink" -> (fileSinkEtl _),
+    "stream_rollup_reagg" -> (rollupReagg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1195,6 +1233,7 @@ FROM events
     "stream_sessions" -> sessionsOracle,
     "stream_stateful_agg" -> statefulUserAggOracle,
     "stream_file_sink" -> fileSinkEtlOracle,
+    "stream_rollup_reagg" -> rollupReaggOracle,
   )
 }
 
