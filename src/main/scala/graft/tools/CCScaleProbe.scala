@@ -99,21 +99,24 @@ object CCScaleProbe {
 
     if (mode == "incremental") {
       import org.apache.spark.sql.DataFrame
+      // Delta fraction = 1/denom of the blocks (arg 3, default 10 →
+      // 10% delta; 100 → the realistic ~1%-daily-ingest shape).
+      val denom = args.drop(2).headOption.map(_.toInt).getOrElse(10)
       val all = CliqueGen.cliques(spark, nBlocks)
       def starScattered(p: org.apache.spark.sql.Column): DataFrame = {
         val e = EdgeBuilder.starEdges(all.where(p)).repartition(32)
           .localCheckpoint()
         e.count(); e
       }
-      val baseEdges = time("base edges (90% of blocks, scattered)") {
-        starScattered(col("block") % 10 =!= 7) }
-      val base = time("base fixpoint (90% of blocks)") {
+      val baseEdges = time(s"base edges (${denom - 1}/$denom of blocks, scattered)") {
+        starScattered(col("block") % denom =!= 7 % denom) }
+      val base = time("base fixpoint") {
         val r = ConnectedComponents.runContracted(baseEdges,
           smallGraphThreshold = 0)
         val a = r.assignments.localCheckpoint(); a.count(); a
       }
-      val delta = time("delta edges (10% of blocks)") {
-        starScattered(col("block") % 10 === 7) }
+      val delta = time(s"delta edges (1/$denom of blocks)") {
+        starScattered(col("block") % denom === 7 % denom) }
       // The ccIncremental composition (GraphQueries.scala): contract
       // delta endpoints through base labels, solve the small label
       // graph, relabel touched base components, union never-seen nodes.
