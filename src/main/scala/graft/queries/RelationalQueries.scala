@@ -172,8 +172,15 @@ WHERE l_shipdate >= timestamp '1996-01-01' AND l_shipdate < timestamp '1997-01-0
 
   /** Running-total window per supplier, fully tie-broken ordering. */
   def q7RunningQty(spark: SparkSession, sfDir: String): DataFrame = {
+    // l_quantity closes the ordering: the synthetic lineitem carries
+    // duplicate (orderkey, linenumber) pairs (~118k at sf0.1), so
+    // without it two tied rows would take order-DEPENDENT running sums
+    // ({a, a+b} vs {b, a+b}) and the gate's row-multiset compare
+    // diverges cross-engine. With quantity as the last key, tied rows
+    // have equal quantity, so both tie orders yield the same multiset.
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(spark, sfDir)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -184,7 +191,7 @@ WHERE l_shipdate >= timestamp '1996-01-01' AND l_shipdate < timestamp '1997-01-0
 SELECT l_suppkey, l_orderkey, l_linenumber,
   round(sum(cast(l_quantity AS decimal(18,2))) OVER (
     PARTITION BY l_suppkey
-    ORDER BY l_shipdate, l_orderkey, l_linenumber
+    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::double AS running_qty
 FROM lineitem
 """

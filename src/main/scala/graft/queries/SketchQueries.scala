@@ -203,11 +203,19 @@ ORDER BY n_exact DESC, user_id
     * That equality is the property that makes 100 TB rollup tables
     * work: persist small per-partition sketch blobs, answer any
     * coarser-grained distinct-count by merging blobs instead of
-    * rescanning raw data. Exact equality (not tolerance) because HLL
-    * register state is a max per bucket — order-independent and
-    * partition-independent — so both paths reach the identical sketch.
-    * The estimates themselves are also gated against the exact count
-    * at 5% (lgK=12 ⇒ ~1.6% rse).
+    * rescanning raw data. The union's registers are bit-identical to
+    * the one-pass sketch's (max per bucket — order- and partition-
+    * independent), but its ESTIMATE is not: DataSketches reads a
+    * directly-built sketch through the HIP estimator and a merged one
+    * through the composite estimator (HIP is invalidated by
+    * out-of-order merging), so the two reported values diverge
+    * sub-percent once cardinality leaves exact list/set mode —
+    * observed at sf0.1 (n=1500, HLL mode), invisible at sf0.01. A
+    * 1-input union doesn't help (DataSketches copies it, HIP intact).
+    * The graded contract is therefore estimator-honest: the merged
+    * estimate within 1% of the direct estimate (far tighter than
+    * either's 1.6% rse vs truth), plus the direct estimate within 5%
+    * of the exact count.
     */
   def hllUnion(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
@@ -227,14 +235,15 @@ ORDER BY n_exact DESC, user_id
           .as("est_whole"),
         max(when(col("g") === 1, col("nd"))).as("n_exact"))
       .select(col("n_exact"),
-        (col("est_whole") === col("est_merged")).as("merge_lossless"),
+        (abs(col("est_whole") - col("est_merged")) * 100 <= col("est_whole"))
+          .as("merge_within_1pct"),
         (abs(col("est_whole") - col("n_exact")) * 20 <= col("n_exact"))
           .as("hll_within_5pct"))
   }
 
   val hllUnionOracle: String = """
 SELECT count(DISTINCT user_id) AS n_exact,
-       TRUE AS merge_lossless, TRUE AS hll_within_5pct
+       TRUE AS merge_within_1pct, TRUE AS hll_within_5pct
 FROM events
 """
 
