@@ -30,9 +30,13 @@ object PipelineQueries {
     * flag at >= 3. One pass over the tokens, no shuffle at all (the
     * orderBy exists only for the deterministic gate output).
     */
-  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The 4-rule quality rubric shared by [[qualityFilter]] (graded
+    * per-document) and [[bestOfN]] (graded per-group argmax): length
+    * band, mean word length band, stopword density, type-token ratio.
+    */
+  private def rubric(spark: SparkSession, sfDir: String): DataFrame = {
     val sw = array(EnStopwords.map(lit): _*)
-    val m = Tables.documents(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
         size(col("w")).as("n_tokens"),
@@ -41,17 +45,80 @@ object PipelineQueries {
           (acc: Column, x: Column) => acc + length(x)).as("sum_len"),
         size(filter(col("w"),
           (x: Column) => array_contains(sw, x))).as("sw_hits"))
-    val score = col("r_len") + col("r_wordlen") + col("r_stopword") + col("r_ttr")
-    m.select(col("doc_id"), col("n_tokens"),
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
         col("n_tokens").between(20, 400).cast("int").as("r_len"),
         (col("sum_len") >= lit(2) * col("n_tokens") &&
          col("sum_len") <= lit(8) * col("n_tokens")).cast("int").as("r_wordlen"),
         (col("sw_hits") * 50 >= col("n_tokens")).cast("int").as("r_stopword"),
         (col("n_types") * 5 >= col("n_tokens")).cast("int").as("r_ttr"))
+  }
+
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val score = col("r_len") + col("r_wordlen") + col("r_stopword") + col("r_ttr")
+    rubric(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("r_len"), col("r_wordlen"),
+        col("r_stopword"), col("r_ttr"))
       .withColumn("quality_score", score)
       .withColumn("keep", (score >= 3).cast("int"))
       .orderBy("doc_id")
   }
+
+  /** pipe_best_of_n: deterministic best-of-n candidate selection — the
+    * RLHF/rejection-sampling data-prep shape where each prompt has a
+    * fixed candidate fan-out and only the argmax survives. Candidate
+    * groups are `doc_id div 8`; the selection key is (quality rubric
+    * score, type diversity, doc_id) — a TOTAL order, so the winner is
+    * unique and the query is hash-gradeable with no RNG (the same
+    * determinism stance as pipe_epoch_shuffle / pipe_preference_pairs).
+    *
+    * Scale: one window over the group key (sort within hash partitions,
+    * no join); at a billion groups this is the same single shuffle any
+    * per-prompt rollup pays. A real reward-model score would arrive as a
+    * column and drop into the same ORDER BY.
+    */
+  def bestOfN(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = rubric(spark, sfDir)
+      .select(col("doc_id"), expr("doc_id div 8").as("prompt_id"),
+        col("n_types").cast("bigint").as("n_types"),
+        (col("r_len") + col("r_wordlen") + col("r_stopword") + col("r_ttr"))
+          .as("quality_score"))
+    val w = Window.partitionBy("prompt_id")
+      .orderBy(col("quality_score").desc, col("n_types").desc, col("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_candidates",
+        count(lit(1)).over(Window.partitionBy("prompt_id")))
+      .where(col("rn") === 1)
+      .select(col("prompt_id"), col("doc_id").as("best_doc"),
+        col("quality_score").as("best_score"), col("n_types"),
+        col("n_candidates"))
+      .orderBy("prompt_id")
+  }
+
+  val bestOfNOracle: String = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+m AS (
+  SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_types,
+         list_sum(list_transform(w, x -> length(x))) AS sum_len,
+         len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS sw_hits
+  FROM t),
+r AS (
+  SELECT doc_id, CAST(n_types AS BIGINT) AS nty,
+    CASE WHEN n_tokens BETWEEN 20 AND 400 THEN 1 ELSE 0 END
+    + CASE WHEN sum_len >= 2 * n_tokens AND sum_len <= 8 * n_tokens THEN 1 ELSE 0 END
+    + CASE WHEN sw_hits * 50 >= n_tokens THEN 1 ELSE 0 END
+    + CASE WHEN n_types * 5 >= n_tokens THEN 1 ELSE 0 END AS quality_score
+  FROM m),
+wdw AS (
+  SELECT doc_id // 8 AS prompt_id, doc_id, nty, quality_score,
+         row_number() OVER (PARTITION BY doc_id // 8
+           ORDER BY quality_score DESC, nty DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY doc_id // 8) AS n_candidates
+  FROM r)
+SELECT prompt_id, doc_id AS best_doc, quality_score AS best_score,
+       nty AS n_types, CAST(n_candidates AS BIGINT) AS n_candidates
+FROM wdw WHERE rn = 1 ORDER BY prompt_id
+"""
 
   val qualityFilterOracle: String = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1270,6 +1337,7 @@ FROM x GROUP BY lang ORDER BY lang
     "pipe_stratified_sample" -> (stratifiedSample _),
     "pipe_train_split" -> (trainSplit _),
     "pipe_quality_filter" -> (qualityFilter _),
+    "pipe_best_of_n" -> (bestOfN _),
     "pipe_pii_redact" -> (piiRedact _),
     "pipe_sample_mix" -> (sampleMix _),
     "pipe_dedup_merge" -> (dedupMerge _),
@@ -1299,6 +1367,7 @@ FROM x GROUP BY lang ORDER BY lang
     "pipe_stratified_sample" -> stratifiedSampleOracle,
     "pipe_train_split" -> trainSplitOracle,
     "pipe_quality_filter" -> qualityFilterOracle,
+    "pipe_best_of_n" -> bestOfNOracle,
     "pipe_pii_redact" -> piiRedactOracle,
     "pipe_sample_mix" -> sampleMixOracle,
     "pipe_dedup_merge" -> dedupMergeOracle,

@@ -2095,8 +2095,65 @@ SELECT ia, ib,
 FROM e ORDER BY ia, ib
 """
 
+  /** q76_interval_overlap: peak concurrency per event type — treat each
+    * event as a half-open 30-minute interval [ts, ts+30m) and report the
+    * maximum number simultaneously open. The classic SWEEP LINE: explode
+    * each interval to a (+1 at start, −1 at end) point, order points,
+    * running-sum, take the max — O(n log n) via one sort-based window
+    * instead of the O(n²) self-range-join a naive "count overlapping
+    * others" formulation plans. The ORDER BY is a TOTAL order
+    * (t, delta, event_id — unique since an event's two points differ in
+    * delta): ties between equal timestamps would otherwise make the
+    * intermediate running sums order-dependent (the q7 lesson), and
+    * delta-ascending puts closings before openings at the same instant,
+    * so touching intervals never count as concurrent. Microsecond
+    * integer arithmetic end-to-end (the watermark lesson: no
+    * timestamp-vs-double drift cross-engine).
+    *
+    * Scale: the window partitions by event_type, so each partition sorts
+    * independently — 2n points, one shuffle, no join at all. For a
+    * single giant partition the standard fix is range-partitioned
+    * prefix sums (two passes: per-chunk sums, then a broadcast scan of
+    * chunk offsets).
+    */
+  def q76IntervalOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), unix_micros(col("ts")).as("t"), col("event_id"))
+    val pts = ev.select(col("event_type"), col("t"), lit(1).as("delta"), col("event_id"))
+      .unionAll(ev.select(col("event_type"),
+        (col("t") + lit(1800000000L)).as("t"), lit(-1).as("delta"), col("event_id")))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("t"), col("delta"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("conc", sum(col("delta")).over(w))
+      .groupBy("event_type")
+      .agg(max(col("conc")).as("max_concurrent"),
+        expr("count(1) div 2").as("n_events"))
+      .orderBy("event_type")
+  }
+
+  val q76Oracle: String = """
+WITH pts AS (
+  SELECT event_type, epoch_us(ts) AS t, 1 AS delta, event_id FROM events
+  UNION ALL
+  SELECT event_type, epoch_us(ts) + 1800000000, -1, event_id FROM events
+),
+run AS (
+  SELECT event_type,
+         sum(delta) OVER (PARTITION BY event_type
+                          ORDER BY t, delta, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS conc
+  FROM pts
+)
+SELECT event_type, CAST(max(conc) AS BIGINT) AS max_concurrent,
+       CAST(count(*) // 2 AS BIGINT) AS n_events
+FROM run GROUP BY 1 ORDER BY 1
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_three_valued_logic" -> (q75ThreeValuedLogic _),
+    "q76_interval_overlap" -> (q76IntervalOverlap _),
     "q73_bitwise_agg" -> (q73BitwiseAgg _),
     "q74_range_tvf" -> (q74RangeTvf _),
     "q71_log_histogram" -> (q71LogHistogram _),
@@ -2158,6 +2215,7 @@ FROM e ORDER BY ia, ib
 
   val oracles: Map[String, String] = Map(
     "q75_three_valued_logic" -> q75Oracle,
+    "q76_interval_overlap" -> q76Oracle,
     "q73_bitwise_agg" -> q73Oracle,
     "q74_range_tvf" -> q74Oracle,
     "q71_log_histogram" -> q71Oracle,

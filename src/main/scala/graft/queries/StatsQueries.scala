@@ -1680,6 +1680,68 @@ FROM d
           .as("lift_sign"))
   }
 
+  /** stats_anova: one-way ANOVA — does order priority move basket size
+    * (lineitem count per order) across the 5 priority classes? The F
+    * statistic from the sums-of-squares identities, in EXACT fixed-point
+    * arithmetic: per group collect (n, S=Σx, Q=Σx²), then with
+    * A = Σ_g ⌊S_g²·10⁶ / n_g⌋ the between/within sums are
+    * SSB_ppm = A − ⌊T²·10⁶/N⌋ and SSW_ppm = Q·10⁶ − A, and
+    * F_ppm = ⌊SSB·(N−k)·10⁶ / (SSW·(k−1))⌋ — the common 10⁶ scale
+    * cancels in the ratio. Every division is a floor of non-negative
+    * integers (identical `div` vs `//` semantics cross-engine; SSB is
+    * clamped at 0 against the few-ppm floor jitter Cauchy–Schwarz
+    * leaves room for), decimal(38,0) guards the T² and F-numerator
+    * products past bigint range. Completes the inference panel with the
+    * k-group generalization of the two-sample tests (z², rank-sum, KS).
+    *
+    * Scale: one map-side-combinable per-order rollup, one shuffled join
+    * to orders on the grouping key, one 5-row aggregate, one scalar
+    * reshape — no windows, nothing driver-side.
+    */
+  def anova(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = Tables.lineitem(spark, sfDir)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("x"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+    val g = x.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("q"))
+    g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+        sum(col("s")).as("t"), sum(col("q")).as("qt"),
+        sum(expr("(cast(s AS decimal(38,0)) * s * 1000000) div n")).as("a"))
+      .select(col("k"), col("nn"),
+        expr("a - (cast(t AS decimal(38,0)) * t * 1000000) div nn")
+          .as("ssb_ppm"),
+        expr("cast(cast(qt AS decimal(38,0)) * 1000000 - a AS bigint)")
+          .as("ssw_ppm"))
+      .select(col("k"), col("nn").as("n_total"),
+        col("ssb_ppm"), col("ssw_ppm"),
+        expr("cast((cast(greatest(ssb_ppm, 0) AS decimal(38,0)) * (nn - k)" +
+          " * 1000000) div (cast(ssw_ppm AS decimal(38,0)) * (k - 1))" +
+          " AS bigint)").as("f_ppm"))
+  }
+
+  val anovaOracle: String = """
+WITH x AS (SELECT l_orderkey, count(*) AS x FROM lineitem GROUP BY 1),
+j AS (SELECT o.o_orderpriority AS g, x.x
+      FROM x JOIN orders o ON o.o_orderkey = x.l_orderkey),
+gr AS (SELECT g, count(*) AS n, sum(x) AS s, sum(x * x) AS q
+       FROM j GROUP BY 1),
+t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(s) AS BIGINT) AS t, CAST(sum(q) AS BIGINT) AS qt,
+             CAST(sum((s::hugeint * s * 1000000) // n) AS BIGINT) AS a
+      FROM gr),
+f AS (SELECT k, nn,
+             a - CAST((t::hugeint * t * 1000000) // nn AS BIGINT) AS ssb_ppm,
+             CAST(qt::hugeint * 1000000 - a AS BIGINT) AS ssw_ppm
+      FROM t)
+SELECT k, nn AS n_total, ssb_ppm, ssw_ppm,
+       CAST((greatest(ssb_ppm, 0)::hugeint * (nn - k) * 1000000)
+            // (ssw_ppm::hugeint * (k - 1)) AS BIGINT) AS f_ppm
+FROM f
+"""
+
   val abTestOracle: String = """
 WITH per AS (
   SELECT user_id % 2 AS variant,
@@ -1916,6 +1978,7 @@ FROM s ORDER BY g
     "stats_diff_in_diff" -> (diffInDiff _),
     "stats_capture_recapture" -> (captureRecapture _),
     "stats_ab_test" -> (abTest _),
+    "stats_anova" -> (anova _),
     "stats_spearman" -> (spearman _),
     "stats_theilsen" -> (theilSen _),
     "stats_mann_kendall" -> (mannKendall _),
@@ -1949,6 +2012,7 @@ FROM s ORDER BY g
     "stats_diff_in_diff" -> diffInDiffOracle,
     "stats_capture_recapture" -> captureRecaptureOracle,
     "stats_ab_test" -> abTestOracle,
+    "stats_anova" -> anovaOracle,
     "stats_spearman" -> spearmanOracle,
     "q52_attribution" -> attributionOracle,
     "stats_autocorr" -> autocorrOracle,
