@@ -1374,13 +1374,12 @@ ORDER BY mass.p_brand
     * way around, an infinite descent. The cluster label is the smaller
     * endpoint of that 2-cycle.
     *
-    * Fifteen doubling rounds carry each node to its 2¹⁵-step successor
-    * (≥ any tree depth at gate scales: n < 32768 parts through sf0.1 —
-    * production sizes the round count as ⌈log₂ n⌉ or loops on the same
-    * Observation change-counter as the CC fixpoint), which necessarily
-    * sits ON the 2-cycle; `least(ptr, succ(ptr))` then collapses the
-    * landing parity so every member of a component reports the same
-    * label. Emitted: the cluster-size histogram.
+    * Doubling rounds (Observation-counted, early-exit on convergence,
+    * worst-case bound 15: 2¹⁵ ≥ any tree depth at gate scales, n < 32768
+    * parts through sf0.1) carry each node to a successor that
+    * necessarily sits ON the 2-cycle; `least(ptr, succ(ptr))` then
+    * collapses the landing parity so every member of a component reports
+    * the same label. Emitted: the cluster-size histogram.
     *
     * Scale: the argmin is one map-side-combinable aggregate; each
     * doubling round is ONE equi-join of the node table against itself
@@ -1403,11 +1402,26 @@ ORDER BY mass.p_brand
       .select(col("node"), coalesce(col("succ"), col("node")).as("ptr"))
       .localCheckpoint()
     var state = one
-    for (_ <- 1 to 15) {
+    // Stop on convergence: once every pointer has landed on its 2-cycle
+    // the assignment is idempotent (2^k extra steps are even, hence
+    // identity on a 2-cycle), so a round with zero changes proves all
+    // later rounds are no-ops. Typical depth is O(log n), so this exits
+    // after ~5 rounds; 15 stays as the worst-case bound (depth < 2^15 at
+    // gate scales). Same Observation-during-the-checkpoint trick as the
+    // CC fixpoint: convergence costs no extra job.
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < 15) {
       val b = state.select(col("node").as("bn"), col("ptr").as("bptr"))
+      val obs = new org.apache.spark.sql.Observation()
       state = state.join(b, col("ptr") === col("bn"))
-        .select(col("node"), col("bptr").as("ptr"))
+        .select(col("node"), col("ptr").as("optr"), col("bptr").as("ptr"))
+        .observe(obs, coalesce(sum(when(col("ptr") =!= col("optr"), 1L)
+          .otherwise(0L)), lit(0L)).as("change"))
+        .select(col("node"), col("ptr"))
         .localCheckpoint()
+      changed = obs.get.getOrElse("change", 0L).asInstanceOf[Long]
+      round += 1
     }
     state
       .join(one.select(col("node").as("pn"), col("ptr").as("p1")),
@@ -1416,6 +1430,129 @@ ORDER BY mass.p_brand
       .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
+  }
+
+  /** graph_betweenness: sampled, radius-bounded betweenness centrality —
+    * Brandes' algorithm (2001) from 8 deterministic source nodes (the
+    * Brandes–Pich sampling estimator), level-synchronous to 6 hops (the
+    * co-purchase graph's effective diameter is ~3; both engines apply
+    * the same bound, so the radius-bounded variant is hash-gradeable).
+    * The forward pass is textbook BFS DP: frontier ⋈ edges, per-(seed,
+    * node) σ path-count sums, anti-join against the visited set. The
+    * backward pass accumulates Brandes dependencies level by level in
+    * EXACT ppm fixed-point: δ_ppm(v) = Σ_w ⌊σ_v·(10⁶+δ_ppm(w))/σ_w⌋
+    * over successors w — floor-per-term, identical `div`/`//` on
+    * non-negative integers cross-engine, decimal(38,0) guarding the
+    * product. Emitted: top-20 nodes by accumulated centrality
+    * (deterministic total order).
+    *
+    * Scale: every step is an equi-join keyed on (seed, node) — the
+    * frontier is |seeds|·|reached| rows, so source count is the direct
+    * cost/accuracy knob (hundreds of sources = a normal shuffled join,
+    * exactly how approximate betweenness is run at graph scale); the
+    * per-level anti-join and group-by are map-side combinable. No
+    * driver state beyond the level counter.
+    */
+  def betweenness(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = undirectedEdges(spark, sfDir)
+    val d = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    val seeds = allNodes(spark, sfDir).orderBy("node").limit(8)
+      .select(col("node").as("seed"))
+    var frontier = seeds.select(col("seed"), col("seed").as("node"),
+      lit(0).as("lev"), lit(1L).as("sigma")).localCheckpoint()
+    var visited = frontier
+    for (l <- 1 to 6) {
+      val cand = frontier.join(d, col("node") === col("src"))
+        .groupBy(col("seed"), col("dst"))
+        .agg(sum(col("sigma")).as("sigma"))
+      frontier = cand
+        .join(visited.select(col("seed").as("vs"), col("node").as("vn")),
+          col("seed") === col("vs") && col("dst") === col("vn"), "left_anti")
+        .select(col("seed"), col("dst").as("node"), lit(l).as("lev"),
+          col("sigma"))
+        .localCheckpoint()
+      visited = visited.unionAll(frontier)
+    }
+    visited = visited.localCheckpoint()
+    var dep = visited.where(col("lev") === 6)
+      .select(col("seed"), col("node"), col("sigma"), lit(0L).as("dppm"))
+    var acc = dep.select(col("seed"), col("node"), col("dppm"))
+    for (l <- 5 to 0 by -1) {
+      val succ = dep.select(col("seed").as("ws"), col("node").as("wn"),
+        col("sigma").as("wsigma"), col("dppm").as("wdppm"))
+      val cur = visited.where(col("lev") === l)
+      val contrib = cur.join(d, col("node") === col("src"))
+        .join(succ, col("seed") === col("ws") && col("dst") === col("wn"))
+        .select(col("seed"), col("node"),
+          expr("cast((cast(sigma AS decimal(38,0)) * (1000000 + wdppm))" +
+            " div wsigma AS bigint)").as("t"))
+        .groupBy("seed", "node").agg(sum(col("t")).as("dppm"))
+      dep = cur.join(contrib, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"), col("sigma"),
+          coalesce(col("dppm"), lit(0L)).as("dppm"))
+        .localCheckpoint()
+      acc = acc.unionAll(dep.select(col("seed"), col("node"), col("dppm")))
+    }
+    acc.where(col("node") =!= col("seed"))
+      .groupBy("node").agg(sum(col("dppm")).as("bc_ppm"))
+      .orderBy(col("bc_ppm").desc, col("node")).limit(20)
+  }
+
+  // Mirrors the level-synchronous Brandes passes as chained MATERIALIZED
+  // CTEs (bounded depth needs no recursion; plain CTEs would re-inline).
+  private val betweennessOracle: String = {
+    val fwd = (1 to 6).map { l =>
+      s"""f$l AS MATERIALIZED (
+  SELECT c.seed, c.dst AS node, $l AS lev, c.sigma FROM (
+    SELECT f.seed, d.dst, sum(f.sigma) AS sigma
+    FROM f${l - 1} f JOIN d ON d.src = f.node GROUP BY 1, 2) c
+  ANTI JOIN v${l - 1} v ON v.seed = c.seed AND v.node = c.dst),
+v$l AS MATERIALIZED (SELECT * FROM v${l - 1} UNION ALL SELECT * FROM f$l)"""
+    }.mkString(",\n")
+    val bwd = (5 to 0 by -1).map { l =>
+      s"""c$l AS MATERIALIZED (
+  SELECT f.seed, f.node,
+         sum(CAST((f.sigma::hugeint * (1000000 + w.dppm)) // w.sigma
+             AS BIGINT)) AS dppm
+  FROM (SELECT * FROM v6 WHERE lev = $l) f
+  JOIN d ON d.src = f.node
+  JOIN b${l + 1} w ON w.seed = f.seed AND w.node = d.dst
+  GROUP BY 1, 2),
+b$l AS MATERIALIZED (
+  SELECT f.seed, f.node, f.sigma, coalesce(c.dppm, 0) AS dppm
+  FROM (SELECT * FROM v6 WHERE lev = $l) f
+  LEFT JOIN c$l c ON c.seed = f.seed AND c.node = f.node)"""
+    }.mkString(",\n")
+    val union = (0 to 6).map(l => s"SELECT seed, node, dppm FROM b$l")
+      .mkString(" UNION ALL ")
+    s"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+d AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM e
+  UNION ALL SELECT v AS src, u AS dst FROM e),
+seeds AS (
+  SELECT node AS seed FROM (SELECT DISTINCT l_partkey AS node FROM li)
+  ORDER BY node LIMIT 8),
+f0 AS MATERIALIZED (
+  SELECT seed, seed AS node, 0 AS lev, CAST(1 AS BIGINT) AS sigma
+  FROM seeds),
+v0 AS MATERIALIZED (SELECT * FROM f0),
+$fwd,
+b6 AS MATERIALIZED (
+  SELECT seed, node, sigma, CAST(0 AS BIGINT) AS dppm
+  FROM v6 WHERE lev = 6),
+$bwd
+SELECT node, CAST(sum(dppm) AS BIGINT) AS bc_ppm
+FROM ($union) u
+WHERE node <> seed
+GROUP BY 1 ORDER BY bc_ppm DESC, node LIMIT 20
+"""
   }
 
   // The oracle replays the same 15 doubling rounds as chained
@@ -1486,6 +1623,7 @@ FROM cl GROUP BY 1 ORDER BY 1
     "graph_khop_hist" -> (khopHist _),
     "graph_shortest_path" -> (shortestPath _),
     "graph_affinity" -> (affinity _),
+    "graph_betweenness" -> (betweenness _),
     "cc_size_hist" -> (ccSizeHist _),
     "cc_incremental" -> (ccIncremental _),
     "cc_decremental" -> (ccDecremental _),
@@ -1533,6 +1671,7 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
     "graph_khop_hist" -> khopOracle,
     "graph_shortest_path" -> shortestPathOracle,
     "graph_affinity" -> affinityOracle,
+    "graph_betweenness" -> betweennessOracle,
     "cc_size_hist" -> ccSizeHistOracle,
     "cc_incremental" -> ccIncrementalOracle,
     "cc_decremental" -> ccDecrementalOracle,

@@ -1722,6 +1722,103 @@ FROM d
           " AS bigint)").as("f_ppm"))
   }
 
+  /** stats_welch_ttest: Welch's unequal-variance two-sample t — the
+    * default modern mean-comparison test, completing the inference panel
+    * between the pooled z² (stats_ab_test) and the k-group F
+    * (stats_anova). Per-user purchase counts, centered at the integer 14
+    * (t is shift-invariant; centering keeps every product inside
+    * decimal(38,0) two orders of magnitude past the gate scales — a
+    * larger corpus re-centers/rescales the same way). Clearing all
+    * denominators gives t² as a single exact integer ratio,
+    *   t²·10⁶ = ⌊d²(n_a−1)(n_b−1)·10⁶ / (n_b²·ssd_a·(n_b−1)
+    *            + n_a²·ssd_b·(n_a−1))⌋,  d = s_a·n_b − s_b·n_a,
+    *            ssd_i = n_i·q_i − s_i²  (≥ 0 by Cauchy–Schwarz),
+    * plus the direction sign, both bit-exact cross-engine. The
+    * Welch–Satterthwaite df is emitted as a deterministic fixed-point
+    * ESTIMATE (per-variant A_i = v_i/n_i ppm-floored before the ratio —
+    * floors compound identically on both engines; the denominator is
+    * clamped ≥ 1 against degenerate floors).
+    *
+    * Scale: one keyed per-user rollup, one 2-row aggregate, one scalar
+    * reshape — the abTest shape exactly.
+    */
+  def welchTtest(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("x0"))
+      .select((col("user_id") % 2).as("variant"), (col("x0") - 14L).as("x"))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("q"))
+      .agg(max(when(col("variant") === 0, col("n"))).as("n_a"),
+        max(when(col("variant") === 0, col("s"))).as("s_a"),
+        max(when(col("variant") === 0, col("q"))).as("q_a"),
+        max(when(col("variant") === 1, col("n"))).as("n_b"),
+        max(when(col("variant") === 1, col("s"))).as("s_b"),
+        max(when(col("variant") === 1, col("q"))).as("q_b"))
+      .select(col("n_a"), col("n_b"), col("s_a"), col("q_a"), col("s_b"),
+        col("q_b"),
+        expr("cast(s_a AS decimal(38,0)) * n_b" +
+          " - cast(s_b AS decimal(38,0)) * n_a").as("d"),
+        expr("cast(n_a AS decimal(38,0)) * q_a" +
+          " - cast(s_a AS decimal(38,0)) * s_a").as("ssd_a"),
+        expr("cast(n_b AS decimal(38,0)) * q_b" +
+          " - cast(s_b AS decimal(38,0)) * s_b").as("ssd_b"))
+      .select(col("n_a"), col("n_b"),
+        expr("cast((d * d * (n_a - 1) * (n_b - 1) * 1000000)" +
+          " div (cast(n_b AS decimal(38,0)) * n_b * ssd_a * (n_b - 1)" +
+          " + cast(n_a AS decimal(38,0)) * n_a * ssd_b * (n_a - 1))" +
+          " AS bigint)").as("t2_ppm"),
+        when(col("d") > 0, 1L).when(col("d") < 0, -1L).otherwise(0L)
+          .as("lift_sign"),
+        expr("cast((ssd_a * 1000000) div (cast(n_a AS decimal(38,0))" +
+          " * n_a * (n_a - 1)) AS bigint)").as("a_a"),
+        expr("cast((ssd_b * 1000000) div (cast(n_b AS decimal(38,0))" +
+          " * n_b * (n_b - 1)) AS bigint)").as("a_b"))
+      .select(col("n_a"), col("n_b"), col("t2_ppm"), col("lift_sign"),
+        expr("cast(((a_a + a_b) * (a_a + a_b) * 1000)" +
+          " div greatest(a_a * a_a div (n_a - 1)" +
+          " + a_b * a_b div (n_b - 1), 1) AS bigint)").as("nu_milli"))
+  }
+
+  val welchTtestOracle: String = """
+WITH pu AS (SELECT user_id, count(*) AS x0 FROM events
+            WHERE event_type = 'purchase' GROUP BY 1),
+c AS (SELECT user_id % 2 AS variant, CAST(x0 - 14 AS BIGINT) AS x FROM pu),
+g AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS q
+      FROM c GROUP BY 1),
+w AS (SELECT max(CASE WHEN variant = 0 THEN n END) AS n_a,
+             max(CASE WHEN variant = 0 THEN s END) AS s_a,
+             max(CASE WHEN variant = 0 THEN q END) AS q_a,
+             max(CASE WHEN variant = 1 THEN n END) AS n_b,
+             max(CASE WHEN variant = 1 THEN s END) AS s_b,
+             max(CASE WHEN variant = 1 THEN q END) AS q_b
+      FROM g),
+t AS (SELECT n_a, n_b,
+             s_a::hugeint * n_b - s_b::hugeint * n_a AS d,
+             n_a::hugeint * q_a - s_a::hugeint * s_a AS ssd_a,
+             n_b::hugeint * q_b - s_b::hugeint * s_b AS ssd_b
+      FROM w),
+r AS (SELECT n_a, n_b,
+             CAST((d * d * (n_a - 1) * (n_b - 1) * 1000000)
+                  // (n_b::hugeint * n_b * ssd_a * (n_b - 1)
+                      + n_a::hugeint * n_a * ssd_b * (n_a - 1))
+                  AS BIGINT) AS t2_ppm,
+             CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 ELSE 0 END AS lift_sign,
+             CAST((ssd_a * 1000000)
+                  // (n_a::hugeint * n_a * (n_a - 1)) AS BIGINT) AS a_a,
+             CAST((ssd_b * 1000000)
+                  // (n_b::hugeint * n_b * (n_b - 1)) AS BIGINT) AS a_b
+      FROM t)
+SELECT n_a, n_b, t2_ppm, CAST(lift_sign AS BIGINT) AS lift_sign,
+       CAST(((a_a::hugeint + a_b) * (a_a::hugeint + a_b) * 1000)
+            // greatest((a_a::hugeint * a_a) // (n_a - 1)
+                + (a_b::hugeint * a_b) // (n_b - 1), 1) AS BIGINT)
+         AS nu_milli
+FROM r
+"""
+
   val anovaOracle: String = """
 WITH x AS (SELECT l_orderkey, count(*) AS x FROM lineitem GROUP BY 1),
 j AS (SELECT o.o_orderpriority AS g, x.x
@@ -1979,6 +2076,7 @@ FROM s ORDER BY g
     "stats_capture_recapture" -> (captureRecapture _),
     "stats_ab_test" -> (abTest _),
     "stats_anova" -> (anova _),
+    "stats_welch_ttest" -> (welchTtest _),
     "stats_spearman" -> (spearman _),
     "stats_theilsen" -> (theilSen _),
     "stats_mann_kendall" -> (mannKendall _),
@@ -2013,6 +2111,7 @@ FROM s ORDER BY g
     "stats_capture_recapture" -> captureRecaptureOracle,
     "stats_ab_test" -> abTestOracle,
     "stats_anova" -> anovaOracle,
+    "stats_welch_ttest" -> welchTtestOracle,
     "stats_spearman" -> spearmanOracle,
     "q52_attribution" -> attributionOracle,
     "stats_autocorr" -> autocorrOracle,
