@@ -45,6 +45,20 @@ object GraphQueries {
         .localCheckpoint()
     }
 
+  /** Both orientations of [[undirectedEdges]], memoized/checkpointed for
+    * the per-node traversals (betweenness) — the same treat-derived-
+    * graphs-as-tables discipline as edgeMemo, so repeated level joins
+    * scan a materialized table instead of re-deriving the expansion.
+    */
+  private val dirMemo = new Memo[DataFrame]
+  private def directedEdges(spark: SparkSession, sfDir: String): DataFrame =
+    dirMemo(spark, sfDir) { (s, dd) =>
+      val e = undirectedEdges(s, dd)
+      e.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+        .localCheckpoint()
+    }
+
   private def allNodes(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .select(col("l_partkey").cast("bigint").as("node")).distinct()
@@ -1454,42 +1468,55 @@ ORDER BY mass.p_brand
     * driver state beyond the level counter.
     */
   def betweenness(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = undirectedEdges(spark, sfDir)
-    val d = e.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint()
+    val d = directedEdges(spark, sfDir)
     val seeds = allNodes(spark, sfDir).orderBy("node").limit(8)
       .select(col("node").as("seed"))
     var frontier = seeds.select(col("seed"), col("seed").as("node"),
       lit(0).as("lev"), lit(1L).as("sigma")).localCheckpoint()
     var visited = frontier
-    for (l <- 1 to 6) {
-      val cand = frontier.join(d, col("node") === col("src"))
+    // The frontier/visited/dependency tables are ≤ |seeds|·n rows, so
+    // every level join broadcasts the small side and the (memoized,
+    // checkpointed) edge table never reshuffles. At cluster scale with
+    // hundreds of seeds the same joins run un-hinted (AQE picks the
+    // strategy from the runtime frontier size). The level loop exits as
+    // soon as a BFS round adds nothing — an isEmpty probe on the
+    // just-checkpointed frontier, so the radius bound (6) only caps the
+    // pathological case; both engines apply the same bound.
+    var maxLev = 0
+    var l = 1
+    while (l <= 6 && !frontier.isEmpty) {
+      val cand = d.join(broadcast(frontier), col("node") === col("src"))
         .groupBy(col("seed"), col("dst"))
         .agg(sum(col("sigma")).as("sigma"))
       frontier = cand
-        .join(visited.select(col("seed").as("vs"), col("node").as("vn")),
+        .join(broadcast(visited.select(col("seed").as("vs"),
+          col("node").as("vn"))),
           col("seed") === col("vs") && col("dst") === col("vn"), "left_anti")
         .select(col("seed"), col("dst").as("node"), lit(l).as("lev"),
           col("sigma"))
         .localCheckpoint()
-      visited = visited.unionAll(frontier)
+      if (!frontier.isEmpty) {
+        maxLev = l
+        visited = visited.unionAll(frontier)
+      }
+      l += 1
     }
     visited = visited.localCheckpoint()
-    var dep = visited.where(col("lev") === 6)
+    var dep = visited.where(col("lev") === maxLev)
       .select(col("seed"), col("node"), col("sigma"), lit(0L).as("dppm"))
     var acc = dep.select(col("seed"), col("node"), col("dppm"))
-    for (l <- 5 to 0 by -1) {
+    for (bl <- (maxLev - 1) to 0 by -1) {
       val succ = dep.select(col("seed").as("ws"), col("node").as("wn"),
         col("sigma").as("wsigma"), col("dppm").as("wdppm"))
-      val cur = visited.where(col("lev") === l)
-      val contrib = cur.join(d, col("node") === col("src"))
-        .join(succ, col("seed") === col("ws") && col("dst") === col("wn"))
+      val cur = visited.where(col("lev") === bl)
+      val contrib = d.join(broadcast(cur), col("node") === col("src"))
+        .join(broadcast(succ),
+          col("seed") === col("ws") && col("dst") === col("wn"))
         .select(col("seed"), col("node"),
           expr("cast((cast(sigma AS decimal(38,0)) * (1000000 + wdppm))" +
             " div wsigma AS bigint)").as("t"))
         .groupBy("seed", "node").agg(sum(col("t")).as("dppm"))
-      dep = cur.join(contrib, Seq("seed", "node"), "left")
+      dep = cur.join(broadcast(contrib), Seq("seed", "node"), "left")
         .select(col("seed"), col("node"), col("sigma"),
           coalesce(col("dppm"), lit(0L)).as("dppm"))
         .localCheckpoint()

@@ -1781,6 +1781,163 @@ FROM d
           " + a_b * a_b div (n_b - 1), 1) AS bigint)").as("nu_milli"))
   }
 
+  /** stats_power_prop: experiment sample-size planning — given the two
+    * observed conversion rates from the stats_ab_test split, the
+    * required per-arm n to detect the observed lift at α=.05 (two-sided)
+    * with 80% power, via the standard pooled normal approximation
+    * n = (z_{α/2}+z_β)²·(p₁q₁+p₂q₂)/d² (no square root in this form, so
+    * it closes over exact integers: K = (1.959964+0.841621)² scaled to
+    * 7,848,887 ppm, rates in ppm, one floor division; the denominator is
+    * clamped ≥ 1 against a zero observed lift). Planning the NEXT
+    * experiment from the last one's rates is the other half of the
+    * experimentation workflow that stats_ab_test starts.
+    *
+    * Scale: identical shape to abTest — one per-user rollup, one 2-row
+    * aggregate, one scalar reshape.
+    */
+  def powerProp(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("n_purch"))
+      .select((col("user_id") % 2).as("variant"),
+        when(col("n_purch") >= 14, 1L).otherwise(0L).as("conv"))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+      .agg(max(when(col("variant") === 0, col("n"))).as("n_a"),
+        max(when(col("variant") === 0, col("c"))).as("c_a"),
+        max(when(col("variant") === 1, col("n"))).as("n_b"),
+        max(when(col("variant") === 1, col("c"))).as("c_b"))
+      .select(col("n_a"), col("n_b"),
+        expr("(c_a * 1000000) div n_a").as("p1_ppm"),
+        expr("(c_b * 1000000) div n_b").as("p2_ppm"))
+      .select(col("n_a"), col("n_b"), col("p1_ppm"), col("p2_ppm"),
+        (col("p1_ppm") - col("p2_ppm")).as("diff_ppm"))
+      .select(col("n_a"), col("n_b"), col("p1_ppm"), col("p2_ppm"),
+        col("diff_ppm"),
+        expr("cast((7848887 * (cast(p1_ppm AS decimal(38,0))" +
+          " * (1000000 - p1_ppm) + cast(p2_ppm AS decimal(38,0))" +
+          " * (1000000 - p2_ppm)))" +
+          " div (greatest(cast(diff_ppm AS decimal(38,0)) * diff_ppm, 1)" +
+          " * 1000000) AS bigint)").as("n_required"))
+  }
+
+  val powerPropOracle: String = """
+WITH pu AS (SELECT user_id, count(*) AS n_purch FROM events
+            WHERE event_type = 'purchase' GROUP BY 1),
+c AS (SELECT user_id % 2 AS variant,
+             CASE WHEN n_purch >= 14 THEN 1 ELSE 0 END AS conv FROM pu),
+g AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS c FROM c GROUP BY 1),
+w AS (SELECT max(CASE WHEN variant = 0 THEN n END) AS n_a,
+             max(CASE WHEN variant = 0 THEN c END) AS c_a,
+             max(CASE WHEN variant = 1 THEN n END) AS n_b,
+             max(CASE WHEN variant = 1 THEN c END) AS c_b
+      FROM g),
+p AS (SELECT n_a, n_b,
+             (c_a * 1000000) // n_a AS p1_ppm,
+             (c_b * 1000000) // n_b AS p2_ppm
+      FROM w)
+SELECT n_a, n_b, p1_ppm, p2_ppm, p1_ppm - p2_ppm AS diff_ppm,
+       CAST((7848887 * (p1_ppm::hugeint * (1000000 - p1_ppm)
+                        + p2_ppm::hugeint * (1000000 - p2_ppm)))
+            // (greatest((p1_ppm - p2_ppm)::hugeint
+                         * (p1_ppm - p2_ppm), 1) * 1000000)
+         AS BIGINT) AS n_required
+FROM p
+"""
+
+  /** stats_logrank: two-group log-rank test — the survival-analysis
+    * primitive (Mantel–Cox), absent from every other family. Each user's
+    * "lifetime" is the day-span between their first and last event;
+    * users whose last event precedes the corpus horizon minus 7 days are
+    * churned (deaths), later ones censored — the standard right-censored
+    * setup. At each distinct lifetime with ≥ 1 death the hypergeometric
+    * observed/expected/variance terms accumulate in exact ppm
+    * fixed-point (floor-per-term, all operands non-negative, decimal(38)
+    * on the variance product), and the statistic is emitted as
+    * χ²·10³ = ⌊(O₁·10⁶−E₁ppm)²·10³ / (Vppm·10⁶)⌋ plus its components —
+    * bit-exact cross-engine, no normal-CDF needed.
+    *
+    * Scale: one per-user rollup, one group-by on lifetime (≤ the
+    * corpus's day span — 31 here), then the risk sets via a suffix-sum
+    * window over those ≤31 rows. The global max-timestamp window and the
+    * unpartitioned suffix window run on the day-level table, never the
+    * event table; at 100 TB both are O(days), not O(events).
+    */
+  def logrank(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .groupBy("user_id")
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+      .withColumn("gmax", max(col("last_us")).over(Window.partitionBy()))
+      .select((col("user_id") % 2).as("variant"),
+        expr("(last_us - first_us) div 86400000000").as("dur"),
+        when(col("last_us") < col("gmax") - lit(604800000000L), 1L)
+          .otherwise(0L).as("death"))
+    val byT = per.groupBy("dur").agg(
+      sum(when(col("variant") === 0, col("death")).otherwise(0L)).as("d1"),
+      sum(col("death")).as("d"),
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("c1"),
+      count(lit(1)).as("c"))
+    val suffix = Window.orderBy(col("dur"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    byT.select(col("dur"), col("d1"), col("d"),
+        sum(col("c1")).over(suffix).as("n1"),
+        sum(col("c")).over(suffix).as("n"))
+      .where(col("d") >= 1)
+      .agg(count(lit(1)).as("n_times"),
+        sum(col("d1")).as("o1"),
+        sum(expr("(d * n1 * 1000000) div n")).as("e1_ppm"),
+        sum(expr("cast((cast(d AS decimal(38,0)) * n1 * (n - n1) * (n - d)" +
+          " * 1000000) div (cast(n AS decimal(38,0)) * n" +
+          " * greatest(n - 1, 1)) AS bigint)")).as("v_ppm"))
+      .select(col("n_times"), col("o1"), col("e1_ppm"), col("v_ppm"),
+        expr("cast(((cast(o1 AS decimal(38,0)) * 1000000 - e1_ppm)" +
+          " * (cast(o1 AS decimal(38,0)) * 1000000 - e1_ppm) * 1000)" +
+          " div greatest(cast(v_ppm AS decimal(38,0)) * 1000000, 1)" +
+          " AS bigint)").as("chi2_milli"))
+  }
+
+  val logrankOracle: String = """
+WITH u AS (SELECT user_id, min(epoch_us(ts)) AS first_us,
+                  max(epoch_us(ts)) AS last_us
+           FROM events GROUP BY 1),
+g AS (SELECT user_id, first_us, last_us, max(last_us) OVER () AS gmax
+      FROM u),
+per AS (SELECT user_id % 2 AS variant,
+               (last_us - first_us) // 86400000000 AS dur,
+               CASE WHEN last_us < gmax - 604800000000 THEN 1 ELSE 0 END
+                 AS death
+        FROM g),
+byt AS (SELECT dur,
+               CAST(sum(CASE WHEN variant = 0 THEN death ELSE 0 END)
+                    AS BIGINT) AS d1,
+               CAST(sum(death) AS BIGINT) AS d,
+               CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS c
+        FROM per GROUP BY 1),
+risk AS (SELECT dur, d1, d,
+                CAST(sum(c1) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING) AS BIGINT) AS n1,
+                CAST(sum(c) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING) AS BIGINT) AS n
+         FROM byt),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n_times,
+               CAST(sum(d1) AS BIGINT) AS o1,
+               CAST(sum((d * n1 * 1000000) // n) AS BIGINT) AS e1_ppm,
+               CAST(sum((d::hugeint * n1 * (n - n1) * (n - d) * 1000000)
+                        // (n::hugeint * n * greatest(n - 1, 1)))
+                    AS BIGINT) AS v_ppm
+        FROM risk WHERE d >= 1)
+SELECT n_times, o1, e1_ppm, v_ppm,
+       CAST(((o1::hugeint * 1000000 - e1_ppm)
+             * (o1::hugeint * 1000000 - e1_ppm) * 1000)
+            // greatest(v_ppm::hugeint * 1000000, 1) AS BIGINT)
+         AS chi2_milli
+FROM agg
+"""
+
   val welchTtestOracle: String = """
 WITH pu AS (SELECT user_id, count(*) AS x0 FROM events
             WHERE event_type = 'purchase' GROUP BY 1),
@@ -2077,6 +2234,8 @@ FROM s ORDER BY g
     "stats_ab_test" -> (abTest _),
     "stats_anova" -> (anova _),
     "stats_welch_ttest" -> (welchTtest _),
+    "stats_power_prop" -> (powerProp _),
+    "stats_logrank" -> (logrank _),
     "stats_spearman" -> (spearman _),
     "stats_theilsen" -> (theilSen _),
     "stats_mann_kendall" -> (mannKendall _),
@@ -2112,6 +2271,8 @@ FROM s ORDER BY g
     "stats_ab_test" -> abTestOracle,
     "stats_anova" -> anovaOracle,
     "stats_welch_ttest" -> welchTtestOracle,
+    "stats_power_prop" -> powerPropOracle,
+    "stats_logrank" -> logrankOracle,
     "stats_spearman" -> spearmanOracle,
     "q52_attribution" -> attributionOracle,
     "stats_autocorr" -> autocorrOracle,
