@@ -711,6 +711,60 @@ SELECT user_id, count(*) AS n_events,
 FROM events GROUP BY 1 ORDER BY user_id
 """
 
+  /** stream_mapstate_modes: transformWithState with MAP-typed state —
+    * the composite state primitive stream_running_count's ValueState
+    * doesn't exercise: a per-user MapState[event_type → count]
+    * maintained across micro-batches, each input row emitting the
+    * post-row snapshot (total rows, distinct types, modal type with
+    * count-desc/lexicographic tie-break). MapState is the shape
+    * per-entity feature maps take in production (per-user per-category
+    * counters on RocksDB, point-updated — not a re-serialized blob,
+    * which is what the same logic in a ValueState[Map] would cost).
+    * The final per-user snapshot depends only on the input multiset, so
+    * `max_by(_, n_seen)` over the per-row emissions is batching- and
+    * order-invariant — graded against the batch modal rollup.
+    *
+    * Scale: state is |active users| × |types| point entries in the
+    * RocksDB store; per-row work scans the user's own ≤|types| map
+    * entries. Emission volume equals input volume, same as any
+    * enrich-with-state pass.
+    */
+  def mapStateModes(spark: SparkSession, sfDir: String): DataFrame =
+    runToCompletion(spark, { sub =>
+        import sub.implicits._
+        sub.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        eventsStream(sub, sfDir)
+          .select(col("user_id"), col("event_type"))
+          .as[(Long, String)]
+          .groupByKey(_._1)
+          .transformWithState(new UserTypeModes(),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .toDF("user_id", "n_seen", "n_types", "mode_type", "mode_n")
+      }, "append")
+      .groupBy("user_id")
+      .agg(max(col("n_seen")).as("n_events"),
+        expr("max_by(n_types, n_seen)").as("n_types"),
+        expr("max_by(mode_type, n_seen)").as("mode_type"),
+        expr("max_by(mode_n, n_seen)").as("mode_n"))
+      .orderBy("user_id")
+
+  val mapStateModesOracle: String = """
+WITH pc AS (SELECT user_id, event_type, count(*) AS n
+            FROM events GROUP BY 1, 2),
+m AS (SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn,
+             sum(n) OVER (PARTITION BY user_id) AS tot,
+             count(*) OVER (PARTITION BY user_id) AS ntypes
+      FROM pc)
+SELECT user_id, CAST(tot AS BIGINT) AS n_events,
+       CAST(ntypes AS BIGINT) AS n_types,
+       event_type AS mode_type, CAST(n AS BIGINT) AS mode_n
+FROM m WHERE rn = 1 ORDER BY user_id
+"""
+
   /** stream_foreachbatch_upsert: the `foreachBatch` MERGE sink — THE
     * production pattern for landing a streaming aggregate in an upsert
     * store (key-value table, OLAP upsert engine, Delta MERGE): update
@@ -1201,6 +1255,7 @@ ORDER BY day ASC NULLS FIRST, event_type ASC NULLS FIRST
     "stream_foreachbatch_upsert" -> (foreachBatchUpsert _),
     "stream_dedup_watermark" -> (dedupWatermark _),
     "stream_running_count" -> (runningCount _),
+    "stream_mapstate_modes" -> (mapStateModes _),
     "stream_update_mode" -> (updateMode _),
     "stream_outer_join" -> (outerJoin _),
     "stream_late_data" -> (lateData _),
@@ -1223,6 +1278,7 @@ ORDER BY day ASC NULLS FIRST, event_type ASC NULLS FIRST
     "stream_foreachbatch_upsert" -> foreachBatchUpsertOracle,
     "stream_dedup_watermark" -> dedupWatermarkOracle,
     "stream_running_count" -> runningCountOracle,
+    "stream_mapstate_modes" -> mapStateModesOracle,
     "stream_update_mode" -> updateModeOracle,
     "stream_outer_join" -> outerJoinOracle,
     "stream_late_data" -> lateDataOracle,
@@ -1268,6 +1324,52 @@ private[streaming] class RunningUserStats
       (key, n, mx)
     }.toVector
     st.update((n, mx))
+    out.iterator
+  }
+}
+
+/** Per-user MapState[event_type → count] for stream_mapstate_modes —
+  * see the query scaladoc. Emits the post-row snapshot (rows seen,
+  * distinct types, modal type by count desc then lexicographic) per
+  * input row; the map has ≤ |event types| entries per user, so the
+  * per-row scan is O(types), and each update is a single point-write
+  * to the store.
+  */
+private[streaming] class UserTypeModes
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String), (Long, Long, Long, String, Long)] {
+  import org.apache.spark.sql.streaming.{MapState, TimerValues, TTLConfig}
+
+  @transient private var st: MapState[String, Long] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                    timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getMapState[String, Long]("type_counts",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong,
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long, String, Long)] = {
+    // Drain eagerly: the snapshot must reflect the state at each row.
+    val out = rows.map { case (_, t) =>
+      val cur = if (st.containsKey(t)) st.getValue(t) else 0L
+      st.updateValue(t, cur + 1L)
+      var n = 0L
+      var nTypes = 0L
+      var modeType = ""
+      var modeN = -1L
+      val it = st.iterator()
+      while (it.hasNext) {
+        val (typ, c) = it.next()
+        nTypes += 1
+        n += c
+        if (c > modeN || (c == modeN && typ < modeType)) {
+          modeN = c; modeType = typ
+        }
+      }
+      (key, n, nTypes, modeType, modeN)
+    }.toVector
     out.iterator
   }
 }
