@@ -889,7 +889,69 @@ SELECT lang, count(*) AS n_rows, 1::BIGINT AS n_files,
 FROM documents GROUP BY lang ORDER BY lang
 """
 
+  /** src_synthlog_pushdown: the custom DataSourceV2 connector
+    * ([[graft.sources.SynthLogSource]]) read through its full pushdown
+    * surface — the `id` range predicates narrow the generated interval
+    * at the source (never emitted, not filtered after the fact), the
+    * `level` predicate stays residual for Spark to evaluate, and the
+    * aggregate's column set prunes the reader to the four columns it
+    * actually touches. `SynthLogSourceSpec` pins the plan: pushed
+    * filters on the scan, pruned read schema, partition count over the
+    * narrowed range. The oracle replays the deterministic row function
+    * over DuckDB's `range()` — grading the connector end-to-end, not
+    * just the arithmetic.
+    */
+  def synthlogPushdown(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graft.sources.SynthLogSource")
+      .option("rows", "200000").option("slices", "8").load()
+      .where(col("id") >= 25000 && col("id") < 175000 && col("level") === 3)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+           sum(col("value")).as("value_sum"),
+           min(col("id")).as("min_id"),
+           max(col("id")).as("max_id"))
+      .orderBy("bucket")
+
+  private val synthlogPushdownOracle: String = s"""
+SELECT bucket, count(*) AS n, CAST(sum(value) AS BIGINT) AS value_sum,
+       min(id) AS min_id, max(id) AS max_id
+FROM ${graft.sources.SynthLogSource.oracleTable(200000L)} s
+WHERE id >= 25000 AND id < 175000 AND level = 3
+GROUP BY bucket ORDER BY bucket
+"""
+
+  /** src_synthlog_join: the connector's `SupportsReportStatistics`
+    * driving a planner decision — the scan reports the POST-pushdown
+    * cardinality (2,000 rows, not the 5M-row table), so Catalyst
+    * plans a broadcast join against orders without any manual hint.
+    * This is the property that matters at warehouse scale: a
+    * heavily-filtered connector scan joins like the small table it
+    * became, not the big table it started as. The spec asserts the
+    * broadcast appears in the executed plan.
+    */
+  def synthlogJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val log = spark.read.format("graft.sources.SynthLogSource")
+      .option("rows", "5000000").option("slices", "8").load()
+      .where(col("id") < 2000 && col("level") === 3)
+      .select(col("id"), col("value"))
+    Tables.orders(spark, sfDir)
+      .join(log, col("o_orderkey") === col("id"))
+      .agg(count(lit(1)).as("n_orders"),
+           countDistinct(col("o_custkey")).as("n_customers"),
+           sum(col("value")).as("value_sum"))
+  }
+
+  private val synthlogJoinOracle: String = s"""
+SELECT count(*) AS n_orders, count(DISTINCT o_custkey) AS n_customers,
+       CAST(sum(value) AS BIGINT) AS value_sum
+FROM orders JOIN ${graft.sources.SynthLogSource.oracleTable(5000000L)} s
+  ON o_orderkey = s.id
+WHERE s.id < 2000 AND s.level = 3
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_synthlog_pushdown" -> (synthlogPushdown _),
+    "src_synthlog_join" -> (synthlogJoin _),
     "io_metadata_columns" -> (metadataColumns _),
     "io_analyze_stats" -> (analyzeStats _),
     "io_codec_roundtrip" -> (codecRoundtrip _),
@@ -913,6 +975,8 @@ FROM documents GROUP BY lang ORDER BY lang
   )
 
   val oracles: Map[String, String] = Map(
+    "src_synthlog_pushdown" -> synthlogPushdownOracle,
+    "src_synthlog_join" -> synthlogJoinOracle,
     "io_metadata_columns" -> metadataColumnsOracle,
     "io_analyze_stats" -> analyzeStatsOracle,
     "io_codec_roundtrip" -> codecRoundtripOracle,

@@ -1,0 +1,205 @@
+package graft.sources
+
+import java.util.{List => JList}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{
+  Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns,
+  SupportsReportStatistics}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.{
+  EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A full DataSourceV2 `TableProvider` for a deterministic synthetic
+  * log table — the "custom source" half of the engine surface, next to
+  * the parquet/csv/json/orc readers exercised by `IoQueries` and the
+  * reference's text/generator sources (CCDriver.scala:48-58,
+  * CliquesGenerator.scala:47-66, whose sources are a text file and a
+  * parallelized collection; this is the Spark-4-native connector-API
+  * counterpart).
+  *
+  * The table is `rows` rows keyed by `id ∈ [0, rows)`; every other
+  * column is a pure integer function of `id`, so any engine that can
+  * enumerate a range can replay it exactly — which is what makes the
+  * source oracle-gradable in DuckDB (`range(0, rows)` + the same
+  * arithmetic; all values stay far inside int64).
+  *
+  * What makes it a real source rather than a `spark.range` alias:
+  *
+  *   - '''Column pruning''' (`SupportsPushDownRequiredColumns`): the
+  *     reader materializes only the pruned columns; a count over one
+  *     column never computes the others.
+  *   - '''Filter pushdown''' (`SupportsPushDownFilters`): range
+  *     comparisons and equality on `id` narrow the generated interval
+  *     BEFORE partition planning — the source never emits a row just
+  *     to have it filtered out. Pushed `id` filters are fully handled
+  *     (returned residual set excludes them); filters on computed
+  *     columns stay residual and Spark re-evaluates them.
+  *   - '''Partition planning''': the (narrowed) interval splits into
+  *     `slices` contiguous `InputPartition`s, so parallelism survives
+  *     pushdown and a pruned scan plans proportionally less work.
+  *   - '''Statistics''' (`SupportsReportStatistics`): sizeInBytes /
+  *     rowCount reflect the NARROWED range, so Catalyst's
+  *     broadcast-threshold and AQE decisions see the post-pushdown
+  *     cardinality — a heavily-filtered scan becomes broadcast-able
+  *     even when the unfiltered table would not be.
+  *
+  * At 100 TB the pattern is the one every warehouse connector uses:
+  * pushdown narrows the scan at the metadata layer, partitions are
+  * planned over the narrowed keyspace, and per-partition readers are
+  * independent (no driver state beyond the range bounds).
+  */
+class SynthLogSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SynthLogSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new SynthLogTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("slices", "8").toInt)
+}
+
+object SynthLogSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("bucket", LongType, nullable = false),
+    StructField("level", LongType, nullable = false),
+    StructField("value", LongType, nullable = false)))
+
+  /** The row function: everything is derived from `id` with arithmetic
+    * DuckDB replays verbatim (ids stay < 2^24, so the LCG product is
+    * < 2^55 — no overflow on either engine, ANSI-safe).
+    */
+  @inline def hash(id: Long): Long = (id * 1103515245L + 12345L) % 2147483648L
+  @inline def bucket(id: Long): Long = id / 1000L
+  @inline def level(id: Long): Long = hash(id) % 8L
+  @inline def value(id: Long): Long = (hash(id) * 31L + id) % 1000000L
+
+  /** The same row function as SQL over DuckDB's `range(0, rows)` —
+    * splice into oracle queries as the table source.
+    */
+  def oracleTable(rows: Long): String =
+    s"""(SELECT id, id // 1000 AS bucket,
+       |        ((id * 1103515245 + 12345) % 2147483648) % 8 AS level,
+       |        (((id * 1103515245 + 12345) % 2147483648) * 31 + id) % 1000000 AS value
+       |   FROM range(0, $rows) t(id))""".stripMargin
+}
+
+private[sources] class SynthLogTable(rows: Long, slices: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"synthlog($rows)"
+  override def schema(): StructType = SynthLogSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SynthLogScanBuilder(rows, slices)
+}
+
+/** Accumulates pruning + pushdown state, then freezes into a
+  * [[SynthLogScan]]. `lo`/`hi` is the half-open id interval after all
+  * pushed `id` filters are intersected.
+  */
+private[sources] class SynthLogScanBuilder(rows: Long, slices: Int)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var lo: Long = 0L
+  private var hi: Long = rows
+  private var pushed: ArrayBuffer[Filter] = ArrayBuffer.empty
+  private var required: StructType = SynthLogSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val residual = ArrayBuffer[Filter]()
+    filters.foreach {
+      case f @ EqualTo("id", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1); pushed += f
+      case f @ GreaterThan("id", v: Long) =>
+        lo = math.max(lo, v + 1); pushed += f
+      case f @ GreaterThanOrEqual("id", v: Long) =>
+        lo = math.max(lo, v); pushed += f
+      case f @ LessThan("id", v: Long) =>
+        hi = math.min(hi, v); pushed += f
+      case f @ LessThanOrEqual("id", v: Long) =>
+        hi = math.min(hi, v + 1); pushed += f
+      case other => residual += other
+    }
+    residual.toArray
+  }
+  override def pushedFilters(): Array[Filter] = pushed.toArray
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new SynthLogScan(math.min(lo, hi), hi, slices, required, pushed.toArray)
+}
+
+private[sources] class SynthLogScan(lo: Long, hi: Long, slices: Int,
+    required: StructType, pushed: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"synthlog [$lo, $hi) cols=${required.fieldNames.mkString(",")} " +
+      s"pushed=${pushed.mkString(",")}"
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(hi - lo, 0L)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n * 8L * math.max(required.size, 1))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(hi - lo, 0L)
+    if (n == 0L) return Array.empty
+    val k = math.min(slices.toLong, n).toInt
+    Array.tabulate(k) { i =>
+      SynthLogPartition(lo + i * n / k, lo + (i + 1) * n / k)
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthLogReaderFactory(required.fieldNames)
+}
+
+private[sources] case class SynthLogPartition(lo: Long, hi: Long)
+    extends InputPartition
+
+private[sources] class SynthLogReaderFactory(cols: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[SynthLogPartition]
+    new SynthLogReader(sp.lo, sp.hi, cols)
+  }
+}
+
+/** Per-partition reader: a counter over the id sub-range, computing
+  * ONLY the pruned columns per row. No buffering — O(1) state.
+  */
+private[sources] class SynthLogReader(lo: Long, hi: Long, cols: Array[String])
+    extends PartitionReader[InternalRow] {
+  import SynthLogSource._
+  private var id = lo - 1
+
+  override def next(): Boolean = { id += 1; id < hi }
+
+  override def get(): InternalRow =
+    InternalRow.fromSeq(cols.toSeq.map {
+      case "id" => id
+      case "bucket" => bucket(id)
+      case "level" => level(id)
+      case "value" => value(id)
+    })
+
+  override def close(): Unit = {}
+}
