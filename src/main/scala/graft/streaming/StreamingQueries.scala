@@ -765,6 +765,61 @@ SELECT user_id, CAST(tot AS BIGINT) AS n_events,
 FROM m WHERE rn = 1 ORDER BY user_id
 """
 
+  /** stream_liststate_median: transformWithState with LIST-typed state
+    * — completing the state-primitive trio next to
+    * stream_running_count's ValueState and stream_mapstate_modes'
+    * MapState. Per-user ListState buffers every observed value; each
+    * input row emits the post-row snapshot (count, LOWER MEDIAN, sum).
+    * The median is the computation that forces a list: it needs the
+    * full value multiset, not a fold — a ValueState running aggregate
+    * cannot produce it. ListState appends are O(1) point-writes to
+    * RocksDB (vs rewriting a ValueState[Array] blob per event, which
+    * is quadratic bytes over a user's lifetime).
+    *
+    * The final per-user snapshot depends only on the multiset (lower
+    * median = sorted index (n−1)/2, deterministic under duplicates),
+    * so `max_by(_, n_seen)` over per-row emissions is batching- and
+    * order-invariant. Scale: per-user state is that user's event
+    * count; the per-row O(n log n) re-sort is bounded by per-entity
+    * volume (not corpus volume) — the production variant of this
+    * pattern evicts via TTL or timer-driven compaction, exercised by
+    * stream_session_timers.
+    */
+  def listStateMedian(spark: SparkSession, sfDir: String): DataFrame =
+    runToCompletion(spark, { sub =>
+        import sub.implicits._
+        sub.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        eventsStream(sub, sfDir)
+          .select(col("user_id"),
+            expr("cast(floor(value * 1000000.0 + 0.5) as bigint)").as("vus"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new UserValueBuffer(),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .toDF("user_id", "n_seen", "median_us", "sum_us")
+      }, "append")
+      .groupBy("user_id")
+      .agg(max(col("n_seen")).as("n_events"),
+        expr("max_by(median_us, n_seen)").as("median_us"),
+        expr("max_by(sum_us, n_seen)").as("sum_us"))
+      .orderBy("user_id")
+
+  val listStateMedianOracle: String = """
+WITH v AS (SELECT user_id,
+                  cast(floor(value * 1000000.0 + 0.5) AS bigint) AS vus
+           FROM events),
+r AS (SELECT user_id, vus,
+             row_number() OVER (PARTITION BY user_id ORDER BY vus) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             sum(vus) OVER (PARTITION BY user_id) AS s
+      FROM v)
+SELECT user_id, CAST(n AS BIGINT) AS n_events, vus AS median_us,
+       CAST(s AS BIGINT) AS sum_us
+FROM r WHERE rn = (n + 1) // 2 ORDER BY user_id
+"""
+
   /** stream_foreachbatch_upsert: the `foreachBatch` MERGE sink — THE
     * production pattern for landing a streaming aggregate in an upsert
     * store (key-value table, OLAP upsert engine, Delta MERGE): update
@@ -1256,6 +1311,7 @@ ORDER BY day ASC NULLS FIRST, event_type ASC NULLS FIRST
     "stream_dedup_watermark" -> (dedupWatermark _),
     "stream_running_count" -> (runningCount _),
     "stream_mapstate_modes" -> (mapStateModes _),
+    "stream_liststate_median" -> (listStateMedian _),
     "stream_update_mode" -> (updateMode _),
     "stream_outer_join" -> (outerJoin _),
     "stream_late_data" -> (lateData _),
@@ -1279,6 +1335,7 @@ ORDER BY day ASC NULLS FIRST, event_type ASC NULLS FIRST
     "stream_dedup_watermark" -> dedupWatermarkOracle,
     "stream_running_count" -> runningCountOracle,
     "stream_mapstate_modes" -> mapStateModesOracle,
+    "stream_liststate_median" -> listStateMedianOracle,
     "stream_update_mode" -> updateModeOracle,
     "stream_outer_join" -> outerJoinOracle,
     "stream_late_data" -> lateDataOracle,
@@ -1369,6 +1426,39 @@ private[streaming] class UserTypeModes
         }
       }
       (key, n, nTypes, modeType, modeN)
+    }.toVector
+    out.iterator
+  }
+}
+
+/** Per-user ListState[value_us] for stream_liststate_median — see the
+  * query scaladoc. Each input row appends one value (an O(1) RocksDB
+  * point-write) and emits the post-row (count, lower median, sum)
+  * snapshot recomputed from the buffered list.
+  */
+private[streaming] class UserValueBuffer
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{ListState, TimerValues, TTLConfig}
+
+  @transient private var st: ListState[Long] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                    timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getListState[Long]("values",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    // Drain eagerly: each emission reflects the state AT that row.
+    val out = rows.map { case (_, v) =>
+      st.appendValue(v)
+      val buf = scala.collection.mutable.ArrayBuffer[Long]()
+      val it = st.get()
+      while (it.hasNext) buf += it.next()
+      val sorted = buf.sorted
+      val n = sorted.length
+      (key, n.toLong, sorted((n - 1) / 2), sorted.sum)
     }.toVector
     out.iterator
   }
