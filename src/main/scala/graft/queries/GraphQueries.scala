@@ -1451,6 +1451,220 @@ ORDER BY mass.p_brand
       .orderBy("cluster_size")
   }
 
+  /** graph_mst: the FULL Borůvka/Sollin minimum-spanning-forest
+    * fixpoint — [[affinity]] is its first round; this runs the rounds
+    * to convergence and emits the forest itself. Borůvka is THE
+    * distributed MSF algorithm (each round: per-component minimum
+    * incident edge — one map-side-combinable argmin — then contract
+    * the selected pseudo-forest by pointer jumping): O(log n) rounds,
+    * every step an equi-join or aggregate on the current component
+    * table, no driver state beyond the loop counters. Runs on the
+    * high-quantity co-purchase graph (the fragmented one — see
+    * [[ccSizeHist]]), so the forest has ~10³ trees of varied size.
+    *
+    * Determinism: edge keys pack (weight, u, v) into one bigint
+    * (w·2⁴² + u·2²¹ + v, requiring ids < 2²¹ — checked at runtime via
+    * the same Observation that counts the initial cross edges), so
+    * keys are UNIQUE and the MSF is the unique one for this weight
+    * function. Each round's contraction labels a merged group by its
+    * MINIMUM member — delegated to [[ConnectedComponents.runAuto]] on
+    * the selected pseudo-forest. The oracle reproduces that label with
+    * pointer jumping (the pseudo-forest cycles only at mutual-best
+    * 2-cycles, since the minimum key in a merging group is chosen by
+    * both endpoints) followed by a min-per-group relabel.
+    *
+    * The Borůvka loop is Observation-converged (the cross-edge count
+    * rides the relabel checkpoint — zero extra jobs) with bounds
+    * mirrored in the oracle: 14 rounds cover component sizes to 2¹⁴
+    * and the oracle's 15 doublings cover merge chains to 2¹⁵, both
+    * `require`d so an sf outside the bound fails loudly, and extra
+    * oracle rounds past convergence are provable no-ops (no cross
+    * edges → empty selection → identity relabel). A NOTE on the
+    * abandoned alternative: contracting with an in-query pointer-jump
+    * self-join loop compounds Catalyst's sizeInBytes statistics
+    * (localCheckpoint propagates origin stats, and a doubling
+    * self-join SQUARES them per step — BigInt digits double until the
+    * planner spends minutes multiplying million-digit numbers);
+    * delegating to the CC operator sidesteps it and reuses the
+    * engine's primitive. Emitted: one row (forest edge count, total
+    * weight, an exact edge-set checksum, final component count) — the
+    * checksum grades the EDGE SET, not just its cost.
+    */
+  def mst(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).where(col("l_quantity") >= 45)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+    mstOn(pairs, li.select(col("pk").as("node")).distinct())
+  }
+
+  /** The hash weight [[mst]] assigns an undirected (u < v) pair —
+    * shared with the test suite's independent Kruskal cross-check.
+    */
+  private[graft] def mstWeight(u: Long, v: Long): Long =
+    (u * 8191L + v * 524287L) % 999983L
+
+  /** Borůvka loop over an explicit (u < v) pair table and node table —
+    * split from [[mst]] so tests can drive it on pencil graphs.
+    */
+  private[graft] def mstOn(pairs: DataFrame, nodesIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Observation
+    val w = (col("u") * 8191L + col("v") * 524287L) % 999983L
+    val keyed = pairs.select(
+      (w * lit(4398046511104L) + col("u") * lit(2097152L) + col("v")).as("key"),
+      col("u").as("cu"), col("v").as("cv"))
+    val initObs = new Observation()
+    var edges = keyed.observe(initObs,
+        coalesce(sum(when(col("cu") =!= col("cv"), 1L).otherwise(0L)), lit(0L))
+          .as("cross"),
+        coalesce(max(greatest(col("cu"), col("cv"))), lit(0L)).as("maxid"))
+      .localCheckpoint()
+    require(initObs.get.getOrElse("maxid", 0L).asInstanceOf[Long] < 2097152L,
+      "graph_mst key packing needs node ids < 2^21; widen the pack factors")
+    var cross = initObs.get.getOrElse("cross", 0L).asInstanceOf[Long]
+    val canons = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val mstRounds = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var round = 0
+    while (cross > 0 && round < 14) {
+      val crossE = edges.where(col("cu") =!= col("cv"))
+      val cand = crossE.select(col("cu").as("c"), col("key"))
+        .unionAll(crossE.select(col("cv").as("c"), col("key")))
+        .groupBy("c").agg(min(col("key")).as("bkey"))
+      mstRounds += cand.select(col("bkey"))
+      // Contract the selected pseudo-forest with the engine's OWN CC
+      // operator: each merged group's new label is its minimum member
+      // (reference CC semantics), which the oracle reproduces as
+      // pointer-jumping + a min-per-group relabel. runAuto takes the
+      // driver union-find path at gate scale (the pseudo-forest has one
+      // edge per component, far under its 4M-edge bound) and the
+      // distributed star fixpoint beyond it — the MSF inherits the CC
+      // operator's scale story instead of re-deriving one.
+      val inner = ConnectedComponents.runAuto(
+        cand.join(crossE.select(col("key").as("bkey"), col("cu"), col("cv")),
+            Seq("bkey"))
+          .select(col("c").as("src"),
+            when(col("c") === col("cu"), col("cv")).otherwise(col("cu"))
+              .as("dst")))
+      require(inner.converged, "graph_mst contraction CC did not converge")
+      val canon = inner.assignments
+        .select(col("node").as("c"), col("component").as("nc"))
+      canons += canon
+      val obsE = new Observation()
+      edges = edges
+        .join(canon.select(col("c").as("xc"), col("nc").as("xnc")),
+          col("cu") === col("xc"), "left")
+        .join(canon.select(col("c").as("yc"), col("nc").as("ync")),
+          col("cv") === col("yc"), "left")
+        .select(col("key"),
+          coalesce(col("xnc"), col("cu")).as("cu"),
+          coalesce(col("ync"), col("cv")).as("cv"))
+        .observe(obsE, coalesce(sum(when(col("cu") =!= col("cv"), 1L)
+          .otherwise(0L)), lit(0L)).as("cross"))
+        .localCheckpoint()
+      cross = obsE.get.getOrElse("cross", 0L).asInstanceOf[Long]
+      round += 1
+    }
+    require(cross == 0L,
+      s"graph_mst did not converge within the oracle's 14 Borůvka rounds")
+    // Final labels: compose the per-round canon maps over the node
+    // table lazily — one ≤14-deep chain of small left joins, executed
+    // once here instead of a checkpointed relabel job per round.
+    val comps = canons.foldLeft(
+        nodesIn.select(col("node"), col("node").as("comp"))) { (acc, cn) =>
+      acc.join(cn.select(col("c").as("rc"), col("nc")),
+          col("comp") === col("rc"), "left")
+        .select(col("node"), coalesce(col("nc"), col("comp")).as("comp"))
+    }
+    val nComp = comps.agg(countDistinct(col("comp")).as("n_components"))
+    val mstE =
+      (if (mstRounds.isEmpty) keyed.select(col("key").as("bkey")).where(lit(false))
+       else mstRounds.reduce(_ unionAll _)).distinct()
+    val mstAgg = mstE.agg(
+      count(lit(1)).as("n_edges"),
+      sum(expr("bkey DIV 4398046511104")).as("weight_sum"),
+      sum(expr("(bkey DIV 2097152) % 2097152 * 1000003 + bkey % 2097152 * 7919"))
+        .as("checksum"))
+    // 1-row × 1-row scalar join (PlanShapeSpec-exempt pattern).
+    mstAgg.crossJoin(nComp)
+  }
+
+  private val mstOracle: String = {
+    // Mirrors the Spark loop with FIXED bounds (14 Borůvka rounds × 15
+    // doublings — the require()s above guarantee convergence inside
+    // them); rounds past convergence are no-ops. MATERIALIZED
+    // throughout: every CTE is referenced at least twice downstream
+    // and DuckDB inlines plain CTEs per reference.
+    val rounds = (1 to 14).map { r =>
+      val jumps = (1 to 15).map { k =>
+        s"p${r}_$k AS MATERIALIZED (SELECT a.c, b.ptr FROM p${r}_${k - 1} a " +
+          s"JOIN p${r}_${k - 1} b ON b.c = a.ptr)"
+      }.mkString(",\n")
+      s"""cand$r AS MATERIALIZED (
+         |  SELECT c, min(key) AS bkey FROM (
+         |    SELECT cu AS c, key FROM ed${r - 1} WHERE cu <> cv
+         |    UNION ALL
+         |    SELECT cv AS c, key FROM ed${r - 1} WHERE cu <> cv) GROUP BY c),
+         |p${r}_0 AS MATERIALIZED (
+         |  SELECT d.c, CASE WHEN d.c = e.cu THEN e.cv ELSE e.cu END AS ptr
+         |  FROM cand$r d JOIN ed${r - 1} e ON e.key = d.bkey),
+         |$jumps,
+         |grp$r AS MATERIALIZED (
+         |  SELECT a.c, least(a.ptr, b.ptr) AS g
+         |  FROM p${r}_15 a JOIN p${r}_0 b ON b.c = a.ptr),
+         |mn$r AS MATERIALIZED (SELECT g, min(c) AS nc FROM grp$r GROUP BY g),
+         |canon$r AS MATERIALIZED (
+         |  SELECT t.c, m.nc FROM grp$r t JOIN mn$r m ON m.g = t.g),
+         |ed$r AS MATERIALIZED (
+         |  SELECT e.key, coalesce(x.nc, e.cu) AS cu, coalesce(y.nc, e.cv) AS cv
+         |  FROM ed${r - 1} e LEFT JOIN canon$r x ON x.c = e.cu
+         |  LEFT JOIN canon$r y ON y.c = e.cv)""".stripMargin
+    }.mkString(",\n")
+    val msel = (1 to 14).map(r => s"SELECT bkey FROM cand$r").mkString("\n  UNION\n  ")
+    s"""
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+ed0 AS MATERIALIZED (
+  SELECT ((u * 8191 + v * 524287) % 999983) * 4398046511104
+           + u * 2097152 + v AS key,
+         u AS cu, v AS cv
+  FROM e0),
+$rounds,
+msel AS MATERIALIZED (
+  $msel),
+m AS (SELECT bkey // 4398046511104 AS w,
+             (bkey // 2097152) % 2097152 AS u, bkey % 2097152 AS v
+      FROM msel),
+comps AS MATERIALIZED (
+  SELECT n.node, coalesce(
+    c14.nc, c13.nc, c12.nc, c11.nc, c10.nc, c9.nc, c8.nc, c7.nc, c6.nc,
+    c5.nc, c4.nc, c3.nc, c2.nc, c1.nc, n.node) AS comp
+  FROM (SELECT DISTINCT l_partkey AS node FROM li) n
+  LEFT JOIN canon1 c1 ON c1.c = n.node
+  LEFT JOIN canon2 c2 ON c2.c = coalesce(c1.nc, n.node)
+  LEFT JOIN canon3 c3 ON c3.c = coalesce(c2.nc, c1.nc, n.node)
+  LEFT JOIN canon4 c4 ON c4.c = coalesce(c3.nc, c2.nc, c1.nc, n.node)
+  LEFT JOIN canon5 c5 ON c5.c = coalesce(c4.nc, c3.nc, c2.nc, c1.nc, n.node)
+  LEFT JOIN canon6 c6 ON c6.c = coalesce(c5.nc, c4.nc, c3.nc, c2.nc, c1.nc, n.node)
+  LEFT JOIN canon7 c7 ON c7.c = coalesce(c6.nc, c5.nc, c4.nc, c3.nc, c2.nc, c1.nc, n.node)
+  LEFT JOIN canon8 c8 ON c8.c = coalesce(c7.nc, c6.nc, c5.nc, c4.nc, c3.nc, c2.nc, c1.nc, n.node)
+  LEFT JOIN canon9 c9 ON c9.c = coalesce(c8.nc, c7.nc, c6.nc, c5.nc, c4.nc, c3.nc, c2.nc, c1.nc, n.node)
+  LEFT JOIN canon10 c10 ON c10.c = coalesce(c9.nc, c8.nc, c7.nc, c6.nc, c5.nc, c4.nc, c3.nc, c2.nc, c1.nc, n.node)
+  LEFT JOIN canon11 c11 ON c11.c = coalesce(c10.nc, c9.nc, c8.nc, c7.nc, c6.nc, c5.nc, c4.nc, c3.nc, c2.nc, c1.nc, n.node)
+  LEFT JOIN canon12 c12 ON c12.c = coalesce(c11.nc, c10.nc, c9.nc, c8.nc, c7.nc, c6.nc, c5.nc, c4.nc, c3.nc, c2.nc, c1.nc, n.node)
+  LEFT JOIN canon13 c13 ON c13.c = coalesce(c12.nc, c11.nc, c10.nc, c9.nc, c8.nc, c7.nc, c6.nc, c5.nc, c4.nc, c3.nc, c2.nc, c1.nc, n.node)
+  LEFT JOIN canon14 c14 ON c14.c = coalesce(c13.nc, c12.nc, c11.nc, c10.nc, c9.nc, c8.nc, c7.nc, c6.nc, c5.nc, c4.nc, c3.nc, c2.nc, c1.nc, n.node))
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(w) AS BIGINT) AS weight_sum,
+       CAST(sum(u * 1000003 + v * 7919) AS BIGINT) AS checksum,
+       (SELECT CAST(count(DISTINCT comp) AS BIGINT) FROM comps) AS n_components
+FROM m
+"""
+  }
+
   /** graph_betweenness: sampled, radius-bounded betweenness centrality —
     * Brandes' algorithm (2001) from 8 deterministic source nodes (the
     * Brandes–Pich sampling estimator), level-synchronous to 6 hops (the
@@ -1667,6 +1881,7 @@ FROM cl GROUP BY 1 ORDER BY 1
     "graph_khop_hist" -> (khopHist _),
     "graph_shortest_path" -> (shortestPath _),
     "graph_affinity" -> (affinity _),
+    "graph_mst" -> (mst _),
     "graph_betweenness" -> (betweenness _),
     "cc_size_hist" -> (ccSizeHist _),
     "cc_incremental" -> (ccIncremental _),
@@ -1715,6 +1930,7 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
     "graph_khop_hist" -> khopOracle,
     "graph_shortest_path" -> shortestPathOracle,
     "graph_affinity" -> affinityOracle,
+    "graph_mst" -> mstOracle,
     "graph_betweenness" -> betweennessOracle,
     "cc_size_hist" -> ccSizeHistOracle,
     "cc_incremental" -> ccIncrementalOracle,

@@ -67,7 +67,10 @@ class PlanShapeSpec extends SparkSpec {
     "sim_mips_topk", "text_source_drift", "sketch_ams_f2",
     "stats_bootstrap_ci", "q56_funnel", "sketch_cms_merge",
     "sim_binary_sign_ann", "sketch_theta_anotb", "sim_matryoshka",
-    "geo_knn", "sim_threshold_sweep")
+    "geo_knn", "sim_threshold_sweep",
+    // graph_mst: one cross join of two ONE-ROW aggregates (forest
+    // totals × component count) — the documented scalar-join pattern.
+    "graph_mst")
 
   private val sideEffecting = (n: String) =>
     n.startsWith("io_") || n.startsWith("stream_")
