@@ -11,4 +11,22 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object graftsql {
   def columnOf(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expressionOf(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Build a DataFrame from a custom logical plan (Dataset.ofRows is
+    * package-private) — the construction half of the custom-operator
+    * tier: logical node → strategy → physical exec.
+    */
+  def ofRows(spark: SparkSession,
+             plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently register a planner strategy on a live session (the
+    * runtime-registration equivalent of
+    * `SparkSessionExtensions.injectPlannerStrategy`).
+    */
+  def addStrategy(spark: SparkSession, s: execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(s))
+      exp.extraStrategies = exp.extraStrategies :+ s
+  }
 }
