@@ -107,7 +107,9 @@ object Bench {
     // A second, short totals-only line printed LAST survives any tail
     // truncation that still contains the end of the stream.
     val nFailed = timed.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n":${results.size},"failed":$nFailed,"sf":"$sfDir"}""")
+    // Distinct metric name so a parser keying on metric:"total" can only
+    // ever pick the full per-query record above (ADVICE r6).
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","reps":$reps,"n":${results.size},"failed":$nFailed,"sf":"$sfDir"}""")
     // Belt and braces: the build routes forked stdout through verbatim
     // (run / outputStrategy := StdoutOutput), and the full line is also
     // mirrored to a file the driver can read directly.

@@ -1408,8 +1408,14 @@ ORDER BY mass.p_brand
     * tables; the id-packing needs ids < 10⁷ (partkeys are ~2·10⁶ at
     * sf1; a larger keyspace widens the pack factor).
     */
-  def affinity(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = undirectedEdges(spark, sfDir)
+  def affinity(spark: SparkSession, sfDir: String): DataFrame =
+    affinityOn(undirectedEdges(spark, sfDir), allNodes(spark, sfDir))
+
+  /** The affinity round over an explicit (u, v) edge table and node
+    * table — split from [[affinity]] so the scale probe
+    * (tools/BoruvkaProbe) can drive it on synthetic graphs.
+    */
+  private[graft] def affinityOn(e: DataFrame, nodesIn: DataFrame): DataFrame = {
     val w = (col("u") * 8191L + col("v") * 524287L) % 999983L
     val dir = e.select(col("u").as("x"), col("v").as("y"), w.as("w"))
       .unionAll(e.select(col("v").as("x"), col("u").as("y"), w.as("w")))
@@ -1417,9 +1423,14 @@ ORDER BY mass.p_brand
       .select(col("x"), (col("w") * 10000000L + col("y")).as("key"))
       .groupBy("x").agg(min(col("key")).as("key"))
       .select(col("x").as("node"), (col("key") % 10000000L).as("succ"))
-    val one = allNodes(spark, sfDir).join(best, Seq("node"), "left")
+    val initObs = new org.apache.spark.sql.Observation()
+    val one = nodesIn.join(best, Seq("node"), "left")
       .select(col("node"), coalesce(col("succ"), col("node")).as("ptr"))
+      .observe(initObs,
+        coalesce(max(col("node")), lit(0L)).as("maxid"))
       .localCheckpoint()
+    require(initObs.get.getOrElse("maxid", 0L).asInstanceOf[Long] < 10000000L,
+      "graph_affinity key packing needs node ids < 10^7; widen the pack factor")
     var state = one
     // Stop on convergence: once every pointer has landed on its 2-cycle
     // the assignment is idempotent (2^k extra steps are even, hence
@@ -1442,6 +1453,8 @@ ORDER BY mass.p_brand
       changed = obs.get.getOrElse("change", 0L).asInstanceOf[Long]
       round += 1
     }
+    require(changed == 0L,
+      "graph_affinity did not converge within 15 doubling rounds")
     state
       .join(one.select(col("node").as("pn"), col("ptr").as("p1")),
         col("ptr") === col("pn"))

@@ -1830,8 +1830,12 @@ ORDER BY metric
     * guard is one combinable max over the same narrow column).
     */
   def q68Timezone(spark: SparkSession, sfDir: String): DataFrame = {
-    val maxDay = Tables.events(spark, sfDir)
-      .agg(max(to_date(col("ts"))).cast("string")).head.getString(0)
+    val maxRow = Tables.events(spark, sfDir)
+      .agg(max(to_date(col("ts"))).cast("string")).head
+    require(!maxRow.isNullAt(0),
+      "q68: events table is empty — the DST vintage guard has nothing to " +
+        "validate; point sfDir at a populated vintage")
+    val maxDay = maxRow.getString(0)
     require(maxDay < "2024-03-10",
       s"events vintage reaches $maxDay >= 2024-03-10 (US DST transition): " +
         "q68's fixed EST(-5) oracle is only valid in the standard-time " +
@@ -2045,6 +2049,39 @@ FROM cal
     *
     * Scale: nine rows; the value is semantic, not computational.
     */
+  /** q77_topk_per_key: the custom whole-operator plan
+    * ([[graft.plans.TopKPerKeyPlan]] → strategy →
+    * [[graft.plans.TopKPerKeyExec]]) graded end-to-end — each
+    * customer's top-3 orders by price (exact cents; ties broken by
+    * orderkey, a total order, so the answer is deterministic and the
+    * oracle's `row_number()` filter states the same set). The plan is
+    * the partial/final bounded-heap pair with ONE hash shuffle of at
+    * most 3 rows per customer per map task — no sort, no window;
+    * `TopKPerKeySpec` pins that plan shape.
+    */
+  def q77TopkPerKey(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("price_c"))
+    graft.plans.TopKPerKey.topK(base,
+        Seq(col("o_custkey")),
+        Seq(col("price_c").desc, col("o_orderkey").asc), 3)
+      .orderBy(col("o_custkey"), col("price_c").desc, col("o_orderkey"))
+  }
+
+  val q77Oracle: String = """
+SELECT o_custkey, o_orderkey, price_c
+FROM (
+  SELECT o_custkey, o_orderkey,
+         cast(floor(o_totalprice * 100 + 0.5) AS bigint) AS price_c,
+         row_number() OVER (PARTITION BY o_custkey
+           ORDER BY cast(floor(o_totalprice * 100 + 0.5) AS bigint) DESC,
+                    o_orderkey) AS rn
+  FROM orders) t
+WHERE rn <= 3
+ORDER BY o_custkey, price_c DESC, o_orderkey
+"""
+
   def q75ThreeValuedLogic(spark: SparkSession, sfDir: String): DataFrame =
     spark.sql("""
       WITH v AS (
@@ -2154,6 +2191,7 @@ FROM run GROUP BY 1 ORDER BY 1
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_three_valued_logic" -> (q75ThreeValuedLogic _),
     "q76_interval_overlap" -> (q76IntervalOverlap _),
+    "q77_topk_per_key" -> (q77TopkPerKey _),
     "q73_bitwise_agg" -> (q73BitwiseAgg _),
     "q74_range_tvf" -> (q74RangeTvf _),
     "q71_log_histogram" -> (q71LogHistogram _),
@@ -2216,6 +2254,7 @@ FROM run GROUP BY 1 ORDER BY 1
   val oracles: Map[String, String] = Map(
     "q75_three_valued_logic" -> q75Oracle,
     "q76_interval_overlap" -> q76Oracle,
+    "q77_topk_per_key" -> q77Oracle,
     "q73_bitwise_agg" -> q73Oracle,
     "q74_range_tvf" -> q74Oracle,
     "q71_log_histogram" -> q71Oracle,

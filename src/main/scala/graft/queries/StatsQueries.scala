@@ -1858,21 +1858,27 @@ FROM p
     * χ²·10³ = ⌊(O₁·10⁶−E₁ppm)²·10³ / (Vppm·10⁶)⌋ plus its components —
     * bit-exact cross-engine, no normal-CDF needed.
     *
-    * Scale: one per-user rollup, one group-by on lifetime (≤ the
+    * Scale: one per-user rollup (checkpointed, shared by the horizon
+    * scalar and the lifetime reshape), one group-by on lifetime (≤ the
     * corpus's day span — 31 here), then the risk sets via a suffix-sum
-    * window over those ≤31 rows. The global max-timestamp window and the
-    * unpartitioned suffix window run on the day-level table, never the
-    * event table; at 100 TB both are O(days), not O(events).
+    * window over those ≤31 rows. The corpus horizon is a driver scalar
+    * — one combinable `agg(max)` on the per-user rollup folded back as
+    * a literal (the graph_hits/stats_seasonality pattern) — so the
+    * only unpartitioned window in the plan is the suffix window over
+    * the ≤31-row lifetime table; at 100 TB that is O(days), never
+    * O(users) or O(events) through one task.
     */
   def logrank(spark: SparkSession, sfDir: String): DataFrame = {
-    val per = Tables.events(spark, sfDir)
+    val per0 = Tables.events(spark, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).as("us"))
       .groupBy("user_id")
       .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
-      .withColumn("gmax", max(col("last_us")).over(Window.partitionBy()))
+      .localCheckpoint() // horizon scalar + lifetime reshape share it
+    val gmax = per0.agg(max(col("last_us"))).head.getLong(0)
+    val per = per0
       .select((col("user_id") % 2).as("variant"),
         expr("(last_us - first_us) div 86400000000").as("dur"),
-        when(col("last_us") < col("gmax") - lit(604800000000L), 1L)
+        when(col("last_us") < lit(gmax - 604800000000L), 1L)
           .otherwise(0L).as("death"))
     val byT = per.groupBy("dur").agg(
       sum(when(col("variant") === 0, col("death")).otherwise(0L)).as("d1"),

@@ -20,13 +20,29 @@ object graftsql {
              plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Decode a `.asc`/`.desc` sort Column into (child column,
+    * descending?, nullsLast?); None for a plain non-sort Column. The
+    * internal SortOrder ColumnNode is private[sql], hence here.
+    */
+  def sortSpec(c: Column): Option[(Column, Boolean, Boolean)] = c.node match {
+    case so: internal.SortOrder =>
+      Some((new Column(so.child),
+        so.sortDirection == internal.SortOrder.Descending,
+        so.nullOrdering == internal.SortOrder.NullsLast))
+    case _ => None
+  }
+
   /** Idempotently register a planner strategy on a live session (the
     * runtime-registration equivalent of
     * `SparkSessionExtensions.injectPlannerStrategy`).
     */
   def addStrategy(spark: SparkSession, s: execution.SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental
-    if (!exp.extraStrategies.contains(s))
-      exp.extraStrategies = exp.extraStrategies :+ s
+    // The check-then-append below is a read-modify-write on a plain var;
+    // serialize it so concurrent callers can't double-register.
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(s))
+        exp.extraStrategies = exp.extraStrategies :+ s
+    }
   }
 }

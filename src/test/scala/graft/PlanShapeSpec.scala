@@ -98,6 +98,73 @@ class PlanShapeSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  // Unpartitioned windows move ALL rows to one task — acceptable only
+  // when the windowed table is bounded (calendar days, digit cells,
+  // replicate/vocab/source cardinality), the query is a documented
+  // exact-statistic total sort whose scaladoc names the approximate /
+  // partitioned alternative, or the single-partition rank is the graded
+  // miniature of a repartitionByRange order (scaladoc says so). Every
+  // query below carries that justification; anything new fails the
+  // guard until it is either repartitioned or justified here.
+  //   stats_gini_concentration / stats_ks_test / stats_mannwhitney:
+  //     exact-rank statistics over the reduced per-entity table —
+  //     documented total sorts, approx alternative named in scaladoc.
+  //   stats_chi2 / stats_benford / stats_spearman: windows over
+  //     digit/contingency-cell/rank tables of constant cardinality.
+  //   stats_bootstrap_ci: order-statistic rank over the ≤200-row
+  //     replicate table.
+  //   stats_autocorr / stats_cusum / q26_gapfill / q53_rolling_slope:
+  //     lag/lead/rank over the ≤31-row calendar-day series.
+  //   stats_logrank: suffix-sum risk sets over the ≤31-row lifetime
+  //     table (the per-user horizon is a driver scalar since r7).
+  //   q51_decile_profile / q63_rfm: exact decile/quintile ntiles over
+  //     the per-customer rollup — exact quantile boundaries are a
+  //     total order by definition; reduced table, documented.
+  //   pipe_vocab_topk / pipe_bpe_merges / text_zipf: rank over the
+  //     aggregated token/pair vocabulary — vocabulary-bounded, not
+  //     corpus-bounded.
+  //   pipe_temperature_mix / pipe_token_budget: scalar-total and rank
+  //     over the per-SOURCE rollup (|sources| is a handful).
+  //   pipe_curriculum: rank over a limit(100) prefix.
+  //   pipe_interleave / pipe_sorted_batches: deterministic training
+  //     ORDER builders — the single-partition rank is the graded
+  //     miniature of the repartitionByRange order the scaladoc
+  //     prescribes at scale (interleave also caps at 60 positions).
+  private val singlePartitionWindowBaselines = Set(
+    "stats_gini_concentration", "stats_ks_test", "stats_mannwhitney",
+    "stats_chi2", "stats_benford", "stats_spearman", "stats_bootstrap_ci",
+    "stats_autocorr", "stats_cusum", "q26_gapfill", "q53_rolling_slope",
+    "stats_logrank", "q51_decile_profile", "q63_rfm",
+    "pipe_vocab_topk", "pipe_bpe_merges", "text_zipf",
+    "pipe_temperature_mix", "pipe_token_budget", "pipe_curriculum",
+    "pipe_interleave", "pipe_sorted_batches")
+
+  private def unpartitionedWindows(plan: SparkPlan): Seq[String] =
+    plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w.nodeName
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          if w.partitionSpec.isEmpty => w.nodeName
+    }
+
+  test("only justified queries plan a single-partition window") {
+    val checked = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(sideEffecting)
+    val offendersFound = checked.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val found = unpartitionedWindows(df.queryExecution.sparkPlan)
+      if (found.nonEmpty) Some(name) else None
+    }.toSet
+    val unlisted = offendersFound -- singlePartitionWindowBaselines
+    assert(unlisted.isEmpty,
+      s"new single-partition windows slipped in (justify or repartition): " +
+        unlisted.toSeq.sorted.mkString(", "))
+    val stale = singlePartitionWindowBaselines -- offendersFound
+    assert(stale.isEmpty,
+      s"stale single-partition-window exemptions (drop them): " +
+        stale.toSeq.sorted.mkString(", "))
+  }
+
   test("the quadratic baselines really are the only nested-loop plans") {
     // inverse guard: if one of them stops being quadratic, promote it
     // out of the exemption list instead of carrying a stale exemption.
