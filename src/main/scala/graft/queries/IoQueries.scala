@@ -920,6 +920,43 @@ WHERE id >= 25000 AND id < 175000 AND level = 3
 GROUP BY bucket ORDER BY bucket
 """
 
+  /** src_synthlog_limit: the connector's `In`-list and LIMIT pushdown
+    * (`SupportsPushDownLimit`) — the two capabilities every warehouse
+    * connector exposes next to range predicates (ADVICE r6). The `In`
+    * list intersects with the pushed range to an explicit id list, the
+    * limit truncates that list to its first `n` ascending ids AT THE
+    * SOURCE, and the scan emits exactly those rows — so Spark's own
+    * limit (if retained above the scan) is a no-op on an
+    * already-≤n-row stream and the result is deterministic by
+    * construction. `SynthLogSourceSpec` pins the plan: the scan
+    * description shows the truncated id list, and no residual filter
+    * survives (IsNotNull is swallowed, In/ranges fully handled).
+    */
+  def synthlogLimit(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids: Seq[Long] = (0 until 40).map(i => ((i * i * 7 + 3) % 100000).toLong)
+    spark.read.format("graft.sources.SynthLogSource")
+      .option("rows", "5000000").option("slices", "8").load()
+      .where(col("id").isin(ids: _*) && col("id") >= 100L)
+      .limit(25)
+      .agg(count(lit(1)).as("n"),
+           sum(col("value")).as("value_sum"),
+           sum(col("level")).as("level_sum"),
+           min(col("id")).as("min_id"),
+           max(col("id")).as("max_id"))
+  }
+
+  private val synthlogLimitOracle: String = {
+    val ids = (0 until 40).map(i => (i * i * 7 + 3) % 100000).mkString(", ")
+    s"""
+SELECT count(*) AS n, CAST(sum(value) AS BIGINT) AS value_sum,
+       CAST(sum(level) AS BIGINT) AS level_sum,
+       min(id) AS min_id, max(id) AS max_id
+FROM (SELECT * FROM ${graft.sources.SynthLogSource.oracleTable(5000000L)} s
+      WHERE id IN ($ids) AND id >= 100
+      ORDER BY id LIMIT 25) t
+"""
+  }
+
   /** src_synthlog_join: the connector's `SupportsReportStatistics`
     * driving a planner decision — the scan reports the POST-pushdown
     * cardinality (2,000 rows, not the 5M-row table), so Catalyst
@@ -952,6 +989,7 @@ WHERE s.id < 2000 AND s.level = 3
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_synthlog_pushdown" -> (synthlogPushdown _),
     "src_synthlog_join" -> (synthlogJoin _),
+    "src_synthlog_limit" -> (synthlogLimit _),
     "io_metadata_columns" -> (metadataColumns _),
     "io_analyze_stats" -> (analyzeStats _),
     "io_codec_roundtrip" -> (codecRoundtrip _),
@@ -977,6 +1015,7 @@ WHERE s.id < 2000 AND s.level = 3
   val oracles: Map[String, String] = Map(
     "src_synthlog_pushdown" -> synthlogPushdownOracle,
     "src_synthlog_join" -> synthlogJoinOracle,
+    "src_synthlog_limit" -> synthlogLimitOracle,
     "io_metadata_columns" -> metadataColumnsOracle,
     "io_analyze_stats" -> analyzeStatsOracle,
     "io_codec_roundtrip" -> codecRoundtripOracle,

@@ -8,11 +8,12 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns,
-  SupportsReportStatistics}
+  Statistics, SupportsPushDownFilters, SupportsPushDownLimit,
+  SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{
-  EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+  EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan,
+  LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -108,26 +109,47 @@ private[sources] class SynthLogTable(rows: Long, slices: Int)
   */
 private[sources] class SynthLogScanBuilder(rows: Long, slices: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
   private var lo: Long = 0L
   private var hi: Long = rows
+  // Explicit id list once an `In("id", …)` arrives; intersected with
+  // every other pushed filter at build time.
+  private var inIds: Option[Array[Long]] = None
+  private var limit: Option[Int] = None
   private var pushed: ArrayBuffer[Filter] = ArrayBuffer.empty
   private var required: StructType = SynthLogSource.schema
+
+  private def longOf(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case l: java.lang.Long => Some(l.longValue)
+    case i: java.lang.Integer => Some(i.longValue)
+    case _ => None
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val residual = ArrayBuffer[Filter]()
     filters.foreach {
-      case f @ EqualTo("id", v: Long) =>
-        lo = math.max(lo, v); hi = math.min(hi, v + 1); pushed += f
-      case f @ GreaterThan("id", v: Long) =>
-        lo = math.max(lo, v + 1); pushed += f
-      case f @ GreaterThanOrEqual("id", v: Long) =>
-        lo = math.max(lo, v); pushed += f
-      case f @ LessThan("id", v: Long) =>
-        hi = math.min(hi, v); pushed += f
-      case f @ LessThanOrEqual("id", v: Long) =>
-        hi = math.min(hi, v + 1); pushed += f
+      case f @ EqualTo("id", v) if longOf(v).isDefined =>
+        val l = longOf(v).get
+        lo = math.max(lo, l); hi = math.min(hi, l + 1); pushed += f
+      case f @ GreaterThan("id", v) if longOf(v).isDefined =>
+        lo = math.max(lo, longOf(v).get + 1); pushed += f
+      case f @ GreaterThanOrEqual("id", v) if longOf(v).isDefined =>
+        lo = math.max(lo, longOf(v).get); pushed += f
+      case f @ LessThan("id", v) if longOf(v).isDefined =>
+        hi = math.min(hi, longOf(v).get); pushed += f
+      case f @ LessThanOrEqual("id", v) if longOf(v).isDefined =>
+        hi = math.min(hi, longOf(v).get + 1); pushed += f
+      case f @ In("id", vs) if vs.nonEmpty && vs.forall(longOf(_).isDefined) =>
+        val s = vs.flatMap(longOf).distinct.sorted
+        inIds = Some(inIds.fold(s)(prev => prev.intersect(s)))
+        pushed += f
+      case f @ IsNotNull(attr)
+          if SynthLogSource.schema.fieldNames.contains(attr) =>
+        // every column is non-nullable — the filter is vacuously true;
+        // swallow it so it neither narrows nor survives as residual
+        pushed += f
       case other => residual += other
     }
     residual.toArray
@@ -137,22 +159,48 @@ private[sources] class SynthLogScanBuilder(rows: Long, slices: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new SynthLogScan(math.min(lo, hi), hi, slices, required, pushed.toArray)
+  /** Rows leave the source in ascending-id order across contiguous
+    * partitions, so truncating the keyspace to its first `n` ids IS the
+    * limit — fully pushed, nothing partial.
+    */
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(limit.fold(n)(math.min(_, n)))
+    true
+  }
+
+  override def build(): Scan = {
+    val l = math.min(lo, hi)
+    inIds match {
+      case Some(ids0) =>
+        val ids1 = ids0.filter(id => id >= l && id < hi)
+        val ids = limit.fold(ids1)(ids1.take)
+        new SynthLogScan(0L, 0L, slices, required, pushed.toArray, Some(ids))
+      case None =>
+        val h = limit.fold(hi)(n => math.min(hi, l + n))
+        new SynthLogScan(l, h, slices, required, pushed.toArray, None)
+    }
+  }
 }
 
+/** `ids = None`: generate the half-open range `[lo, hi)`.
+  * `ids = Some(a)`: generate exactly the ids in `a` (an intersected,
+  * sorted, limit-truncated `In` list) — `lo`/`hi` are unused then.
+  */
 private[sources] class SynthLogScan(lo: Long, hi: Long, slices: Int,
-    required: StructType, pushed: Array[Filter])
+    required: StructType, pushed: Array[Filter], ids: Option[Array[Long]])
     extends Scan with Batch with SupportsReportStatistics {
+
+  private val n: Long = ids.fold(math.max(hi - lo, 0L))(_.length.toLong)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String =
-    s"synthlog [$lo, $hi) cols=${required.fieldNames.mkString(",")} " +
+  override def description(): String = {
+    val range = ids.fold(s"[$lo, $hi)")(a => s"ids(${a.length})")
+    s"synthlog $range cols=${required.fieldNames.mkString(",")} " +
       s"pushed=${pushed.mkString(",")}"
+  }
 
   override def estimateStatistics(): Statistics = new Statistics {
-    private val n = math.max(hi - lo, 0L)
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(n * 8L * math.max(required.size, 1))
     override def numRows(): java.util.OptionalLong =
@@ -160,11 +208,18 @@ private[sources] class SynthLogScan(lo: Long, hi: Long, slices: Int,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(hi - lo, 0L)
     if (n == 0L) return Array.empty
     val k = math.min(slices.toLong, n).toInt
-    Array.tabulate(k) { i =>
-      SynthLogPartition(lo + i * n / k, lo + (i + 1) * n / k)
+    ids match {
+      case Some(a) =>
+        Array.tabulate(k) { i =>
+          SynthLogIdsPartition(
+            a.slice((i * a.length / k), ((i + 1) * a.length / k)))
+        }
+      case None =>
+        Array.tabulate(k) { i =>
+          SynthLogPartition(lo + i * n / k, lo + (i + 1) * n / k)
+        }
     }
   }
 
@@ -175,23 +230,41 @@ private[sources] class SynthLogScan(lo: Long, hi: Long, slices: Int,
 private[sources] case class SynthLogPartition(lo: Long, hi: Long)
     extends InputPartition
 
+private[sources] case class SynthLogIdsPartition(ids: Array[Long])
+    extends InputPartition
+
 private[sources] class SynthLogReaderFactory(cols: Array[String])
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val sp = p.asInstanceOf[SynthLogPartition]
-    new SynthLogReader(sp.lo, sp.hi, cols)
-  }
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case SynthLogPartition(lo, hi) =>
+        new SynthLogReader(() => new RangeIdIterator(lo, hi), cols)
+      case SynthLogIdsPartition(ids) =>
+        new SynthLogReader(() => ids.iterator, cols)
+    }
 }
 
-/** Per-partition reader: a counter over the id sub-range, computing
-  * ONLY the pruned columns per row. No buffering — O(1) state.
-  */
-private[sources] class SynthLogReader(lo: Long, hi: Long, cols: Array[String])
-    extends PartitionReader[InternalRow] {
-  import SynthLogSource._
-  private var id = lo - 1
+private[sources] class RangeIdIterator(lo: Long, hi: Long)
+    extends Iterator[Long] {
+  private var id = lo
+  override def hasNext: Boolean = id < hi
+  override def next(): Long = { val v = id; id += 1; v }
+}
 
-  override def next(): Boolean = { id += 1; id < hi }
+/** Per-partition reader: an id cursor (contiguous counter or explicit
+  * `In` list), computing ONLY the pruned columns per row. O(1) state
+  * beyond the id source.
+  */
+private[sources] class SynthLogReader(mkIds: () => Iterator[Long],
+    cols: Array[String]) extends PartitionReader[InternalRow] {
+  import SynthLogSource._
+  private val it = mkIds()
+  private var id = 0L
+
+  override def next(): Boolean = {
+    if (!it.hasNext) return false
+    id = it.next(); true
+  }
 
   override def get(): InternalRow =
     InternalRow.fromSeq(cols.toSeq.map {

@@ -87,6 +87,57 @@ class SynthLogSourceSpec extends SparkSpec {
     assert(df.count() === 0L)
   }
 
+  test("In on id becomes an explicit id-list scan with no residual") {
+    // dups dedup'd, out-of-table ids dropped at build time
+    val df = read(1000000L).where(col("id").isin(5L, 99L, 7L, 99L, 2000000L))
+    val desc = scanOf(df).scan.description()
+    assert(desc.contains("ids(3)"), desc)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === Seq(5L, 7L, 99L))
+  }
+
+  test("In intersects with pushed range filters") {
+    val df = read(1000000L)
+      .where(col("id").isin(5L, 500L, 70000L) && col("id") >= 100L)
+    val desc = scanOf(df).scan.description()
+    assert(desc.contains("ids(2)"), desc)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === Seq(500L, 70000L))
+  }
+
+  test("IsNotNull on a schema column is fully handled at the builder") {
+    // Catalyst folds IsNotNull on non-nullable output before it reaches
+    // the source, so exercise the builder contract directly.
+    import org.apache.spark.sql.sources.{EqualTo, In, IsNotNull}
+    val b = new SynthLogScanBuilder(100L, 4)
+    val residual = b.pushFilters(Array(
+      IsNotNull("id"), In("id", Array[Any](1L, 3L)), EqualTo("level", 3L)))
+    assert(residual.toSeq === Seq(EqualTo("level", 3L)))
+    assert(b.pushedFilters().length === 2)
+  }
+
+  test("limit pushdown truncates the scan to the first n ids") {
+    val df = read(1000000L).where(col("id") >= 1000L).limit(10)
+    val desc = scanOf(df).scan.description()
+    assert(desc.contains("[1000, 1010)"), desc)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq
+      === (1000L until 1010L).toSeq)
+  }
+
+  test("limit composes with In: first n of the intersected sorted list") {
+    val df = read(1000000L)
+      .where(col("id").isin(900L, 5L, 300L, 77L, 41L)).limit(3)
+    val desc = scanOf(df).scan.description()
+    assert(desc.contains("ids(3)"), desc)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === Seq(5L, 41L, 77L))
+  }
+
+  test("src_synthlog_limit's graded scan shows the truncated id list") {
+    val df = graft.queries.IoQueries.synthlogLimit(spark, "unused")
+    val desc = df.queryExecution.sparkPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }.getOrElse(fail("no scan"))
+    assert(desc.contains("ids(25)"), desc)
+  }
+
   test("post-pushdown statistics flip the join to broadcast") {
     val big = read(5000000L).where(col("id") < 2000L)
     val dim = spark.range(0, 100000).select(col("id").as("k"))
