@@ -48,14 +48,17 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` entry point: custom expressions + the
-  * range-join bucketing optimizer rule (the runtime-registration
-  * equivalents are `GraftFunctions.register(spark)` and
-  * `spark.experimental.extraOptimizations :+= RangeBucketJoin`).
+/** `spark.sql.extensions` entry point: custom expressions, the
+  * range-join bucketing optimizer rule, and the per-key top-k planner
+  * strategy (the runtime-registration equivalents are
+  * `GraftFunctions.register(spark)`,
+  * `spark.experimental.extraOptimizations :+= RangeBucketJoin`, and
+  * `graftsql.addStrategy(spark, TopKPerKeyStrategy)`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.inject(ext)
     ext.injectOptimizerRule(_ => graft.plans.RangeBucketJoin)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

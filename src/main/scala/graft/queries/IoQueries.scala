@@ -957,6 +957,29 @@ FROM (SELECT * FROM ${graft.sources.SynthLogSource.oracleTable(5000000L)} s
 """
   }
 
+  /** src_synthlog_agg: the connector's `SupportsPushDownAggregates` —
+    * COUNT/MIN(id)/MAX(id) with no GROUP BY answered in O(1) from the
+    * narrowed range bounds, COMPLETE pushdown (one final row, Spark
+    * plans a Project, no re-aggregation). This is the footer-stats
+    * trick every warehouse connector plays, exact by construction
+    * here: the graded scan covers 41M generated rows and reads NONE
+    * of them. `SynthLogSourceSpec` pins the plan (synthlog-agg scan
+    * node, no HashAggregate below the exchange-free plan).
+    */
+  def synthlogAgg(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graft.sources.SynthLogSource")
+      .option("rows", "50000000").option("slices", "8").load()
+      .where(col("id") >= 1000000L && col("id") < 42000000L)
+      .agg(count(lit(1)).as("n"),
+           min(col("id")).as("min_id"),
+           max(col("id")).as("max_id"))
+
+  private val synthlogAggOracle: String = """
+SELECT count(*) AS n, min(id) AS min_id, max(id) AS max_id
+FROM range(0, 50000000) t(id)
+WHERE id >= 1000000 AND id < 42000000
+"""
+
   /** src_synthlog_join: the connector's `SupportsReportStatistics`
     * driving a planner decision — the scan reports the POST-pushdown
     * cardinality (2,000 rows, not the 5M-row table), so Catalyst
@@ -990,6 +1013,7 @@ WHERE s.id < 2000 AND s.level = 3
     "src_synthlog_pushdown" -> (synthlogPushdown _),
     "src_synthlog_join" -> (synthlogJoin _),
     "src_synthlog_limit" -> (synthlogLimit _),
+    "src_synthlog_agg" -> (synthlogAgg _),
     "io_metadata_columns" -> (metadataColumns _),
     "io_analyze_stats" -> (analyzeStats _),
     "io_codec_roundtrip" -> (codecRoundtrip _),
@@ -1016,6 +1040,7 @@ WHERE s.id < 2000 AND s.level = 3
     "src_synthlog_pushdown" -> synthlogPushdownOracle,
     "src_synthlog_join" -> synthlogJoinOracle,
     "src_synthlog_limit" -> synthlogLimitOracle,
+    "src_synthlog_agg" -> synthlogAggOracle,
     "io_metadata_columns" -> metadataColumnsOracle,
     "io_analyze_stats" -> analyzeStatsOracle,
     "io_codec_roundtrip" -> codecRoundtripOracle,

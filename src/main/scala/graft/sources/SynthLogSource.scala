@@ -6,10 +6,14 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{
+  Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  Statistics, SupportsPushDownFilters, SupportsPushDownLimit,
-  SupportsPushDownRequiredColumns, SupportsReportStatistics}
+  Statistics, SupportsPushDownAggregates, SupportsPushDownFilters,
+  SupportsPushDownLimit, SupportsPushDownRequiredColumns,
+  SupportsReportStatistics}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{
   EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan,
@@ -109,7 +113,8 @@ private[sources] class SynthLogTable(rows: Long, slices: Int)
   */
 private[sources] class SynthLogScanBuilder(rows: Long, slices: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var lo: Long = 0L
   private var hi: Long = rows
@@ -168,9 +173,50 @@ private[sources] class SynthLogScanBuilder(rows: Long, slices: Int)
     true
   }
 
+  // Aggregate pushdown: COUNT(*)/COUNT(col)/MIN(id)/MAX(id) with no
+  // GROUP BY are CLOSED-FORM over the narrowed keyspace — the same
+  // metadata-answer trick a parquet/Delta connector plays with footer
+  // stats, except here it is exact by construction. COUNT(col) = n for
+  // every column (all non-nullable). Complete pushdown: the scan emits
+  // ONE final row; Spark plans a Project, no re-aggregation.
+  private var aggFuncs: Option[Seq[String]] = None
+
+  private def idField(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Boolean = e match {
+    case f: NamedReference => f.fieldNames.sameElements(Array("id"))
+    case _ => false
+  }
+  private def anyField(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Boolean = e match {
+    case f: NamedReference => f.fieldNames.length == 1 &&
+      SynthLogSource.schema.fieldNames.contains(f.fieldNames.head)
+    case _ => false
+  }
+
+  private def compileAgg(agg: Aggregation): Option[Seq[String]] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    val funcs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count")
+      case c: Count if !c.isDistinct && anyField(c.column) => Some("count")
+      case m: Min if idField(m.column) => Some("min")
+      case m: Max if idField(m.column) => Some("max")
+      case _ => None
+    }
+    if (funcs.forall(_.isDefined)) Some(funcs.map(_.get)) else None
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    compileAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    compileAgg(agg) match {
+      case Some(fs) => aggFuncs = Some(fs); true
+      case None => false
+    }
+
   override def build(): Scan = {
     val l = math.min(lo, hi)
-    inIds match {
+    val scan = inIds match {
       case Some(ids0) =>
         val ids1 = ids0.filter(id => id >= l && id < hi)
         val ids = limit.fold(ids1)(ids1.take)
@@ -178,6 +224,63 @@ private[sources] class SynthLogScanBuilder(rows: Long, slices: Int)
       case None =>
         val h = limit.fold(hi)(n => math.min(hi, l + n))
         new SynthLogScan(l, h, slices, required, pushed.toArray, None)
+    }
+    aggFuncs match {
+      case Some(fs) => new SynthLogAggScan(scan, fs)
+      case None => scan
+    }
+  }
+}
+
+/** The aggregated form of a (narrowed) [[SynthLogScan]]: one partition,
+  * one row, every value computed on the DRIVER in O(1) from the range
+  * bounds / id list — no row is ever generated. Empty input follows
+  * global-aggregate SQL semantics: count = 0, min/max = NULL.
+  */
+private[sources] class SynthLogAggScan(base: SynthLogScan, funcs: Seq[String])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = StructType(funcs.zipWithIndex.map {
+    case (f, i) => StructField(s"${f}_$i", LongType, nullable = f != "count")
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"synthlog-agg [${funcs.mkString(",")}] of ${base.description()}"
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(8L * funcs.size)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(1L)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val values: Array[Any] = funcs.map {
+      case "count" => base.rowCount
+      case "min" => base.minId.map(Long.box).orNull
+      case "max" => base.maxId.map(Long.box).orNull
+    }.toArray
+    Array(SynthLogAggPartition(values))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthLogAggReaderFactory
+}
+
+private[sources] case class SynthLogAggPartition(values: Array[Any])
+    extends InputPartition
+
+private[sources] class SynthLogAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val vs = p.asInstanceOf[SynthLogAggPartition].values
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = { val r = !done; done = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(vs.toSeq.map {
+        case null => null
+        case l: java.lang.Long => l.longValue
+      })
+      override def close(): Unit = {}
     }
   }
 }
@@ -191,6 +294,15 @@ private[sources] class SynthLogScan(lo: Long, hi: Long, slices: Int,
     extends Scan with Batch with SupportsReportStatistics {
 
   private val n: Long = ids.fold(math.max(hi - lo, 0L))(_.length.toLong)
+
+  /** Closed-form stats over the generated keyspace — the basis of
+    * aggregate pushdown ([[SynthLogAggScan]]).
+    */
+  private[sources] def rowCount: Long = n
+  private[sources] def minId: Option[Long] =
+    if (n == 0L) None else Some(ids.fold(lo)(_.head))
+  private[sources] def maxId: Option[Long] =
+    if (n == 0L) None else Some(ids.fold(hi - 1)(_.last))
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this

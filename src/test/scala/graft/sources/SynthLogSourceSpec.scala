@@ -138,6 +138,46 @@ class SynthLogSourceSpec extends SparkSpec {
     assert(desc.contains("ids(25)"), desc)
   }
 
+  test("aggregate pushdown answers count/min/max from metadata") {
+    val df = read(50000000L)
+      .where(col("id") >= 1000000L && col("id") < 42000000L)
+      .agg(count(lit(1)).as("n"), min("id"), max("id"))
+    val desc = scanOf(df).scan.description()
+    assert(desc.contains("synthlog-agg"), desc)
+    // complete pushdown: no HashAggregate left in the plan
+    assert(df.queryExecution.sparkPlan.collect {
+      case p if p.nodeName.contains("HashAggregate") => p
+    }.isEmpty, df.queryExecution.sparkPlan.toString)
+    val row = df.collect()(0)
+    assert(row.getLong(0) === 41000000L)
+    assert(row.getLong(1) === 1000000L && row.getLong(2) === 41999999L)
+  }
+
+  test("aggregate pushdown on an empty range: count 0, null min/max") {
+    val df = read(1000L).where(col("id") >= 1000L)
+      .agg(count(lit(1)).as("n"), min("id"), max("id"))
+    assert(scanOf(df).scan.description().contains("synthlog-agg"))
+    val row = df.collect()(0)
+    assert(row.getLong(0) === 0L && row.isNullAt(1) && row.isNullAt(2))
+  }
+
+  test("aggregate pushdown composes with an In list") {
+    val df = read(1000000L).where(col("id").isin(7L, 3L, 500000L))
+      .agg(count(lit(1)).as("n"), min("id"), max("id"))
+    assert(scanOf(df).scan.description().contains("synthlog-agg"))
+    val row = df.collect()(0)
+    assert(row.getLong(0) === 3L)
+    assert(row.getLong(1) === 3L && row.getLong(2) === 500000L)
+  }
+
+  test("unsupported aggregates fall back to a plain scan") {
+    val df = read(10000L).agg(sum("value").as("s"))
+    val desc = scanOf(df).scan.description()
+    assert(!desc.contains("synthlog-agg"), desc)
+    assert(df.collect()(0).getLong(0) ===
+      (0L until 10000L).map(SynthLogSource.value).sum)
+  }
+
   test("post-pushdown statistics flip the join to broadcast") {
     val big = read(5000000L).where(col("id") < 2000L)
     val dim = spark.range(0, 100000).select(col("id").as("k"))
