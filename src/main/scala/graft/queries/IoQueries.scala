@@ -980,6 +980,32 @@ FROM range(0, 50000000) t(id)
 WHERE id >= 1000000 AND id < 42000000
 """
 
+  /** src_synthlog_groupagg: GROUP BY aggregate pushdown — the rarer
+    * half of `SupportsPushDownAggregates`. `bucket = id div 1000`
+    * partitions the keyspace into contiguous runs, so per-bucket
+    * count/min/max over a 41M-row filtered keyspace stream out of the
+    * source as closed-form interval overlaps (one O(1) row per
+    * bucket, partitions split the BUCKET range) — complete pushdown,
+    * no HashAggregate in the plan, no data row ever generated.
+    */
+  def synthlogGroupAgg(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graft.sources.SynthLogSource")
+      .option("rows", "50000000").option("slices", "8").load()
+      .where(col("id") >= 123456L && col("id") < 41234567L)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+           min(col("id")).as("min_id"),
+           max(col("id")).as("max_id"))
+      .orderBy("bucket")
+
+  private val synthlogGroupAggOracle: String = """
+SELECT id // 1000 AS bucket, count(*) AS n,
+       min(id) AS min_id, max(id) AS max_id
+FROM range(0, 50000000) t(id)
+WHERE id >= 123456 AND id < 41234567
+GROUP BY 1 ORDER BY bucket
+"""
+
   /** src_synthlog_join: the connector's `SupportsReportStatistics`
     * driving a planner decision — the scan reports the POST-pushdown
     * cardinality (2,000 rows, not the 5M-row table), so Catalyst
@@ -1014,6 +1040,7 @@ WHERE s.id < 2000 AND s.level = 3
     "src_synthlog_join" -> (synthlogJoin _),
     "src_synthlog_limit" -> (synthlogLimit _),
     "src_synthlog_agg" -> (synthlogAgg _),
+    "src_synthlog_groupagg" -> (synthlogGroupAgg _),
     "io_metadata_columns" -> (metadataColumns _),
     "io_analyze_stats" -> (analyzeStats _),
     "io_codec_roundtrip" -> (codecRoundtrip _),
@@ -1041,6 +1068,7 @@ WHERE s.id < 2000 AND s.level = 3
     "src_synthlog_join" -> synthlogJoinOracle,
     "src_synthlog_limit" -> synthlogLimitOracle,
     "src_synthlog_agg" -> synthlogAggOracle,
+    "src_synthlog_groupagg" -> synthlogGroupAggOracle,
     "io_metadata_columns" -> metadataColumnsOracle,
     "io_analyze_stats" -> analyzeStatsOracle,
     "io_codec_roundtrip" -> codecRoundtripOracle,

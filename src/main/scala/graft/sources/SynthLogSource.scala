@@ -193,8 +193,26 @@ private[sources] class SynthLogScanBuilder(rows: Long, slices: Int)
     case _ => false
   }
 
-  private def compileAgg(agg: Aggregation): Option[Seq[String]] = {
-    if (agg.groupByExpressions.nonEmpty) return None
+  private var aggByBucket: Boolean = false
+
+  private def bucketField(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Boolean = e match {
+    case f: NamedReference => f.fieldNames.sameElements(Array("bucket"))
+    case _ => false
+  }
+
+  /** Supported shapes: no GROUP BY, or GROUP BY bucket — both closed
+    * form (`bucket = id div 1000` partitions the keyspace into
+    * contiguous runs, so per-bucket count/min/max are interval
+    * overlaps).
+    */
+  private def compileAgg(agg: Aggregation): Option[(Seq[String], Boolean)] = {
+    val grouped = agg.groupByExpressions.toSeq match {
+      case Seq() => Some(false)
+      case Seq(g) if bucketField(g) => Some(true)
+      case _ => None
+    }
+    if (grouped.isEmpty) return None
     val funcs = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some("count")
       case c: Count if !c.isDistinct && anyField(c.column) => Some("count")
@@ -202,7 +220,8 @@ private[sources] class SynthLogScanBuilder(rows: Long, slices: Int)
       case m: Max if idField(m.column) => Some("max")
       case _ => None
     }
-    if (funcs.forall(_.isDefined)) Some(funcs.map(_.get)) else None
+    if (funcs.forall(_.isDefined)) Some((funcs.map(_.get), grouped.get))
+    else None
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
@@ -210,7 +229,8 @@ private[sources] class SynthLogScanBuilder(rows: Long, slices: Int)
 
   override def pushAggregation(agg: Aggregation): Boolean =
     compileAgg(agg) match {
-      case Some(fs) => aggFuncs = Some(fs); true
+      case Some((fs, byBucket)) =>
+        aggFuncs = Some(fs); aggByBucket = byBucket; true
       case None => false
     }
 
@@ -226,63 +246,142 @@ private[sources] class SynthLogScanBuilder(rows: Long, slices: Int)
         new SynthLogScan(l, h, slices, required, pushed.toArray, None)
     }
     aggFuncs match {
-      case Some(fs) => new SynthLogAggScan(scan, fs)
+      case Some(fs) => new SynthLogAggScan(scan, fs, aggByBucket)
       case None => scan
     }
   }
 }
 
-/** The aggregated form of a (narrowed) [[SynthLogScan]]: one partition,
-  * one row, every value computed on the DRIVER in O(1) from the range
-  * bounds / id list — no row is ever generated. Empty input follows
-  * global-aggregate SQL semantics: count = 0, min/max = NULL.
+/** The aggregated form of a (narrowed) [[SynthLogScan]]. Ungrouped:
+  * one partition, one row, every value computed on the DRIVER in O(1)
+  * from the range bounds / id list — no row is ever generated; empty
+  * input follows global-aggregate SQL semantics (count = 0, min/max
+  * NULL). GROUP BY bucket: `bucket = id div 1000` partitions the
+  * keyspace into contiguous runs, so per-bucket count/min/max are
+  * interval overlaps — partitions split the BUCKET range and each
+  * reader streams its buckets' rows in O(1) state (In-list inputs
+  * group the explicit ids instead). Output rows are
+  * (group columns ++ aggregate columns), the complete-pushdown
+  * contract.
   */
-private[sources] class SynthLogAggScan(base: SynthLogScan, funcs: Seq[String])
-    extends Scan with Batch with SupportsReportStatistics {
+private[sources] class SynthLogAggScan(base: SynthLogScan, funcs: Seq[String],
+    byBucket: Boolean) extends Scan with Batch with SupportsReportStatistics {
 
-  override def readSchema(): StructType = StructType(funcs.zipWithIndex.map {
-    case (f, i) => StructField(s"${f}_$i", LongType, nullable = f != "count")
-  })
+  private val W = 1000L // the bucket width of SynthLogSource.bucket
+
+  override def readSchema(): StructType = {
+    val aggFields = funcs.zipWithIndex.map { case (f, i) =>
+      // per-group min/max are never null: a group exists only if non-empty
+      StructField(s"${f}_$i", LongType, nullable = f != "count" && !byBucket)
+    }
+    val groupFields =
+      if (byBucket) Seq(StructField("bucket", LongType, nullable = false))
+      else Seq.empty
+    StructType(groupFields ++ aggFields)
+  }
   override def toBatch: Batch = this
-  override def description(): String =
-    s"synthlog-agg [${funcs.mkString(",")}] of ${base.description()}"
+  override def description(): String = {
+    val g = if (byBucket) " group=bucket" else ""
+    s"synthlog-agg [${funcs.mkString(",")}]$g of ${base.description()}"
+  }
+
+  private def nGroups: Long =
+    if (!byBucket) 1L
+    else base.idList match {
+      case Some(a) => a.map(_ / W).distinct.length.toLong
+      case None =>
+        if (base.rowCount == 0L) 0L
+        else base.maxId.get / W - base.minId.get / W + 1L
+    }
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(8L * funcs.size)
+      java.util.OptionalLong.of(math.max(nGroups, 1L) * 8L * (funcs.size + 1))
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.of(1L)
+      java.util.OptionalLong.of(nGroups)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val values: Array[Any] = funcs.map {
-      case "count" => base.rowCount
-      case "min" => base.minId.map(Long.box).orNull
-      case "max" => base.maxId.map(Long.box).orNull
-    }.toArray
-    Array(SynthLogAggPartition(values))
+    if (!byBucket) {
+      val values: Array[Any] = funcs.map {
+        case "count" => base.rowCount
+        case "min" => base.minId.map(Long.box).orNull
+        case "max" => base.maxId.map(Long.box).orNull
+      }.toArray
+      return Array(SynthLogRowsPartition(Array(values)))
+    }
+    base.idList match {
+      case Some(a) =>
+        // explicit id list: group in the driver (the list is small by
+        // construction — it arrived through an In filter)
+        val rows = a.groupBy(_ / W).toArray.sortBy(_._1).map {
+          case (b, ids) =>
+            (Seq[Any](b) ++ funcs.map[Any] {
+              case "count" => ids.length.toLong
+              case "min" => ids.head
+              case "max" => ids.last
+            }).toArray
+        }
+        Array(SynthLogRowsPartition(rows))
+      case None =>
+        if (base.rowCount == 0L) return Array.empty
+        val (lo, hi) = (base.minId.get, base.maxId.get + 1L)
+        val bLo = lo / W
+        val nB = (hi - 1L) / W - bLo + 1L
+        val k = math.min(base.sliceCount.toLong, nB).toInt
+        Array.tabulate(k) { i =>
+          SynthLogBucketAggPartition(
+            bLo + i * nB / k, bLo + (i + 1) * nB / k, lo, hi, funcs)
+        }
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SynthLogAggReaderFactory
 }
 
-private[sources] case class SynthLogAggPartition(values: Array[Any])
+private[sources] case class SynthLogRowsPartition(rows: Array[Array[Any]])
     extends InputPartition
 
+/** Buckets `[bLo, bHi)` of the id interval `[lo, hi)` — each bucket's
+  * stats are an interval overlap, computed as the reader advances.
+  */
+private[sources] case class SynthLogBucketAggPartition(bLo: Long, bHi: Long,
+    lo: Long, hi: Long, funcs: Seq[String]) extends InputPartition
+
 private[sources] class SynthLogAggReaderFactory extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val vs = p.asInstanceOf[SynthLogAggPartition].values
-    new PartitionReader[InternalRow] {
-      private var done = false
-      override def next(): Boolean = { val r = !done; done = true; r }
-      override def get(): InternalRow = InternalRow.fromSeq(vs.toSeq.map {
-        case null => null
-        case l: java.lang.Long => l.longValue
-      })
-      override def close(): Unit = {}
+  private def toRow(vs: Array[Any]): InternalRow =
+    InternalRow.fromSeq(vs.toSeq.map {
+      case null => null
+      case l: java.lang.Long => l.longValue
+      case l: Long => l
+    })
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case SynthLogRowsPartition(rows) =>
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.length }
+          override def get(): InternalRow = toRow(rows(i))
+          override def close(): Unit = {}
+        }
+      case SynthLogBucketAggPartition(bLo, bHi, lo, hi, funcs) =>
+        new PartitionReader[InternalRow] {
+          private var b = bLo - 1
+          override def next(): Boolean = { b += 1; b < bHi }
+          override def get(): InternalRow = {
+            val blo = math.max(lo, b * 1000L)
+            val bhi = math.min(hi, (b + 1) * 1000L)
+            toRow((Seq[Any](b) ++ funcs.map[Any] {
+              case "count" => bhi - blo
+              case "min" => blo
+              case "max" => bhi - 1L
+            }).toArray)
+          }
+          override def close(): Unit = {}
+        }
     }
-  }
 }
 
 /** `ids = None`: generate the half-open range `[lo, hi)`.
@@ -303,6 +402,8 @@ private[sources] class SynthLogScan(lo: Long, hi: Long, slices: Int,
     if (n == 0L) None else Some(ids.fold(lo)(_.head))
   private[sources] def maxId: Option[Long] =
     if (n == 0L) None else Some(ids.fold(hi - 1)(_.last))
+  private[sources] def idList: Option[Array[Long]] = ids
+  private[sources] def sliceCount: Int = slices
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this

@@ -170,6 +170,38 @@ class SynthLogSourceSpec extends SparkSpec {
     assert(row.getLong(1) === 3L && row.getLong(2) === 500000L)
   }
 
+  test("GROUP BY bucket aggregate pushdown streams closed-form rows") {
+    val df = read(5000000L)
+      .where(col("id") >= 1500L && col("id") < 12500L)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"))
+    val desc = scanOf(df).scan.description()
+    assert(desc.contains("group=bucket"), desc)
+    assert(df.queryExecution.sparkPlan.collect {
+      case p if p.nodeName.contains("HashAggregate") => p
+    }.isEmpty, df.queryExecution.sparkPlan.toString)
+    val rows = df.orderBy("bucket").collect()
+    assert(rows.length === 12) // buckets 1..12
+    assert(rows.head.toSeq === Seq(1L, 500L, 1500L, 1999L))
+    assert(rows.last.toSeq === Seq(12L, 500L, 12000L, 12499L))
+    assert(rows.map(_.getLong(1)).sum === 11000L)
+  }
+
+  test("GROUP BY bucket pushdown composes with an In list") {
+    val df = read(1000000L).where(col("id").isin(5L, 7L, 1500L, 999999L))
+      .groupBy("bucket").agg(count(lit(1)).as("n"), max("id").as("mx"))
+    assert(scanOf(df).scan.description().contains("group=bucket"))
+    val rows = df.orderBy("bucket").collect().map(_.toSeq)
+    assert(rows === Array(Seq(0L, 2L, 7L), Seq(1L, 1L, 1500L),
+      Seq(999L, 1L, 999999L)))
+  }
+
+  test("GROUP BY on a non-bucket column falls back to a plain scan") {
+    val df = read(10000L).groupBy("level").agg(count(lit(1)).as("n"))
+    assert(!scanOf(df).scan.description().contains("synthlog-agg"))
+    assert(df.collect().map(_.getLong(1)).sum === 10000L)
+  }
+
   test("unsupported aggregates fall back to a plain scan") {
     val df = read(10000L).agg(sum("value").as("s"))
     val desc = scanOf(df).scan.description()
