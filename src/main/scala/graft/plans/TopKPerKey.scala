@@ -19,22 +19,26 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * (the runtime equivalent of `SparkSessionExtensions`
   * `injectPlannerStrategy`).
   *
-  * The operator: exact top-k rows PER KEY under a sort order. The
-  * DataFrame idiom — `row_number().over(Window.partitionBy(key)
-  * .orderBy(...)) <= k` — shuffles EVERY row and sorts every partition
-  * before discarding all but k per key. This operator is the
-  * aggregate-shaped plan instead: a map-side pass keeps a bounded
-  * heap (≤ k rows) per key per partition, the shuffle moves at most
+  * The operator: exact top-k rows PER KEY under a sort order, as an
+  * aggregate-shaped plan: a map-side pass keeps a bounded heap
+  * (≤ k rows) per key per partition, the shuffle moves at most
   * `k · distinct-keys-per-partition` rows, and a reduce-side pass
   * merges heaps — the same partial/final split as a hash aggregate,
-  * with no sort anywhere. At 100 TB the difference is the difference
-  * between shuffling the corpus and shuffling the answer.
+  * with NO SORT anywhere. The window idiom (`row_number().over(
+  * partitionBy(key).orderBy(...)) <= k`) plans a per-partition SORT
+  * plus `WindowGroupLimit` pruning instead.
   *
-  * (Spark's own `TakeOrderedAndProjectExec` does this for GLOBAL
-  * top-k; there is no per-key equivalent, which is what makes this an
-  * engine extension rather than a query idiom. `WindowGroupLimitExec`
-  * since 3.5 prunes per-partition but still plans the full sort +
-  * window above it.)
+  * Measured domain of victory (tools.TopKProbe, 20M rows, k=3,
+  * local[32]): HOT KEYS. At 10 distinct keys the heap plan wins
+  * 2.6-4.2x (0.8-0.96s vs 2.1-3.4s) — the window's local sort pays
+  * O(n log n) on every partition while the heap scans in O(n log k)
+  * and ships 960 rows. At 100k keys the two tie; at 2M keys
+  * (10 rows/key) the window WINS ~3x — the per-partition key map
+  * approaches the partition size, the shuffle shrinks little, and a
+  * codegen'd radix sort beats per-row JVM heap upkeep. Use this
+  * operator for leaderboard/curation shapes (few groups, huge
+  * corpus); keep the window for high-cardinality keys. Measured,
+  * not guessed — both shapes are pinned in the probe.
   *
   * Memory: one ≤k-row heap per distinct key per task — the hash
   * aggregate's memory shape. Like partial aggregation it assumes the
