@@ -1006,6 +1006,40 @@ WHERE id >= 123456 AND id < 41234567
 GROUP BY 1 ORDER BY bucket
 """
 
+  /** src_synthlog_runtime: the connector's `SupportsRuntimeV2Filtering`
+    * — dynamic-partition-pruning for a V2 source. The big side carries
+    * NO static id predicate; Spark executes the broadcast dim first,
+    * translates its keys into a runtime IN predicate, and calls
+    * `filter()` on the scan BEFORE partition planning — the source
+    * then generates ONLY the join's candidate ids (spec-pinned: 100
+    * rows emitted from a 5M keyspace; here, the filtered orders keys).
+    * At warehouse scale this is the star-schema fact-scan pruning
+    * every lakehouse engine ships; the connector completes the
+    * capability set: static pushdown + stats + limit + aggregates +
+    * runtime filtering.
+    */
+  def synthlogRuntime(spark: SparkSession, sfDir: String): DataFrame = {
+    val log = spark.read.format("graft.sources.SynthLogSource")
+      .option("rows", "5000000").option("slices", "8").load()
+      .select(col("id"), col("level"), col("value"))
+    val dim = Tables.orders(spark, sfDir)
+      .where(col("o_orderkey") % 64 === 0)
+      .select(col("o_orderkey").as("k")).distinct()
+    log.join(broadcast(dim), col("id") === col("k"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value")).as("value_sum"),
+           sum(col("level")).as("level_sum"))
+  }
+
+  private val synthlogRuntimeOracle: String = s"""
+SELECT count(*) AS n, CAST(sum(value) AS BIGINT) AS value_sum,
+       CAST(sum(level) AS BIGINT) AS level_sum
+FROM ${graft.sources.SynthLogSource.oracleTable(5000000L)} s
+JOIN (SELECT DISTINCT o_orderkey AS k FROM orders
+      WHERE o_orderkey % 64 = 0) d
+  ON s.id = d.k
+"""
+
   /** src_synthlog_join: the connector's `SupportsReportStatistics`
     * driving a planner decision — the scan reports the POST-pushdown
     * cardinality (2,000 rows, not the 5M-row table), so Catalyst
@@ -1041,6 +1075,7 @@ WHERE s.id < 2000 AND s.level = 3
     "src_synthlog_limit" -> (synthlogLimit _),
     "src_synthlog_agg" -> (synthlogAgg _),
     "src_synthlog_groupagg" -> (synthlogGroupAgg _),
+    "src_synthlog_runtime" -> (synthlogRuntime _),
     "io_metadata_columns" -> (metadataColumns _),
     "io_analyze_stats" -> (analyzeStats _),
     "io_codec_roundtrip" -> (codecRoundtrip _),
@@ -1069,6 +1104,7 @@ WHERE s.id < 2000 AND s.level = 3
     "src_synthlog_limit" -> synthlogLimitOracle,
     "src_synthlog_agg" -> synthlogAggOracle,
     "src_synthlog_groupagg" -> synthlogGroupAggOracle,
+    "src_synthlog_runtime" -> synthlogRuntimeOracle,
     "io_metadata_columns" -> metadataColumnsOracle,
     "io_analyze_stats" -> analyzeStatsOracle,
     "io_codec_roundtrip" -> codecRoundtripOracle,

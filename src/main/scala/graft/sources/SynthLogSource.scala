@@ -8,7 +8,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{
   Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.{
+  Expressions, Literal, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
   Statistics, SupportsPushDownAggregates, SupportsPushDownFilters,
@@ -390,9 +392,43 @@ private[sources] class SynthLogAggReaderFactory extends PartitionReaderFactory {
   */
 private[sources] class SynthLogScan(lo: Long, hi: Long, slices: Int,
     required: StructType, pushed: Array[Filter], ids: Option[Array[Long]])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   private val n: Long = ids.fold(math.max(hi - lo, 0L))(_.length.toLong)
+
+  // Runtime (DPP-style) narrowing: Spark collects the broadcast side of
+  // a join on `id`, translates it to an IN predicate, and calls
+  // filter() BEFORE partition planning — the scan then emits only the
+  // ids the join can match, the connector half of dynamic partition
+  // pruning. Null until the runtime filter arrives; statistics are
+  // pre-runtime by design.
+  @volatile private var runtimeIds: Option[Array[Long]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("id"))
+
+  override def filter(predicates: Array[Predicate]): Unit =
+    predicates.foreach { p =>
+      if (p.name() == "IN" && p.children().nonEmpty) {
+        val onId = p.children().head match {
+          case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
+          case _ => false
+        }
+        if (onId) {
+          val vals = p.children().drop(1).flatMap {
+            case l: Literal[_] => l.value match {
+              case v: java.lang.Long => Some(v.longValue)
+              case v: java.lang.Integer => Some(v.longValue)
+              case _ => None
+            }
+            case _ => None
+          }.distinct.sorted
+          runtimeIds =
+            Some(runtimeIds.fold(vals)(prev => prev.intersect(vals)))
+        }
+      }
+    }
 
   /** Closed-form stats over the generated keyspace — the basis of
     * aggregate pushdown ([[SynthLogAggScan]]).
@@ -421,17 +457,28 @@ private[sources] class SynthLogScan(lo: Long, hi: Long, slices: Int,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    if (n == 0L) return Array.empty
-    val k = math.min(slices.toLong, n).toInt
-    ids match {
+    // static In list ∩ runtime In list; a runtime-only list still
+    // respects the pushed range bounds
+    val eff: Option[Array[Long]] = (ids, runtimeIds) match {
+      case (Some(a), Some(r)) => Some(a.intersect(r))
+      case (Some(a), None) => Some(a)
+      case (None, Some(r)) => Some(r.filter(id => id >= lo && id < hi))
+      case (None, None) => None
+    }
+    eff match {
       case Some(a) =>
+        if (a.isEmpty) return Array.empty
+        val k = math.min(slices.toLong, a.length.toLong).toInt
         Array.tabulate(k) { i =>
           SynthLogIdsPartition(
             a.slice((i * a.length / k), ((i + 1) * a.length / k)))
         }
       case None =>
+        val m = math.max(hi - lo, 0L)
+        if (m == 0L) return Array.empty
+        val k = math.min(slices.toLong, m).toInt
         Array.tabulate(k) { i =>
-          SynthLogPartition(lo + i * n / k, lo + (i + 1) * n / k)
+          SynthLogPartition(lo + i * m / k, lo + (i + 1) * m / k)
         }
     }
   }

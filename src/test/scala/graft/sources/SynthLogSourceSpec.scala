@@ -210,6 +210,31 @@ class SynthLogSourceSpec extends SparkSpec {
       (0L until 10000L).map(SynthLogSource.value).sum)
   }
 
+  test("runtime V2 filtering narrows the scan to the dim side's ids") {
+    // No STATIC id predicate on the big side: the only way the source
+    // can avoid generating 5M rows is the runtime IN filter Spark
+    // derives from the broadcast dim (SupportsRuntimeV2Filtering).
+    val sc = spark
+    sc.conf.set("spark.sql.adaptive.enabled", "false") // walkable tree
+    try {
+      val big = read(5000000L).select(col("id"), col("value"))
+      val dim = spark.range(0, 4000).where(col("id") % 40 === 0)
+        .select(col("id").as("k")) // 100 selective keys behind a Filter
+      val joined = big.join(dim.hint("broadcast"), col("id") === col("k"))
+      // collect(), not count(): metrics must come from THIS plan instance
+      assert(joined.collect().length === 100)
+      val slog = joined.queryExecution.executedPlan.collect {
+        case b: BatchScanExec if b.scan.isInstanceOf[SynthLogScan] => b
+      }
+      assert(slog.nonEmpty, "no synthlog scan in executed plan")
+      assert(slog.head.runtimeFilters.nonEmpty,
+        "planner did not attach a runtime filter to the scan")
+      val emitted = slog.head.metrics("numOutputRows").value
+      assert(emitted === 100L,
+        s"source emitted $emitted rows — runtime filter did not narrow")
+    } finally sc.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("post-pushdown statistics flip the join to broadcast") {
     val big = read(5000000L).where(col("id") < 2000L)
     val dim = spark.range(0, 100000).select(col("id").as("k"))
