@@ -35,6 +35,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * with XOR: commutative across rows, so task order and retries never
   * change it — the property a distributed audit needs.
   *
+  * Table semantics: REPLACE-on-commit — each successful write
+  * publishes a complete snapshot (old parts are cleared inside
+  * `commit()`, and the manifest swap makes the transition atomic for
+  * readers). Spark's `append` SaveMode is the V2 `save()` entry
+  * point; the table's own contract is snapshot-replace, which is what
+  * an audit table wants: the manifest always describes exactly the
+  * parts beside it.
+  *
   * Scale: local filesystem here; the protocol (temp file + rename +
   * manifest-as-commit) is exactly the object-store committer shape —
   * swap Files.move for the FileSystem/S3 committer API and nothing

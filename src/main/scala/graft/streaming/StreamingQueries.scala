@@ -1483,7 +1483,7 @@ ORDER BY day ASC NULLS FIRST, event_type ASC NULLS FIRST
   * are serialized to executors, and an inner class would drag the
   * enclosing object's fields along.
   */
-private[streaming] class RunningUserStats
+private[graft] class RunningUserStats
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, (Long, Long), (Long, Long, Long)] {
   import org.apache.spark.sql.streaming.{TimerValues, ValueState, TTLConfig}
@@ -1520,7 +1520,7 @@ private[streaming] class RunningUserStats
   * per-row scan is O(types), and each update is a single point-write
   * to the store.
   */
-private[streaming] class UserTypeModes
+private[graft] class UserTypeModes
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, (Long, String), (Long, Long, Long, String, Long)] {
   import org.apache.spark.sql.streaming.{MapState, TimerValues, TTLConfig}
@@ -1564,7 +1564,7 @@ private[streaming] class UserTypeModes
   * point-write) and emits the post-row (count, lower median, sum)
   * snapshot recomputed from the buffered list.
   */
-private[streaming] class UserValueBuffer
+private[graft] class UserValueBuffer
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, (Long, Long), (Long, Long, Long, Long)] {
   import org.apache.spark.sql.streaming.{ListState, TimerValues, TTLConfig}
