@@ -946,6 +946,178 @@ walk(node, comp) AS (
 SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
 """
 
+  /** stream_cc_decremental: the DELETION half of streaming label
+    * maintenance — [[ccIncrementalStream]] handles the ingest stream;
+    * this is the retention/GDPR stream, driven by a CDC-shaped feed
+    * (`op ∈ {add, delete}`). The sink maintains TWO tables: the CLIQUE
+    * store (order → member set, the operand deletes are expressed
+    * against) and the label table. Per trigger, adds run the
+    * incremental label-graph algebra; deletes run the decremental
+    * algebra of [[graft.queries.GraphQueries.ccDecremental]] against
+    * the STORED state: deleted nodes → affected components → re-solve
+    * ONLY the affected components' surviving subgraph (rebuilt from
+    * the updated clique store), every other label untouched. Because
+    * labels are component minima, the maintained table is bit-identical
+    * to a from-scratch solve of the surviving graph — which is what
+    * the oracle computes: after batch 1 (all high-quantity orders as
+    * adds) and batch 2 (orders `%10 == 3` as deletes), the result must
+    * be indistinguishable from never having had the deleted orders.
+    * Nodes whose every order was deleted leave the table entirely —
+    * the membership contract a deletion pipeline must honor.
+    *
+    * Scale: the delete pass is two hash joins against the label table
+    * plus a re-solve of the affected slice only; worst case (every
+    * component touched) degrades to a full re-solve — never worse
+    * than not maintaining. The clique-store rewrite is the MERGE a
+    * lakehouse table would absorb.
+    */
+  def ccDecrementalStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val hq = graft.queries.Tables.lineitem(spark, sfDir)
+      .where(col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val raw = hq.withColumn("op", lit("add")).withColumn("tag", lit(1))
+      .unionAll(hq.where(col("l_orderkey") % 10 === 3)
+        .withColumn("op", lit("delete")).withColumn("tag", lit(2)))
+    val stage = stageBatches(spark, sfDir, "cc_dec", raw, Seq(
+      (col("tag") === 1) -> "adds_first",
+      (col("tag") === 2) -> "deletes_second"))
+    val schema = raw.schema
+    val tableRoot = java.nio.file.Paths.get(stage).getParent.resolve("table")
+    if (java.nio.file.Files.exists(tableRoot)) {
+      val walk = java.nio.file.Files.walk(tableRoot)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+    }
+    val curCliques = tableRoot.resolve("cliques")
+    val curLabels = tableRoot.resolve("labels")
+    def readOr(p: java.nio.file.Path, s: org.apache.spark.sql.SparkSession,
+        orElse: => DataFrame): DataFrame =
+      if (java.nio.file.Files.exists(p)) s.read.parquet(p.toString) else orElse
+    def swap(next: java.nio.file.Path, cur: java.nio.file.Path): Unit = {
+      val tmp = cur.getParent.resolve(cur.getFileName.toString + ".swap")
+      if (java.nio.file.Files.exists(cur)) java.nio.file.Files.move(cur, tmp)
+      java.nio.file.Files.move(next, cur)
+      if (java.nio.file.Files.exists(tmp)) {
+        val w = java.nio.file.Files.walk(tmp)
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally w.close()
+      }
+    }
+    val sub = spark.newSession()
+    sub.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = sub.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val s = batch0.sparkSession
+        val batch = batch0.localCheckpoint()
+        val adds = batch.where(col("op") === "add")
+        val dels = batch.where(col("op") === "delete")
+        // 1. clique store: upsert added orders, drop deleted orders
+        val addCliques = adds.groupBy("l_orderkey")
+          .agg(collect_set(col("l_partkey")).as("nodes"))
+        val delOrders = dels.select("l_orderkey").distinct()
+        val prevCliques = readOr(curCliques, s,
+          addCliques.limit(0))
+        val nextCliques = prevCliques
+          .join(addCliques.select("l_orderkey"), Seq("l_orderkey"), "left_anti")
+          .join(delOrders, Seq("l_orderkey"), "left_anti")
+          .unionByName(
+            addCliques.join(delOrders, Seq("l_orderkey"), "left_anti"))
+          .localCheckpoint()
+        // 2. labels: adds via the incremental algebra...
+        val afterAdds: DataFrame =
+          if (adds.isEmpty) readOr(curLabels, s, sys.error("no label table"))
+          else if (!java.nio.file.Files.exists(curLabels)) {
+            graft.cc.ConnectedComponents.runAuto(
+              graft.cc.EdgeBuilder.starEdges(addCliques)).assignments
+          } else {
+            val base = s.read.parquet(curLabels.toString)
+            val delta = graft.cc.EdgeBuilder.starEdges(addCliques)
+            val labelEdges = delta
+              .join(base.toDF("src", "src_lbl"), Seq("src"), "left")
+              .join(base.toDF("dst", "dst_lbl"), Seq("dst"), "left")
+              .select(coalesce(col("src_lbl"), col("src")).as("src"),
+                      coalesce(col("dst_lbl"), col("dst")).as("dst"))
+            val inner = graft.cc.ConnectedComponents.runAuto(labelEdges)
+            val rebased = base
+              .join(inner.assignments.toDF("component", "new_component"),
+                Seq("component"), "left")
+              .select(col("node"),
+                coalesce(col("new_component"), col("component"))
+                  .as("component"))
+            val deltaOnly = delta.select(col("src").as("node"))
+              .unionAll(delta.select(col("dst").as("node"))).distinct()
+              .join(base.select("node"), Seq("node"), "left_anti")
+              .join(inner.assignments.toDF("node", "component"),
+                Seq("node"), "left")
+            rebased.unionAll(deltaOnly)
+          }
+        // 3. ...then deletes via the decremental algebra on the store
+        val nextLabels =
+          if (dels.isEmpty) afterAdds
+          else {
+            val labels = afterAdds.localCheckpoint()
+            val deletedNodes = dels.select(col("l_partkey").as("node"))
+              .distinct()
+            val affected = labels.join(deletedNodes, Seq("node"))
+              .select("component").distinct()
+            val survEdges = graft.cc.EdgeBuilder.starEdges(nextCliques)
+            val affectedEdges = survEdges
+              .join(labels.toDF("src", "component"), Seq("src"))
+              .join(affected, Seq("component"), "left_semi")
+              .select("src", "dst")
+            val resolved = graft.cc.ConnectedComponents
+              .runAuto(affectedEdges).assignments
+            val untouched = labels.join(affected, Seq("component"), "left_anti")
+              .select(col("node"), col("component"))
+            untouched.unionAll(resolved)
+          }
+        val nc = tableRoot.resolve(s"cliques_v$batchId")
+        nextCliques.coalesce(1).write.mode("overwrite").parquet(nc.toString)
+        val nl = tableRoot.resolve(s"labels_v$batchId")
+        nextLabels.coalesce(1).write.mode("overwrite").parquet(nl.toString)
+        swap(nc, curCliques)
+        swap(nl, curLabels)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(curLabels.toString).orderBy("node")
+  }
+
+  /** The maintained table equals the from-scratch min-label closure of
+    * the SURVIVING graph (all high-quantity orders minus the deleted
+    * `%10 == 3` orders) — the cc_decremental contract, reached through
+    * a streamed add batch + delete batch instead of a batch recompute.
+    */
+  val ccDecrementalStreamOracle: String = """
+WITH RECURSIVE li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_quantity >= 45 AND l_orderkey % 10 <> 3
+),
+edges AS (
+  SELECT b.l_partkey AS src, a.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  UNION
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+nodes AS (SELECT DISTINCT l_partkey AS node FROM li),
+walk(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
+"""
+
   /** stream_foreachbatch_upsert: the `foreachBatch` MERGE sink — THE
     * production pattern for landing a streaming aggregate in an upsert
     * store (key-value table, OLAP upsert engine, Delta MERGE): update
@@ -1435,6 +1607,7 @@ ORDER BY day ASC NULLS FIRST, event_type ASC NULLS FIRST
     "stream_session_timers" -> (sessionTimers _),
     "stream_foreachbatch_upsert" -> (foreachBatchUpsert _),
     "stream_cc_incremental" -> (ccIncrementalStream _),
+    "stream_cc_decremental" -> (ccDecrementalStream _),
     "stream_dedup_watermark" -> (dedupWatermark _),
     "stream_running_count" -> (runningCount _),
     "stream_mapstate_modes" -> (mapStateModes _),
@@ -1460,6 +1633,7 @@ ORDER BY day ASC NULLS FIRST, event_type ASC NULLS FIRST
     "stream_session_timers" -> sessionTimersOracle,
     "stream_foreachbatch_upsert" -> foreachBatchUpsertOracle,
     "stream_cc_incremental" -> ccIncrementalStreamOracle,
+    "stream_cc_decremental" -> ccDecrementalStreamOracle,
     "stream_dedup_watermark" -> dedupWatermarkOracle,
     "stream_running_count" -> runningCountOracle,
     "stream_mapstate_modes" -> mapStateModesOracle,
