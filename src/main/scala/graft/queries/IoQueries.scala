@@ -1055,34 +1055,45 @@ JOIN (SELECT DISTINCT o_orderkey AS k FROM orders
     * pinned by `AuditSinkSpec` — wraparound arithmetic is not
     * expressible under ANSI SQL, so it is spec territory, not gate
     * territory.
+    *
+    * Two gate-hygiene rules this query obeys: (1) the readback goes
+    * through [[graft.sources.AuditSink.committedParts]] — the manifest
+    * IS the snapshot definition, a raw directory listing would also
+    * see crashed commits' orphans; (2) every graded column is BIGINT —
+    * the raw epoch-µs sum overflows int64 so it is graded as a
+    * (seconds-sum, µs-remainder-sum) pair, each int64-safe at any sf,
+    * because decimal columns hash differently per engine in the
+    * driver's value hash even at equal values (the one red row of
+    * rounds 7–8).
     */
   def auditSinkRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    // per-invocation unique dir: concurrent gate runs never share state
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_audit",
-      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" +
+        java.util.UUID.randomUUID().toString).toString
     Tables.events(spark, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).as("us"))
       .write.format("graft.sources.AuditSink")
       .option("path", dir).mode("append").save()
-    val manifestTotal = {
-      val lines = java.nio.file.Files.readAllLines(
-        graft.sources.AuditSink.manifestOf(dir))
-      val t = lines.get(lines.size - 1).split("\t")
-      require(t(0) == "TOTAL", s"malformed manifest tail: ${t.mkString(",")}")
-      t(1).toLong
-    }
-    spark.read.schema("user_id LONG, us LONG").csv(dir)
+    val (_, manifestTotal, _) = graft.sources.AuditSink.manifestTotals(dir)
+    val parts = graft.sources.AuditSink.committedParts(dir)
+      .map(_.toString)
+    spark.read.schema("user_id LONG, us LONG").csv(parts: _*)
       .agg(count(lit(1)).as("n_rows"),
            sum(col("user_id")).as("sum_user"),
-           // epoch-us sums exceed int64 at sf0.01+; decimal on both engines
-           sum(col("us").cast("decimal(38,0)")).as("sum_us"))
+           // epoch-µs sums exceed int64: grade the (sec, µs) split —
+           // both positive, so Spark DIV and DuckDB // agree
+           sum(expr("us DIV 1000000")).as("sum_us_sec"),
+           sum(col("us") % lit(1000000L)).as("sum_us_micro"))
       .withColumn("manifest_rows", lit(manifestTotal))
   }
 
   private val auditSinkOracle: String = """
 SELECT count(*) AS n_rows,
        CAST(sum(user_id) AS BIGINT) AS sum_user,
-       CAST(sum(epoch_us(ts)) AS DECIMAL(38,0)) AS sum_us,
+       CAST(sum(epoch_us(ts) // 1000000) AS BIGINT) AS sum_us_sec,
+       CAST(sum(epoch_us(ts) % 1000000) AS BIGINT) AS sum_us_micro,
        count(*) AS manifest_rows
 FROM events
 """

@@ -3,6 +3,8 @@ package graft.sources
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{
   SupportsWrite, Table, TableCapability, TableProvider}
@@ -21,32 +23,38 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   - each TASK writes its partition to an ATTEMPT-UNIQUE temp file
   *     and returns a [[WriterCommitMessage]] carrying (path, rows,
   *     order-insensitive checksum) — never a visible file;
-  *   - the DRIVER's `commit()` moves every temp file into place and
-  *     writes a `_MANIFEST` (rows + combined checksum per part, totals
-  *     last) as the atomic publication point — readers treat manifest
-  *     presence as commit;
+  *   - the DRIVER's `commit()` moves every temp file to a
+  *     VERSION-PREFIXED final name (`part-v000001-00000.csv`), then
+  *     atomically replaces `_MANIFEST` (version header, rows +
+  *     combined checksum per part, totals last) — the manifest swap is
+  *     the single publication point, and only AFTER it are the
+  *     previous snapshot's parts garbage-collected. A crash at any
+  *     point leaves the last published snapshot fully readable: before
+  *     the swap the old manifest + old parts are untouched (new parts
+  *     are invisible orphans, overwritten or ignored later); after the
+  *     swap the new snapshot is live and stale parts are at worst
+  *     un-GC'd clutter that manifest-driven readers never list;
   *   - `abort()` deletes temp files, so failed/speculative attempts
   *     leave nothing (attempt-unique names mean a retry never
   *     collides with a zombie writer's file).
   *
   * Rows are written as CSV lines of LONG columns only (the schema is
-  * validated up front) — deterministic bytes, so the round-trip is
-  * oracle-gradable. The checksum is a per-row polynomial hash folded
-  * with XOR: commutative across rows, so task order and retries never
-  * change it — the property a distributed audit needs.
+  * validated up front, and a NULL in any column fails the task loudly
+  * rather than writing garbage bytes) — deterministic bytes, so the
+  * round-trip is oracle-gradable. The checksum is a per-row polynomial
+  * hash folded with XOR: commutative across rows, so task order and
+  * retries never change it — the property a distributed audit needs.
   *
   * Table semantics: REPLACE-on-commit — each successful write
-  * publishes a complete snapshot (old parts are cleared inside
-  * `commit()`, and the manifest swap makes the transition atomic for
-  * readers). Spark's `append` SaveMode is the V2 `save()` entry
-  * point; the table's own contract is snapshot-replace, which is what
-  * an audit table wants: the manifest always describes exactly the
-  * parts beside it.
+  * publishes a complete snapshot under a fresh version. Readers MUST
+  * go through the manifest ([[AuditSink.committedParts]]): it names
+  * exactly the committed snapshot's parts, which is what makes stale
+  * or orphaned part files harmless.
   *
   * Scale: local filesystem here; the protocol (temp file + rename +
-  * manifest-as-commit) is exactly the object-store committer shape —
-  * swap Files.move for the FileSystem/S3 committer API and nothing
-  * else changes.
+  * manifest-as-commit + publish-then-GC) is exactly the object-store
+  * committer shape — swap Files.move for the FileSystem/S3 committer
+  * API and nothing else changes.
   */
 class AuditSink extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -68,6 +76,55 @@ object AuditSink {
       (h ^ v) * 1099511628211L)
 
   def manifestOf(dir: String): Path = Paths.get(dir, "_MANIFEST")
+
+  private[sources] val PartName = raw"part-v(\d+)-\d+\.csv".r
+
+  /** Parses the committed manifest and returns the snapshot's part
+    * paths — THE read entry point. Directory listings see orphans from
+    * crashed commits and not-yet-GC'd history; the manifest never
+    * does.
+    */
+  def committedParts(dir: String): Seq[Path] = {
+    val base = Paths.get(dir)
+    Files.readAllLines(manifestOf(dir)).asScala.toSeq
+      .map(_.split("\t"))
+      .collect { case t if t(0) != "VERSION" && t(0) != "TOTAL" =>
+        base.resolve(t(0)) }
+  }
+
+  /** (version, totalRows, totalChecksum) from the committed manifest. */
+  def manifestTotals(dir: String): (Long, Long, Long) = {
+    val lines = Files.readAllLines(manifestOf(dir))
+    val v = lines.get(0).split("\t")
+    require(v(0) == "VERSION", s"malformed manifest head: ${v.mkString(",")}")
+    val t = lines.get(lines.size - 1).split("\t")
+    require(t(0) == "TOTAL", s"malformed manifest tail: ${t.mkString(",")}")
+    (v(1).toLong, t(1).toLong, t(2).toLong)
+  }
+
+  /** Next snapshot version: one past everything visible on disk —
+    * both the committed manifest's version and any orphaned parts a
+    * crashed commit left behind (so a re-commit never half-reuses an
+    * orphan's name set).
+    */
+  private[sources] def nextVersion(base: Path): Long = {
+    val manifestV =
+      if (Files.exists(base.resolve("_MANIFEST")))
+        try Files.readAllLines(base.resolve("_MANIFEST")).asScala.headOption
+          .map(_.split("\t")).collect { case Array("VERSION", v) => v.toLong }
+          .getOrElse(-1L)
+        catch { case _: java.io.IOException => -1L }
+      else -1L
+    val partV = if (!Files.isDirectory(base)) -1L else {
+      val s = Files.list(base)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case PartName(v) => v.toLong }
+        .foldLeft(-1L)(math.max)
+      finally s.close()
+    }
+    math.max(manifestV, partV) + 1L
+  }
 }
 
 private[sources] class AuditSinkTable(schema0: StructType, path: String)
@@ -99,21 +156,22 @@ private[sources] class AuditBatchWrite(dir: String, nCols: Int)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new AuditWriterFactory(dir, nCols)
 
+  /** Publish-then-GC, never GC-then-publish: the previous snapshot
+    * stays intact until the new manifest is atomically in place, so no
+    * crash window can lose a committed snapshot.
+    */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val base = Paths.get(dir)
     Files.createDirectories(base)
-    // clear previously committed parts (overwrite semantics)
-    val old = Files.list(base)
-    try old.filter(p => p.getFileName.toString.startsWith("part-") ||
-        p.getFileName.toString == "_MANIFEST")
-      .forEach(p => Files.delete(p))
-    finally old.close()
+    val version = AuditSink.nextVersion(base)
     val parts = messages.toSeq.collect { case m: AuditCommit => m }
       .sortBy(_.tempPath)
     val lines = new StringBuilder
+    lines.append(s"VERSION\t$version\n")
     parts.zipWithIndex.foreach { case (m, i) =>
-      val fin = base.resolve(f"part-$i%05d.csv")
-      Files.move(Paths.get(m.tempPath), fin, StandardCopyOption.ATOMIC_MOVE)
+      val fin = base.resolve(f"part-v$version%06d-$i%05d.csv")
+      Files.move(Paths.get(m.tempPath), fin,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       lines.append(s"${fin.getFileName}\t${m.rows}\t${m.checksum}\n")
     }
     val totalRows = parts.map(_.rows).sum
@@ -123,7 +181,18 @@ private[sources] class AuditBatchWrite(dir: String, nCols: Int)
     val mTmp = base.resolve("_MANIFEST.tmp")
     Files.write(mTmp, lines.toString.getBytes(UTF_8))
     Files.move(mTmp, AuditSink.manifestOf(dir),
-      StandardCopyOption.ATOMIC_MOVE)
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // GC strictly AFTER the publication point: older versions' parts
+    // (and crashed commits' orphans below the new version) go away.
+    val old = Files.list(base)
+    try old.iterator().asScala
+      .filter { p =>
+        p.getFileName.toString match {
+          case AuditSink.PartName(v) => v.toLong < version
+          case _                     => false
+        }
+      }.toSeq.foreach(Files.deleteIfExists(_))
+    finally old.close()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -154,6 +223,16 @@ private[sources] class AuditWriter(dir: String, nCols: Int,
   private var checksum = 0L
 
   override def write(record: InternalRow): Unit = {
+    var i = 0
+    while (i < nCols) {
+      // getLong on a null slot returns garbage bytes silently — an
+      // audit sink must fail the task, not write a corrupt snapshot.
+      if (record.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"AuditSink: NULL in LONG column $i at row $rows of " +
+          s"partition $partitionId — audit rows must be fully defined")
+      i += 1
+    }
     val values = (0 until nCols).map(record.getLong)
     out.write(values.mkString(","))
     out.write("\n")

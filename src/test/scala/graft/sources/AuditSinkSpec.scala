@@ -1,5 +1,6 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
@@ -8,7 +9,9 @@ import graft.SparkSpec
 
 /** Pins the V2 write path's transactional semantics — the parts the
   * hash gate can't see: manifest-as-commit bookkeeping, checksum
-  * order-insensitivity, abort cleanup, and re-commit atomicity.
+  * order-insensitivity, abort cleanup, re-commit atomicity,
+  * crash-window snapshot preservation (publish-then-GC), and NULL
+  * fail-fast.
   */
 class AuditSinkSpec extends SparkSpec {
 
@@ -30,22 +33,27 @@ class AuditSinkSpec extends SparkSpec {
       .write.format("graft.sources.AuditSink")
       .option("path", dir).mode("append").save()
 
+  private def readCommitted(dir: String) =
+    spark.read.schema("a LONG, b LONG")
+      .csv(AuditSink.committedParts(dir).map(_.toString): _*)
+
   test("roundtrip: rows, manifest totals, and checksum all agree") {
     val dir = freshDir("roundtrip")
     writeRange(dir, 1000L, 4)
-    val back = spark.read.schema("a LONG, b LONG").csv(dir).collect()
+    val back = readCommitted(dir).collect()
     assert(back.length === 1000)
     assert(back.map(_.getLong(0)).sorted.toSeq === (0L until 1000L).toSeq)
-    val lines = Files.readAllLines(AuditSink.manifestOf(dir))
-    val total = lines.get(lines.size - 1).split("\t")
-    assert(total(0) === "TOTAL" && total(1).toLong === 1000L)
+    val (version, totalRows, totalSum) = AuditSink.manifestTotals(dir)
+    assert(version === 0L && totalRows === 1000L)
     val expected = back.map(r => AuditSink.rowHash(Seq(r.getLong(0),
       r.getLong(1)))).foldLeft(0L)(_ ^ _)
-    assert(total(2).toLong === expected)
-    // per-part rows sum to the total
-    val partRows = (0 until lines.size - 1)
+    assert(totalSum === expected)
+    // per-part rows (manifest body between VERSION head and TOTAL tail)
+    val lines = Files.readAllLines(AuditSink.manifestOf(dir))
+    val partRows = (1 until lines.size - 1)
       .map(i => lines.get(i).split("\t")(1).toLong)
     assert(partRows.sum === 1000L)
+    assert(partRows.size === AuditSink.committedParts(dir).size)
   }
 
   test("the checksum is order- and partitioning-insensitive") {
@@ -62,10 +70,45 @@ class AuditSinkSpec extends SparkSpec {
     val dir = freshDir("recommit")
     writeRange(dir, 1000L, 4)
     writeRange(dir, 10L, 2)
-    val back = spark.read.schema("a LONG, b LONG").csv(dir)
-    assert(back.count() === 10L)
-    val lines = Files.readAllLines(AuditSink.manifestOf(dir))
-    assert(lines.get(lines.size - 1).split("\t")(1).toLong === 10L)
+    assert(readCommitted(dir).count() === 10L)
+    val (version, totalRows, _) = AuditSink.manifestTotals(dir)
+    assert(version === 1L && totalRows === 10L)
+    // post-publish GC: the v0 parts are gone from disk too
+    val listing = Files.list(Paths.get(dir))
+    try {
+      val names = listing.iterator()
+      var stale = List.empty[String]
+      while (names.hasNext) {
+        val n = names.next().getFileName.toString
+        n match {
+          case AuditSink.PartName(v) if v.toLong < 1L => stale ::= n
+          case _ =>
+        }
+      }
+      assert(stale.isEmpty, s"stale parts survived GC: $stale")
+    } finally listing.close()
+  }
+
+  test("a crash between part-move and manifest swap preserves the " +
+       "previous snapshot for manifest-driven readers") {
+    val dir = freshDir("crashwindow")
+    writeRange(dir, 100L, 2)
+    val before = AuditSink.manifestTotals(dir)
+    // simulate a commit that crashed after moving its parts but before
+    // publishing: orphan v1 parts appear, manifest untouched
+    Files.write(Paths.get(dir, "part-v000001-00000.csv"),
+      "999,999\n".getBytes(UTF_8))
+    assert(AuditSink.manifestTotals(dir) === before)
+    assert(readCommitted(dir).count() === 100L,
+      "manifest-driven read must not see the crashed commit's orphan")
+    // the next successful commit skips past the orphan's version and
+    // GCs it
+    writeRange(dir, 5L, 1)
+    val (version, totalRows, _) = AuditSink.manifestTotals(dir)
+    assert(version === 2L && totalRows === 5L)
+    assert(readCommitted(dir).count() === 5L)
+    assert(!Files.exists(Paths.get(dir, "part-v000001-00000.csv")),
+      "post-publish GC should remove the crashed commit's orphan")
   }
 
   test("abort removes the attempt file; commit-side abort is a no-op") {
@@ -86,5 +129,25 @@ class AuditSinkSpec extends SparkSpec {
         .option("path", freshDir("badschema")).mode("append").save()
     }
     assert(e.getMessage.contains("LONG columns only"))
+  }
+
+  test("a NULL long fails the write loudly instead of corrupting bytes") {
+    val dir = freshDir("nullrow")
+    val e = intercept[Exception] {
+      spark.range(4)
+        .select(col("id").as("a"),
+          when(col("id") === 2L, lit(null)).otherwise(col("id"))
+            .cast("long").as("b"))
+        .write.format("graft.sources.AuditSink")
+        .option("path", dir).mode("append").save()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("NULL in LONG column")),
+      s"expected the NULL fail-fast message, got: ${e.getMessage}")
+    // nothing was published
+    assert(!Files.exists(AuditSink.manifestOf(dir)))
   }
 }
