@@ -141,7 +141,12 @@ object TopKPerKey {
       k: Int): DataFrame = {
     val spark = df.sparkSession
     graftsql.addStrategy(spark, TopKPerKeyStrategy)
-    val keys = keyCols.map(resolveExpr(df, _))
+    // Grouping/shuffle keys must be float-normalized (-0.0 → 0.0,
+    // NaN → canonical NaN): the NormalizeFloatingNumbers rule does this
+    // for Aggregate/Window/Join keys but never sees a custom node, and
+    // both the per-task UnsafeProjection group map and the
+    // ClusteredDistribution hash are bit-pattern-sensitive.
+    val keys = keyCols.map(c => graftsql.normalizeFloats(resolveExpr(df, c)))
     val order = orderCols.map { c =>
       graftsql.sortSpec(c) match {
         case Some((child, desc, nullsLast)) =>

@@ -1006,6 +1006,34 @@ WHERE id >= 123456 AND id < 41234567
 GROUP BY 1 ORDER BY bucket
 """
 
+  /** src_synthlog_agg_limit: regression pin for the
+    * limit-after-aggregate pushdown hazard. Spark pushes limits AFTER
+    * aggregates, so `groupBy().agg().limit(n)` hands the connector a
+    * limit that ranges over GROUP rows; a connector that keeps
+    * truncating the pre-aggregation keyspace (as this one once did)
+    * silently corrupts every group's count/min/max — here bucket 0
+    * would report n=10 instead of 1000. The connector now refuses
+    * `pushLimit` once an aggregation is pushed (Spark keeps its own
+    * Limit above the scan), and this row grades the values. The limit
+    * (10) exceeds the group count (5), so every group survives and the
+    * output is deterministic despite LIMIT's any-n semantics.
+    */
+  def synthlogAggLimit(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graft.sources.SynthLogSource")
+      .option("rows", "5000").option("slices", "4").load()
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+           min(col("id")).as("min_id"),
+           max(col("id")).as("max_id"))
+      .limit(10)
+
+  private val synthlogAggLimitOracle: String = """
+SELECT id // 1000 AS bucket, count(*) AS n,
+       min(id) AS min_id, max(id) AS max_id
+FROM range(0, 5000) t(id)
+GROUP BY 1 LIMIT 10
+"""
+
   /** src_synthlog_runtime: the connector's `SupportsRuntimeV2Filtering`
     * — dynamic-partition-pruning for a V2 source. The big side carries
     * NO static id predicate; Spark executes the broadcast dim first,
@@ -1133,6 +1161,7 @@ WHERE s.id < 2000 AND s.level = 3
     "src_synthlog_limit" -> (synthlogLimit _),
     "src_synthlog_agg" -> (synthlogAgg _),
     "src_synthlog_groupagg" -> (synthlogGroupAgg _),
+    "src_synthlog_agg_limit" -> (synthlogAggLimit _),
     "src_synthlog_runtime" -> (synthlogRuntime _),
     "src_auditsink_roundtrip" -> (auditSinkRoundtrip _),
     "io_metadata_columns" -> (metadataColumns _),
@@ -1163,6 +1192,7 @@ WHERE s.id < 2000 AND s.level = 3
     "src_synthlog_limit" -> synthlogLimitOracle,
     "src_synthlog_agg" -> synthlogAggOracle,
     "src_synthlog_groupagg" -> synthlogGroupAggOracle,
+    "src_synthlog_agg_limit" -> synthlogAggLimitOracle,
     "src_synthlog_runtime" -> synthlogRuntimeOracle,
     "src_auditsink_roundtrip" -> auditSinkOracle,
     "io_metadata_columns" -> metadataColumnsOracle,

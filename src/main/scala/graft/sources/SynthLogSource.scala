@@ -168,9 +168,15 @@ private[sources] class SynthLogScanBuilder(rows: Long, slices: Int)
 
   /** Rows leave the source in ascending-id order across contiguous
     * partitions, so truncating the keyspace to its first `n` ids IS the
-    * limit — fully pushed, nothing partial.
+    * limit — fully pushed, nothing partial. BUT only while the scan
+    * still emits data rows: Spark pushes limits AFTER aggregates
+    * (V2ScanRelationPushDown), so a limit arriving once an aggregation
+    * is pushed ranges over GROUP rows — truncating the pre-aggregation
+    * keyspace then would silently corrupt every group's values. Refuse
+    * it; Spark keeps its own Limit above the scan.
     */
   override def pushLimit(n: Int): Boolean = {
+    if (aggFuncs.isDefined) return false
     limit = Some(limit.fold(n)(math.min(_, n)))
     true
   }

@@ -32,6 +32,18 @@ object graftsql {
     case _ => None
   }
 
+  /** Normalize floating-point bit patterns (-0.0 → 0.0, all NaNs →
+    * the canonical NaN, recursively through struct/array/map types) in
+    * an expression used as a GROUPING or SHUFFLE key. The optimizer
+    * applies this rule to Aggregate/Window/Join keys only — a CUSTOM
+    * key-clustered plan bypasses it and must normalize its own keys or
+    * -0.0/0.0 and distinct NaN payloads split groups. The rule object's
+    * `normalize` is private[sql], hence surfaced here; it is a no-op
+    * (returns `e` untouched) for types that need none.
+    */
+  def normalizeFloats(e: Expression): Expression =
+    catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
   /** Idempotently register a planner strategy on a live session (the
     * runtime-registration equivalent of
     * `SparkSessionExtensions.injectPlannerStrategy`).

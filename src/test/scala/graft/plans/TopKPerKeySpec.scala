@@ -51,6 +51,28 @@ class TopKPerKeySpec extends SparkSpec {
       === exp.collect().map(_.toSeq).toSet)
   }
 
+  test("float keys are normalized: -0.0/0.0 and NaN variants share a group") {
+    // The NormalizeFloatingNumbers rule only sees Aggregate/Window/Join
+    // keys; the custom node must normalize its own or these keys split.
+    val rows = spark.range(0, 8).select(
+      when(col("id") < 2, lit(-0.0))
+        .when(col("id") < 4, lit(0.0))
+        .when(col("id") < 6, lit(Double.NaN))
+        .otherwise(sqrt(lit(-1.0))) // NaN via arithmetic
+        .as("k"),
+      col("id").as("v"))
+    val got = TopKPerKey.topK(rows, Seq(col("k")), Seq(col("v").desc), 1)
+      .collect()
+    // two groups only: {±0.0} and {NaN}; top v are 3 (zero) and 7 (NaN)
+    assert(got.length === 2, got.map(_.toSeq).mkString(";"))
+    assert(got.map(_.getLong(1)).sorted.toSeq === Seq(3L, 7L))
+    // and the same with a struct-wrapped float key (nested normalize)
+    val nested = TopKPerKey.topK(
+      rows.select(struct(col("k")).as("sk"), col("v")),
+      Seq(col("sk")), Seq(col("v").desc), 1).collect()
+    assert(nested.length === 2, nested.map(_.toSeq).mkString(";"))
+  }
+
   test("plan: partial/final heap pair, one shuffle, no sort, no window") {
     // executedPlan, not sparkPlan: EnsureRequirements inserts the
     // exchange only during physical preparation. AQE off so the tree

@@ -196,6 +196,30 @@ class SynthLogSourceSpec extends SparkSpec {
       Seq(999L, 1L, 999999L)))
   }
 
+  test("a limit arriving after an aggregate is pushed is REFUSED — " +
+       "group values stay intact") {
+    // Spark pushes limits after aggregates; accepting one here would
+    // truncate the pre-aggregation keyspace and corrupt every group.
+    val df = read(5000L, slices = 4)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"))
+      .limit(10)
+    val desc = scanOf(df).scan.description()
+    assert(desc.contains("group=bucket"), desc)
+    // the base scan keeps its full keyspace (no limit-truncation to
+    // [0, 10)); all 5 buckets report their true 1000-row counts
+    assert(desc.contains("[0, 5000)"), desc)
+    val rows = df.collect().sortBy(_.getLong(0))
+    assert(rows.length === 5)
+    assert(rows.forall(_.getLong(1) === 1000L),
+      rows.map(_.toSeq).mkString(";"))
+    assert(rows.head.toSeq === Seq(0L, 1000L, 0L, 999L))
+    // ungrouped: one row either way, but the limit must still not
+    // touch the keyspace
+    val g = read(5000L).agg(count(lit(1)).as("n")).limit(1)
+    assert(g.collect()(0).getLong(0) === 5000L)
+  }
+
   test("GROUP BY on a non-bucket column falls back to a plain scan") {
     val df = read(10000L).groupBy("level").agg(count(lit(1)).as("n"))
     assert(!scanOf(df).scan.description().contains("synthlog-agg"))
