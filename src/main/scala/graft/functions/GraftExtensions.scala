@@ -37,7 +37,10 @@ object GraftFunctions {
      (children: Seq[Expression]) => {
        require(children.length == 1, "graft_pq_assign takes exactly 1 argument")
        PqAssign(children.head)
-     }))
+     }),
+    (FunctionIdentifier("graft_fnv_fold"),
+     new ExpressionInfo(classOf[FnvFold].getName, "graft_fnv_fold"),
+     (children: Seq[Expression]) => FnvFold(children)))
 
   def inject(ext: SparkSessionExtensions): Unit =
     functions.foreach(ext.injectFunction)

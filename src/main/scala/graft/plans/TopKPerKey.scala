@@ -88,6 +88,17 @@ final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val sortOrder = order
     val n = k
     val childOutput = child.output
+    // Loud memory bound: the per-task heap map holds ≤ k rows per
+    // DISTINCT KEY seen by the task — the hash aggregate's memory
+    // shape, but without its spill path. Outside the operator's
+    // measured domain (few hot keys) the map can approach the
+    // partition size; rather than dying with an opaque executor OOM,
+    // fail fast with the remedy (the window idiom) once the key map
+    // exceeds the configured bound. Default 8M keys ≈ k+1 rows × 8M
+    // entries — around a GiB at typical graded row widths, far above
+    // every sane use of this operator and far below an OOM.
+    val maxKeys = conf.getConfString(
+      TopKPerKey.MaxKeysConfKey, "8000000").toLong
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // "top" = the first k rows of the requested SortOrder; keep the
@@ -102,6 +113,14 @@ final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         val key = keyProj(row)
         var pq = heaps.get(key)
         if (pq == null) {
+          if (heaps.size() >= maxKeys) {
+            throw new IllegalStateException(
+              s"TopKPerKey: task saw more than $maxKeys distinct keys — " +
+              "outside the operator's domain (few hot keys; see " +
+              "tools.TopKProbe). Use the window idiom " +
+              "(row_number over partitionBy(key)) for high-cardinality " +
+              s"keys, or raise ${TopKPerKey.MaxKeysConfKey}.")
+          }
           pq = new java.util.PriorityQueue[InternalRow](n + 1, rowOrd.reverse)
           heaps.put(key.copy(), pq)
         }
@@ -117,6 +136,9 @@ final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
 }
 
 object TopKPerKey {
+  /** Per-task distinct-key bound for the heap map (session conf). */
+  val MaxKeysConfKey = "spark.graft.topk.maxKeysPerTask"
+
   /** Resolve a Column against `df` through the ANALYZER (a throwaway
     * `select`), so the expression we store in the custom node is a
     * fully-resolved, serializable catalyst tree bound to `df`'s

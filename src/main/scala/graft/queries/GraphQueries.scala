@@ -308,31 +308,10 @@ FROM coeff GROUP BY deg_band ORDER BY deg_band
     val base = hqIncBaseAssignments(spark, sfDir)
     val delta = EdgeBuilder.starEdges(
       hqCliques(spark, sfDir, col("l_orderkey") % 10 === 7))
-    // Contract delta endpoints through base labels; unseen nodes map to
-    // themselves. The base side of these joins is the full assignment —
-    // at scale it is the big side, so the delta (small side) broadcasts.
-    val srcLbl = base.toDF("src", "src_lbl")
-    val dstLbl = base.toDF("dst", "dst_lbl")
-    val labelEdges = delta
-      .join(srcLbl, Seq("src"), "left")
-      .join(dstLbl, Seq("dst"), "left")
-      .select(coalesce(col("src_lbl"), col("src")).as("src"),
-              coalesce(col("dst_lbl"), col("dst")).as("dst"))
-    val inner = ConnectedComponents.runAuto(labelEdges)
-    val relabel = inner.assignments.toDF("component", "new_component")
-    val rebased = base
-      .join(relabel, Seq("component"), "left")
-      .select(col("node"),
-              coalesce(col("new_component"), col("component")).as("component"))
-    // Nodes introduced by the delta (never seen in base): their ids
-    // appear verbatim in the label graph, so the inner solve labels
-    // them directly.
-    val deltaOnly = delta.select(col("src").as("node"))
-      .unionAll(delta.select(col("dst").as("node")))
-      .distinct()
-      .join(base.select("node"), Seq("node"), "left_anti")
-      .join(inner.assignments.toDF("node", "component"), Seq("node"), "left")
-    rebased.unionAll(deltaOnly).orderBy("node")
+    // The shared maintenance algebra (graft.cc.IncrementalCC): contract
+    // delta endpoints through base labels (delta is the small side and
+    // broadcasts), solve the label graph, rebase, union unseen nodes.
+    graft.cc.IncrementalCC.applyDelta(base, delta).orderBy("node")
   }
 
   /** cc_decremental: label maintenance under EDGE DELETION — the other
@@ -467,6 +446,10 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
     nodes.join(Hints.maybeBroadcast(contribs, m), Seq("node"), "left")
       .select(col("node"),
         expr(s"$base + (85 * coalesce(c, $zero)) div 100").as("rank"))
+      // GLOBAL top-20: Spark plans TakeOrderedAndProject (per-partition
+      // bounded heap + driver merge) — already the optimal shape;
+      // TopKPerKey is for PER-KEY top-k and has nothing to add here
+      // (r7 #5 adoption audit: keep).
       .orderBy(col("rank").desc, col("node")).limit(20)
   }
 

@@ -1034,6 +1034,37 @@ FROM range(0, 5000) t(id)
 GROUP BY 1 LIMIT 10
 """
 
+  /** src_synthlog_spj: STORAGE-PARTITIONED JOIN — the connector's
+    * `SupportsReportPartitioning` + `HasPartitionKey` contract. Both
+    * sides are `bucketed=true` scans reporting
+    * `KeyGroupedPartitioning(identity(bucket))` with one partition per
+    * bucket VALUE; with `spark.sql.sources.v2.bucketing.enabled` Spark
+    * aligns the two sides' partitions by value and plans the join with
+    * ZERO exchanges (`SynthLogSourceSpec` pins the plan). This is the
+    * read-side twin of `io_bucketed_join` (which proves the same
+    * property for writer-bucketed tables) and the Iceberg-style
+    * contract that makes 100 TB fact-to-fact joins shuffle-free when
+    * the layouts agree.
+    */
+  def synthlogSpj(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    def t = spark.read.format("graft.sources.SynthLogSource")
+      .option("rows", "5000").option("bucketed", "true").load()
+    val a = t.select(col("bucket"), col("value").as("va"))
+    val b = t.select(col("bucket"), col("value").as("vb"))
+    a.join(b, Seq("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(col("va") + col("vb")).as("sum_vals"))
+  }
+
+  private val synthlogSpjOracle: String = s"""
+SELECT count(*) AS n_pairs,
+       CAST(sum(a.value + b.value) AS BIGINT) AS sum_vals
+FROM ${graft.sources.SynthLogSource.oracleTable(5000L)} a
+JOIN ${graft.sources.SynthLogSource.oracleTable(5000L)} b
+  ON a.bucket = b.bucket
+"""
+
   /** src_synthlog_runtime: the connector's `SupportsRuntimeV2Filtering`
     * — dynamic-partition-pruning for a V2 source. The big side carries
     * NO static id predicate; Spark executes the broadcast dim first,
@@ -1126,6 +1157,68 @@ SELECT count(*) AS n_rows,
 FROM events
 """
 
+  /** src_auditsink_checksum: the sink's XOR-FNV integrity fold behind
+    * the hash gate. The manifest's TOTAL checksum is the XOR of
+    * per-part checksums, each the XOR of per-row
+    * [[graft.sources.AuditSink.rowHash]] values — order- and
+    * partitioning-insensitive by construction. This row recomputes the
+    * fold FROM THE READBACK with the codegen'd
+    * [[graft.functions.FnvFold]] expression + the `bit_xor` aggregate,
+    * grades the recomputed value against DuckDB replaying the same
+    * wrapping mod-2^64 arithmetic in HUGEINT from the events table,
+    * and emits manifest == recomputed as a graded boolean. Corrupt
+    * bytes anywhere (writer, rename, manifest bookkeeping, reader)
+    * flip at least one graded column.
+    */
+  def auditSinkChecksum(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_audit",
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + "-ck-" +
+        java.util.UUID.randomUUID().toString).toString
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .write.format("graft.sources.AuditSink")
+      .option("path", dir).mode("append").save()
+    val (_, _, manifestSum) = graft.sources.AuditSink.manifestTotals(dir)
+    val parts = graft.sources.AuditSink.committedParts(dir)
+      .map(_.toString)
+    spark.read.schema("user_id LONG, us LONG").csv(parts: _*)
+      .select(graft.functions.FnvFold
+        .fnvFold(col("user_id"), col("us")).as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+           expr("bit_xor(h)").as("recomputed"))
+      .withColumn("manifest_match", col("recomputed") === lit(manifestSum))
+  }
+
+  /** DuckDB replay of the wrapping FNV fold: unsigned state in UBIGINT,
+    * each step's multiply widened to HUGEINT then reduced mod 2^64,
+    * final value mapped to two's-complement BIGINT for the bit_xor
+    * aggregate — bit-identical to Java long arithmetic.
+    */
+  private val auditSinkChecksumOracle: String = """
+WITH t AS (
+  SELECT CAST(user_id AS UBIGINT) AS u, CAST(epoch_us(ts) AS UBIGINT) AS us
+  FROM events
+), h1 AS (
+  SELECT CAST((xor(CAST(14695981039346656037 AS UBIGINT), u)::HUGEINT
+               * 1099511628211) % 18446744073709551616 AS UBIGINT) AS h, us
+  FROM t
+), h2 AS (
+  SELECT CAST((xor(h, us)::HUGEINT * 1099511628211)
+              % 18446744073709551616 AS UBIGINT) AS h
+  FROM h1
+), s AS (
+  SELECT CAST(CASE WHEN h >= 9223372036854775808
+                   THEN h::HUGEINT - 18446744073709551616
+                   ELSE h::HUGEINT END AS BIGINT) AS hs
+  FROM h2
+)
+SELECT count(*) AS n_rows,
+       CAST(bit_xor(hs) AS BIGINT) AS recomputed,
+       true AS manifest_match
+FROM s
+"""
+
   /** src_synthlog_join: the connector's `SupportsReportStatistics`
     * driving a planner decision — the scan reports the POST-pushdown
     * cardinality (2,000 rows, not the 5M-row table), so Catalyst
@@ -1162,8 +1255,10 @@ WHERE s.id < 2000 AND s.level = 3
     "src_synthlog_agg" -> (synthlogAgg _),
     "src_synthlog_groupagg" -> (synthlogGroupAgg _),
     "src_synthlog_agg_limit" -> (synthlogAggLimit _),
+    "src_synthlog_spj" -> (synthlogSpj _),
     "src_synthlog_runtime" -> (synthlogRuntime _),
     "src_auditsink_roundtrip" -> (auditSinkRoundtrip _),
+    "src_auditsink_checksum" -> (auditSinkChecksum _),
     "io_metadata_columns" -> (metadataColumns _),
     "io_analyze_stats" -> (analyzeStats _),
     "io_codec_roundtrip" -> (codecRoundtrip _),
@@ -1193,8 +1288,10 @@ WHERE s.id < 2000 AND s.level = 3
     "src_synthlog_agg" -> synthlogAggOracle,
     "src_synthlog_groupagg" -> synthlogGroupAggOracle,
     "src_synthlog_agg_limit" -> synthlogAggLimitOracle,
+    "src_synthlog_spj" -> synthlogSpjOracle,
     "src_synthlog_runtime" -> synthlogRuntimeOracle,
     "src_auditsink_roundtrip" -> auditSinkOracle,
+    "src_auditsink_checksum" -> auditSinkChecksumOracle,
     "io_metadata_columns" -> metadataColumnsOracle,
     "io_analyze_stats" -> analyzeStatsOracle,
     "io_codec_roundtrip" -> codecRoundtripOracle,

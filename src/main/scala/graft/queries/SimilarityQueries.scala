@@ -81,19 +81,32 @@ SELECT a, b, round(cos, 4) AS cos4 FROM pairs WHERE cos >= 0.4 ORDER BY a, b
     * 5000 — ≤100 queries at ANY corpus size (the cap is a no-op at the
     * graded scales, whose ids stop at 1999), so the exact scan is
     * O(|Q|·N), linear in N.
+    *
+    * Ranking uses the custom [[graft.plans.TopKPerKey]] bounded-heap
+    * operator, not the window idiom: ≤100 hot keys over |Q|·N scored
+    * rows is exactly the operator's measured domain (tools.TopKProbe —
+    * few groups, huge corpus: the window's per-partition sort pays
+    * O(n log n) on the full score table, the heap scans it in
+    * O(n log k) and ships ≤ k·|Q| rows per task). Measured at sf0.1
+    * (QueryTimeProbe, local[32]): 1.21s → 1.04–1.14s median — a
+    * modest win because the O(|Q|·N) dot-product join dominates this
+    * query's cost, not the rank; the sort-elimination matters more as
+    * N grows. The residual rank window runs over the ≤ 500-row top-k
+    * result, not the score table.
     */
   def topkBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
     val n = normalized(spark, sfDir)
     val q = n.toDF("query_id", "uq")
       .where(col("query_id") % 50 === 0 && col("query_id") < 5000)
     val c = n.toDF("neighbor_id", "uc")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    q.join(c, col("query_id") =!= col("neighbor_id"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
               dot(col("uq"), col("uc")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 5)
+    val top = graft.plans.TopKPerKey.topK(scored,
+      Seq(col("query_id")), Seq(col("cos").desc, col("neighbor_id").asc), 5)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w))
       .select(col("query_id"), col("rank"), col("neighbor_id"),
               round(col("cos"), 4).as("cos4"))
       .orderBy("query_id", "rank")

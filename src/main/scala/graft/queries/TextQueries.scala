@@ -187,6 +187,12 @@ GROUP BY doc_id ORDER BY doc_id
     * index build), df table ∝ vocabulary (broadcast side of the join),
     * top-k per term is the standard rank-window — no quadratic
     * anywhere.
+    *
+    * TopKPerKey adoption audit (r7 #5): KEEP the window. Keys here are
+    * vocabulary terms — tens of thousands and growing with corpus —
+    * which is the high-cardinality regime where tools.TopKProbe
+    * measured the window's pruned sort tying or beating the bounded
+    * heap (the heap's per-task key map approaches the partition size).
     */
   def tfidfTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)

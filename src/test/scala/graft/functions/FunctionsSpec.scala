@@ -103,4 +103,36 @@ class FunctionsSpec extends SparkSpec {
       bad.select(VectorFunctions.dot(col("a"), col("b"))).collect()
     }
   }
+
+  test("FnvFold matches AuditSink.rowHash in codegen, interpreted, and SQL") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val rows = Seq((7L, 1234567890123L), (42L, 987654321L),
+      (-5L, 0L), (Long.MaxValue, Long.MinValue))
+    val df = rows.toDF("a", "b")
+    val expected = rows.map { case (a, b) =>
+      graft.sources.AuditSink.rowHash(Seq(a, b)) }
+    // Column API (whole-stage codegen path)
+    assert(df.select(FnvFold.fnvFold(col("a"), col("b"))).collect()
+      .map(_.getLong(0)).toSeq === expected)
+    // SQL registration
+    df.createOrReplaceTempView("fnv_t")
+    assert(spark.sql("SELECT graft_fnv_fold(a, b) FROM fnv_t").collect()
+      .map(_.getLong(0)).toSeq === expected)
+    // interpreted eval agrees with codegen
+    val e = FnvFold(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal(7L),
+      org.apache.spark.sql.catalyst.expressions.Literal(1234567890123L)))
+    assert(e.eval(null) === expected.head)
+    // bit_xor fold over row hashes = the manifest checksum contract
+    val folded = df.select(FnvFold.fnvFold(col("a"), col("b")).as("h"))
+      .agg(expr("bit_xor(h)")).collect()(0).getLong(0)
+    assert(folded === expected.reduce(_ ^ _))
+    // null propagates
+    val withNull = Seq((Some(1L), Option.empty[Long])).toDF("a", "b")
+    assert(withNull.select(FnvFold.fnvFold(col("a"), col("b")))
+      .collect()(0).isNullAt(0))
+  }
 }

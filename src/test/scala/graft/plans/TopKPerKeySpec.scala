@@ -73,6 +73,28 @@ class TopKPerKeySpec extends SparkSpec {
     assert(nested.length === 2, nested.map(_.toSeq).mkString(";"))
   }
 
+  test("past the per-task key bound the operator fails loudly with the " +
+       "remedy, not an OOM") {
+    spark.conf.set(TopKPerKey.MaxKeysConfKey, "100")
+    try {
+      val highCard = spark.range(0, 10000).select(
+        col("id").as("k"), col("id").as("v")) // 10k distinct keys
+      val e = intercept[Exception] {
+        TopKPerKey.topK(highCard, Seq(col("k")), Seq(col("v").desc), 2)
+          .collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(m => m.contains("distinct keys") &&
+        m.contains("window idiom")), msgs(e).mkString("|"))
+      // and under the bound the same query runs fine
+      spark.conf.set(TopKPerKey.MaxKeysConfKey, "1000000")
+      assert(TopKPerKey.topK(highCard, Seq(col("k")), Seq(col("v").desc), 2)
+        .count() === 10000L)
+    } finally spark.conf.unset(TopKPerKey.MaxKeysConfKey)
+  }
+
   test("plan: partial/final heap pair, one shuffle, no sort, no window") {
     // executedPlan, not sparkPlan: EnsureRequirements inserts the
     // exchange only during physical preparation. AQE off so the tree

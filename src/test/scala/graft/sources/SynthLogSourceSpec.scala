@@ -234,6 +234,38 @@ class SynthLogSourceSpec extends SparkSpec {
       (0L until 10000L).map(SynthLogSource.value).sum)
   }
 
+  test("storage-partitioned join: two bucketed scans join with ZERO " +
+       "exchanges and correct values") {
+    val sc = spark
+    sc.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    sc.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def t = spark.read.format("graft.sources.SynthLogSource")
+        .option("rows", "3000").option("bucketed", "true").load()
+      val a = t.select(col("bucket"), col("id").as("ida"))
+      val b = t.select(col("bucket"), col("id").as("idb"))
+      val joined = a.join(b, Seq("bucket"))
+      val exec = joined.queryExecution.executedPlan
+      val exchanges = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"SPJ should plan zero shuffles, got:\n$exec")
+      // per-bucket cross products: 3 buckets × 1000² rows
+      assert(joined.count() === 3L * 1000L * 1000L)
+      // partition keys align: per-bucket counts are exact
+      val per = joined.groupBy("bucket").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(per === Map(0L -> 1000000L, 1L -> 1000000L, 2L -> 1000000L))
+      // the scan advertises the bucketed form
+      val desc = scanOf(a).scan.description()
+      assert(desc.contains("synthlog-bucketed"), desc)
+    } finally {
+      sc.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      sc.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("runtime V2 filtering narrows the scan to the dim side's ids") {
     // No STATIC id predicate on the big side: the only way the source
     // can avoid generating 5M rows is the runtime IN filter Spark
