@@ -1344,7 +1344,128 @@ SELECT source, doc_id, n_chars FROM (
 WHERE rn <= 5 ORDER BY source, n_chars DESC, doc_id
 """
 
+  /** Bradley-Terry strength fitting from pairwise preferences — the
+    * rating model behind RLHF preference data QA (which annotator /
+    * model / source wins head-to-heads, with strength scores rather
+    * than raw win counts, so unbalanced matchup graphs don't mislead).
+    * Duels: adjacent doc pairs from DIFFERENT sources, winner = more
+    * characters (tie → lexicographically smaller source) — a
+    * deterministic stand-in for human preference labels. Fit: three
+    * unrolled minorization-maximization iterations
+    * `p_i ← W_i / Σ_j n_ij/(p_i+p_j)` entirely in 10⁶ fixed point
+    * (integer div both engines, order-independent integer sums — a
+    * float MM would die on summation-order divergence at the hash
+    * gate). MM needs no step size and is monotone in likelihood
+    * (Hunter 2004), and three iterations already separate the
+    * strengths at this matchup density; the oracle replays the exact
+    * arithmetic.
+    *
+    * Scale: duel extraction is one narrow self-join on doc_id+1 (at
+    * 100 TB: a real preference log arrives as pairs already); the MM
+    * iterations run on the SOURCE-level table — constant-size, joined
+    * against the constant-size opponent matrix. Nothing grows with
+    * corpus size after the first aggregation.
+    */
+  def bradleyTerry(spark: SparkSession, sfDir: String): DataFrame = {
+    val S2 = 1000000000000L // (10^6)^2 — fixed-point square
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val duels = d.toDF("i1", "s1", "c1")
+      .join(d.toDF("i2", "s2", "c2"),
+        col("i2") === col("i1") + 1 && col("s1") =!= col("s2"))
+      .select(col("s1"), col("s2"),
+        when(col("c1") > col("c2") ||
+             (col("c1") === col("c2") && col("s1") < col("s2")),
+          col("s1")).otherwise(col("s2")).as("winner"))
+    val games = duels
+      .select(least(col("s1"), col("s2")).as("a"),
+              greatest(col("s1"), col("s2")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+    val opp = games.select(col("a").as("i"), col("b").as("j"), col("n"))
+      .unionAll(games.select(col("b").as("i"), col("a").as("j"), col("n")))
+      .localCheckpoint() // constant-size opponent matrix, reused 3×
+    val wins = duels.groupBy(col("winner").as("source"))
+      .agg(count(lit(1)).as("w"))
+    val w = d.select(col("source")).distinct()
+      .join(wins, Seq("source"), "left")
+      .select(col("source"), coalesce(col("w"), lit(0L)).as("w"))
+      .localCheckpoint()
+    var p = w.select(col("source"), lit(1000000L).as("p"))
+    for (_ <- 1 to 3) {
+      val den = opp
+        .join(p.toDF("i", "pi"), "i")
+        .join(p.toDF("j", "pj"), "j")
+        .select(col("i").as("source"),
+          expr(s"(n * $S2) div greatest(pi + pj, 1)").as("t"))
+        .groupBy("source").agg(sum(col("t")).as("den"))
+      p = w.join(den, Seq("source"), "left")
+        .select(col("source"),
+          expr(s"(w * $S2) div greatest(coalesce(den, 0), 1)").as("p"))
+    }
+    val g = opp.groupBy(col("i").as("source")).agg(sum(col("n")).as("games"))
+    w.join(g, Seq("source"), "left")
+      .join(p, "source")
+      .select(col("source"), col("w").as("wins"),
+        coalesce(col("games"), lit(0L)).as("games"),
+        col("p").as("strength"))
+      .orderBy("source")
+  }
+
+  val bradleyTerryOracle: String = """
+WITH duels AS (
+  SELECT d1.source AS s1, d2.source AS s2,
+         CASE WHEN d1.n_chars > d2.n_chars
+                OR (d1.n_chars = d2.n_chars AND d1.source < d2.source)
+              THEN d1.source ELSE d2.source END AS winner
+  FROM documents d1 JOIN documents d2
+    ON d2.doc_id = d1.doc_id + 1 AND d1.source <> d2.source),
+games AS (
+  SELECT least(s1, s2) AS a, greatest(s1, s2) AS b, count(*) AS n
+  FROM duels GROUP BY 1, 2),
+opp AS (SELECT a AS i, b AS j, n FROM games
+        UNION ALL SELECT b, a, n FROM games),
+w AS (
+  SELECT s.source, CAST(coalesce(wn.w, 0) AS BIGINT) AS w
+  FROM (SELECT DISTINCT source FROM documents) s
+  LEFT JOIN (SELECT winner AS source, count(*) AS w FROM duels
+             GROUP BY 1) wn ON wn.source = s.source),
+p0 AS (SELECT source, CAST(1000000 AS BIGINT) AS p FROM w),
+it1 AS (
+  SELECT w.source,
+         CAST((w.w * 1000000000000) // greatest(coalesce(dn.den, 0), 1) AS BIGINT) AS p
+  FROM w LEFT JOIN (
+    SELECT o.i AS source,
+           sum((o.n * 1000000000000) // greatest(pi.p + pj.p, 1)) AS den
+    FROM opp o JOIN p0 pi ON pi.source = o.i JOIN p0 pj ON pj.source = o.j
+    GROUP BY o.i) dn ON dn.source = w.source),
+it2 AS (
+  SELECT w.source,
+         CAST((w.w * 1000000000000) // greatest(coalesce(dn.den, 0), 1) AS BIGINT) AS p
+  FROM w LEFT JOIN (
+    SELECT o.i AS source,
+           sum((o.n * 1000000000000) // greatest(pi.p + pj.p, 1)) AS den
+    FROM opp o JOIN it1 pi ON pi.source = o.i JOIN it1 pj ON pj.source = o.j
+    GROUP BY o.i) dn ON dn.source = w.source),
+it3 AS (
+  SELECT w.source,
+         CAST((w.w * 1000000000000) // greatest(coalesce(dn.den, 0), 1) AS BIGINT) AS p
+  FROM w LEFT JOIN (
+    SELECT o.i AS source,
+           sum((o.n * 1000000000000) // greatest(pi.p + pj.p, 1)) AS den
+    FROM opp o JOIN it2 pi ON pi.source = o.i JOIN it2 pj ON pj.source = o.j
+    GROUP BY o.i) dn ON dn.source = w.source)
+SELECT w.source, w.w AS wins,
+       CAST(coalesce(g.games, 0) AS BIGINT) AS games,
+       it3.p AS strength
+FROM w
+LEFT JOIN (SELECT i AS source, sum(n) AS games FROM opp GROUP BY 1) g
+  ON g.source = w.source
+JOIN it3 ON it3.source = w.source
+ORDER BY w.source
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_bradley_terry" -> (bradleyTerry _),
     "pipe_topk_per_source" -> (topkPerSource _),
     "pipe_oversample" -> (oversample _),
     "pipe_dataset_diff" -> (datasetDiff _),
@@ -1385,6 +1506,7 @@ WHERE rn <= 5 ORDER BY source, n_chars DESC, doc_id
     "pipe_kfold" -> kfoldOracle,
     "pipe_span_masking" -> spanMaskingOracle,
     "pipe_preference_pairs" -> preferencePairsOracle,
+    "pipe_bradley_terry" -> bradleyTerryOracle,
     "pipe_temperature_mix" -> temperatureMixOracle,
     "pipe_epoch_shuffle" -> epochShuffleOracle,
     "pipe_bpe_merges" -> bpeMergesOracle,

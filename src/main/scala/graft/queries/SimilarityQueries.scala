@@ -134,6 +134,127 @@ SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos4
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
 
+  /** MMR (maximal-marginal-relevance) diversified re-ranking — the
+    * retrieval-tail operator every RAG/data-curation pipeline runs
+    * after top-k: greedily pick items maximizing
+    * `relevance − max(similarity to already-picked)` so near-duplicate
+    * candidates don't crowd the context window. Shape: a bounded
+    * query set (every 100th vector) → top-8 relevance candidates via
+    * the bounded-heap [[graft.plans.TopKPerKey]] operator → the greedy
+    * loop UNROLLED to its fixed depth (3 picks) as three
+    * argmax-by-struct aggregations over ≤8 rows per query — no driver
+    * loop, no UDF, every step one shuffle on qid. Scores are raw
+    * unit-vector dot products (λ = ½ scaled by 2), bit-identical
+    * across engines because both fold left-to-right; ties break by
+    * candidate id. At 100 TB: candidate generation is the ANN
+    * funnel's job (sim_ann_ivf); MMR itself touches k·|Q| rows — the
+    * cheap, embarrassingly-parallel tail.
+    */
+  def mmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = normalized(spark, sfDir)
+    val q = n.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("u").as("uq"))
+    val c = n.select(col("vec_id").as("cid"), col("u").as("uc"))
+    val scored = q.join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+              dot(col("uq"), col("uc")).as("rel"), col("uc"))
+    val cand = graft.plans.TopKPerKey.topK(scored,
+      Seq(col("qid")), Seq(col("rel").desc, col("cid").asc), 8)
+    def argmax(df: DataFrame, score: Column, idAs: String, scoreAs: String) =
+      df.groupBy("qid")
+        .agg(max(struct(score.as("s"), (-col("cid")).as("nc"))).as("m"))
+        .select(col("qid"), (-col("m.nc")).as(idAs), col("m.s").as(scoreAs))
+    val pick1 = argmax(cand, col("rel"), "id1", "score1")
+    val u1 = cand.join(pick1, "qid").where(col("cid") === col("id1"))
+      .select(col("qid"), col("uc").as("u1"))
+    val rem1 = cand.join(pick1.select("qid", "id1"), "qid")
+      .where(col("cid") =!= col("id1"))
+      .join(u1, "qid")
+      .select(col("qid"), col("cid"), col("rel"), col("uc"),
+              dot(col("uc"), col("u1")).as("sim1"))
+    val pick2 = argmax(rem1, col("rel") - col("sim1"), "id2", "score2")
+    val u2 = rem1.join(pick2, "qid").where(col("cid") === col("id2"))
+      .select(col("qid"), col("uc").as("u2"))
+    val rem2 = rem1.join(pick2.select("qid", "id2"), "qid")
+      .where(col("cid") =!= col("id2"))
+      .join(u2, "qid")
+      .select(col("qid"), col("cid"),
+        (col("rel") - greatest(col("sim1"), dot(col("uc"), col("u2"))))
+          .as("mmr3"))
+    val pick3 = argmax(rem2, col("mmr3"), "id3", "score3")
+    pick1.select(col("qid"), lit(1L).as("rank"),
+        col("id1").as("cand_id"), round(col("score1"), 4).as("score4"))
+      .unionAll(pick2.select(col("qid"), lit(2L).as("rank"),
+        col("id2").as("cand_id"), round(col("score2"), 4).as("score4")))
+      .unionAll(pick3.select(col("qid"), lit(3L).as("rank"),
+        col("id3").as("cand_id"), round(col("score3"), 4).as("score4")))
+      .orderBy("qid", "rank")
+  }
+
+  val mmrOracle: String = """
+WITH n AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::double) AS v,
+         sqrt(list_sum(list_transform(embedding, x -> (x::double) * (x::double)))) AS nrm
+  FROM embeddings
+),
+u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         list_sum(list_transform(range(1, len(q.u) + 1), i -> q.u[i] * c.u[i])) AS rel,
+         c.u AS uc
+  FROM u q JOIN u c ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+),
+cand AS (
+  SELECT qid, cid, rel, uc FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+    FROM scored) WHERE rn <= 8
+),
+pick1 AS (
+  SELECT qid, cid AS id1, rel AS score1 FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+    FROM cand) WHERE rn = 1
+),
+u1 AS (SELECT c.qid, c.uc AS u1 FROM cand c
+       JOIN pick1 p ON c.qid = p.qid AND c.cid = p.id1),
+rem1 AS (
+  SELECT c.qid, c.cid, c.rel, c.uc,
+         list_sum(list_transform(range(1, len(c.uc) + 1),
+                                 i -> c.uc[i] * u1.u1[i])) AS sim1
+  FROM cand c
+  JOIN pick1 p ON c.qid = p.qid AND c.cid <> p.id1
+  JOIN u1 ON u1.qid = c.qid
+),
+pick2 AS (
+  SELECT qid, cid AS id2, s AS score2 FROM (
+    SELECT qid, cid, uc, rel - sim1 AS s,
+           row_number() OVER (PARTITION BY qid ORDER BY rel - sim1 DESC, cid) AS rn
+    FROM rem1) WHERE rn = 1
+),
+u2 AS (SELECT r.qid, r.uc AS u2 FROM rem1 r
+       JOIN pick2 p ON r.qid = p.qid AND r.cid = p.id2),
+rem2 AS (
+  SELECT r.qid, r.cid,
+         r.rel - greatest(r.sim1,
+           list_sum(list_transform(range(1, len(r.uc) + 1),
+                                   i -> r.uc[i] * u2.u2[i]))) AS s
+  FROM rem1 r
+  JOIN pick2 p ON r.qid = p.qid AND r.cid <> p.id2
+  JOIN u2 ON u2.qid = r.qid
+),
+pick3 AS (
+  SELECT qid, cid AS id3, s AS score3 FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn
+    FROM rem2) WHERE rn = 1
+)
+SELECT qid, CAST(1 AS BIGINT) AS rank, id1 AS cand_id, round(score1, 4) AS score4 FROM pick1
+UNION ALL
+SELECT qid, CAST(2 AS BIGINT), id2, round(score2, 4) FROM pick2
+UNION ALL
+SELECT qid, CAST(3 AS BIGINT), id3, round(score3, 4) FROM pick3
+ORDER BY qid, rank
+"""
+
   /** ANN via multi-table random-hyperplane LSH: 12 independent tables of
     * 5 seeded hyperplanes each → 12 5-bit bucket keys per vector; a
     * query's candidates are the union of its buckets across tables,
@@ -853,6 +974,7 @@ FROM p
     "sim_kmeans_step" -> (kmeansStep _),
     "sim_cosine_pairs" -> (cosinePairs _),
     "sim_topk_bruteforce" -> (topkBruteForce _),
+    "sim_mmr" -> (mmrRerank _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_ivf" -> (annIvf _),
   )
@@ -867,6 +989,7 @@ FROM p
     "sim_kmeans_step" -> kmeansStepOracle,
     "sim_cosine_pairs" -> cosinePairsOracle,
     "sim_topk_bruteforce" -> topkOracle,
+    "sim_mmr" -> mmrOracle,
     "sim_ann_lsh" -> annLshOracle,
     "sim_ann_ivf" -> annIvfOracle,
   )

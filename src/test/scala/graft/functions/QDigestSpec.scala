@@ -1,0 +1,107 @@
+package graft.functions
+
+/** Pins the q-digest's algebraic laws directly (no Spark needed for
+  * most): the rank guarantee under adversarial inputs, merge
+  * equivalence to bulk insert (guarantee-wise), state-size bound, and
+  * the typed-Aggregator path through a real aggregation.
+  */
+class QDigestSpec extends graft.SparkSpec {
+
+  private def rankLe(sorted: Array[Long], v: Long): Long = {
+    var lo = 0; var hi = sorted.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (sorted(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+
+  private def rankLt(sorted: Array[Long], v: Long): Long =
+    rankLe(sorted, v - 1)
+
+  /** The q-digest guarantee with duplicates: the estimate's rank
+    * INTERVAL [count(<e), count(≤e)] must intersect the φ ± slack
+    * window — a point-rank check is unsatisfiable when one value
+    * carries more than 2·slack of the mass (e.g. a constant column).
+    */
+  private def checkGuarantee(qd: QDigest, data: Array[Long],
+      slackPct: Int): Unit = {
+    val sketch = data.foldLeft(qd.zero)((b, v) => qd.reduce(b, (v, 1L)))
+    val out = qd.finish(sketch)
+    val n = out(0)
+    assert(n === data.length.toLong)
+    val sorted = data.sorted
+    qd.Phis.zipWithIndex.foreach { case (p, i) =>
+      val est = out(1 + i)
+      val lt = rankLt(sorted, est)
+      val le = rankLe(sorted, est)
+      assert(lt * 100 <= (p.toLong + slackPct) * n &&
+             le * 100 >= (p.toLong - slackPct) * n,
+        s"phi=$p est=$est lt=$lt le=$le n=$n")
+    }
+  }
+
+  test("rank guarantee holds on uniform, skewed, and constant inputs") {
+    val qd = new QDigest(17, 256) // eps = 17/256 ≈ 6.6%, gate 10%
+    checkGuarantee(qd, Array.tabulate(20000)(i => (i * 37L) % 100000L), 10)
+    checkGuarantee(qd, Array.tabulate(20000)(i => (i.toLong * i) % 131072L), 10)
+    checkGuarantee(qd, Array.fill(5000)(42L), 10)
+    // heavy head + long tail (Zipf-ish)
+    checkGuarantee(qd,
+      Array.tabulate(20000)(i => if (i % 10 < 7) i % 5L else i.toLong % 131072L),
+      10)
+  }
+
+  test("merging partitioned sketches preserves the guarantee") {
+    val qd = new QDigest(17, 256)
+    val data = Array.tabulate(30000)(i => (i * 2654435761L) % 131072L)
+    val parts = data.grouped(1000).toSeq
+    val merged = parts.map(_.foldLeft(qd.zero)((b, v) => qd.reduce(b, (v, 1L))))
+      .reduce(qd.merge)
+    val out = qd.finish(merged)
+    assert(out(0) === 30000L)
+    val sorted = data.sorted
+    qd.Phis.zipWithIndex.foreach { case (p, i) =>
+      val lt = rankLt(sorted, out(1 + i))
+      val le = rankLe(sorted, out(1 + i))
+      assert(lt * 100 <= (p + 10L) * 30000L && le * 100 >= (p - 10L) * 30000L,
+        s"phi=$p lt=$lt le=$le")
+    }
+  }
+
+  test("post-compress state stays within the 3k node bound") {
+    val qd = new QDigest(17, 256)
+    val data = Array.tabulate(100000)(i => (i * 48271L) % 131072L)
+    val sketch = data.grouped(5000).toSeq
+      .map(_.foldLeft(qd.zero)((b, v) => qd.reduce(b, (v, 1L)))).reduce(qd.merge)
+    val nodes = qd.finish(sketch).last
+    assert(nodes <= 3L * 256L, s"$nodes nodes > 3k")
+  }
+
+  test("exact below compression: tiny inputs report exact quantiles") {
+    val qd = new QDigest(10, 256)
+    val out = qd.finish((1L to 100L).toArray.foldLeft(qd.zero)((b, v) => qd.reduce(b, (v, 1L))))
+    // thresholds never reach 1 at n=100, so every leaf survives: the
+    // φ-estimate is the exact ceil(φn/100)-th smallest value
+    assert(out.slice(1, 6).toSeq === Seq(1L, 25L, 50L, 75L, 99L))
+  }
+
+  test("the typed Aggregator path: distributed result matches local") {
+    val s = spark
+    import s.implicits._
+    val qd = new QDigest(17, 256)
+    val data = Array.tabulate(20000)(i => (i * 37L) % 100000L)
+    val local = qd.finish(data.foldLeft(qd.zero)((b, v) => qd.reduce(b, (v, 1L))))
+    val dist = s.createDataset(data.toSeq.map(v => (v, 1L))).repartition(8)
+      .select(qd.toColumn.name("r")).collect()(0)
+    // n and the guarantee must agree; estimates may differ by merge
+    // tree, so check the distributed estimates' ranks instead
+    assert(dist(0) === local(0))
+    val sorted = data.sorted
+    qd.Phis.zipWithIndex.foreach { case (p, i) =>
+      val lt = rankLt(sorted, dist(1 + i))
+      val le = rankLe(sorted, dist(1 + i))
+      assert(lt * 100 <= (p + 10L) * 20000L && le * 100 >= (p - 10L) * 20000L)
+    }
+  }
+}
