@@ -149,13 +149,113 @@ SELECT qid, rank, id AS neighbor, CAST(d2 AS BIGINT) AS d2
 FROM ranked WHERE rank <= 3 ORDER BY qid, rank
 """
 
+  /** geo_dbscan: density-based clustering (DBSCAN core semantics) as a
+    * composition of the engine's own primitives — the canonical
+    * "spatial clustering at warehouse scale" shape:
+    *
+    *   1. eps-neighbor pairs via the CELL-GRID candidate join (cell
+    *      width = eps, 3×3 probe is complete — [[gridJoin]]'s pattern,
+    *      never all-pairs);
+    *   2. CORE points = ≥ minPts−1 neighbors within eps (standard
+    *      DBSCAN counts the point itself toward minPts);
+    *   3. clusters = connected components over the core–core eps
+    *      edges, solved by the flagship CC fixpoint
+    *      ([[graft.cc.ConnectedComponents.runAuto]]) — density
+    *      clustering reduces to the reference's own operator;
+    *   4. labels: cluster id = component minimum (deterministic),
+    *      graded as (cluster, n_core) rows.
+    *
+    * eps = 20 000 (denser than the grid join's 5 000 so cores exist at
+    * sf0.01's 1 500 points); minPts = 3. The oracle re-solves the
+    * core–core closure with the recursive min-label walk the cc_*
+    * oracles use. Scale: candidate generation is linear for bounded
+    * density, the CC input is |core-edges| ≪ |pairs|, and border/noise
+    * classification (not graded here) is one more semi-join.
+    */
+  def dbscan(spark: SparkSession, sfDir: String): DataFrame = {
+    val Eps = 20000L
+    val minPts = 3
+    val p = points(spark, sfDir)
+      .select(col("id"), col("x"), col("y"),
+        expr(s"x div ${Eps}L").as("cx"), expr(s"y div ${Eps}L").as("cy"))
+      .localCheckpoint()
+    val probes = p.select(col("id").as("a"), col("x").as("xa"),
+        col("y").as("ya"),
+        explode(expr("transform(sequence(0, 8)," +
+          " i -> named_struct('cx', cx + i div 3 - 1," +
+          " 'cy', cy + i % 3 - 1))"))
+          .as("cell"))
+      .select(col("a"), col("xa"), col("ya"),
+        col("cell.cx").as("cx"), col("cell.cy").as("cy"))
+    val pairs = probes
+      .join(p.toDF("b", "xb", "yb", "cx", "cy"), Seq("cx", "cy"))
+      .where(col("a") < col("b"))
+      .where(((col("xa") - col("xb")) * (col("xa") - col("xb"))
+        + (col("ya") - col("yb")) * (col("ya") - col("yb")))
+        <= lit(Eps * Eps))
+      .select(col("a"), col("b"))
+      .localCheckpoint() // reused: degree count + core-edge filter
+    val sym = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+    val core = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= minPts - 1)
+      .select(col("a").as("node"))
+    val coreEdges = sym
+      .join(core.toDF("a"), "a").join(core.toDF("b"), "b")
+      .select(col("a").as("src"), col("b").as("dst"))
+    val assigned = graft.cc.ConnectedComponents.runAuto(coreEdges).assignments
+    // a core whose eps-neighbors are all non-core forms a SINGLETON
+    // cluster — the CC solve only sees nodes with core-core edges, so
+    // re-attach the edgeless cores as their own components
+    core.join(assigned, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component"))
+      .groupBy("component").agg(count(lit(1)).as("n_core"))
+      .select(col("component").as("cluster"), col("n_core"))
+      .orderBy("cluster")
+  }
+
+  val dbscanOracle: String = s"""
+WITH RECURSIVE p AS (
+  SELECT c_custkey AS id,
+         cast('0x' || substr(md5('gx#' || c_custkey), 1, 14) AS bigint)
+           % $Side AS x,
+         cast('0x' || substr(md5('gy#' || c_custkey), 1, 14) AS bigint)
+           % $Side AS y
+  FROM customer
+),
+pairs AS (
+  SELECT a.id AS a, b.id AS b
+  FROM p a JOIN p b ON a.id < b.id
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= ${20000L * 20000L}
+),
+sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+core AS (
+  SELECT a AS node FROM sym GROUP BY a HAVING count(*) >= 2
+),
+edges AS (
+  SELECT s.a AS src, s.b AS dst FROM sym s
+  JOIN core c1 ON c1.node = s.a JOIN core c2 ON c2.node = s.b
+),
+walk(node, comp) AS (
+  SELECT node, node FROM core
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT min_comp AS cluster, count(*) AS n_core FROM (
+  SELECT node, min(comp) AS min_comp FROM walk GROUP BY node)
+GROUP BY 1 ORDER BY cluster
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_grid_join" -> (gridJoin _),
     "geo_knn" -> (knn _),
+    "geo_dbscan" -> (dbscan _),
   )
 
   val oracles: Map[String, String] = Map(
     "geo_grid_join" -> gridJoinOracle,
     "geo_knn" -> knnOracle,
+    "geo_dbscan" -> dbscanOracle,
   )
 }

@@ -164,10 +164,13 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     val qd = new graft.functions.QDigest(17, 1024)
     // Feed the digest WEIGHTED from a map-side-combined pre-aggregation
     // — the sketch's reduce then runs once per distinct dollar value
-    // per partition, not once per corpus row.
+    // per partition, not once per corpus row — and checkpoint it so
+    // the exact-rank pass below reuses the ~10⁵-row frequency table
+    // instead of rescanning the corpus.
     val weighted = vals.groupBy("v").agg(count(lit(1)).as("w"))
-      .as[(Long, Long)]
-    val r = weighted.select(qd.toColumn.name("r")).collect()(0)
+      .localCheckpoint()
+    val r = weighted.as[(Long, Long)]
+      .select(qd.toColumn.name("r")).collect()(0)
     val est = r.slice(1, 6) // value estimates for φ = 1,25,50,75,99 %
     val nNodes = r(6) // layout: n, 5 estimates, node count
     val phis = Seq(1, 25, 50, 75, 99)
@@ -175,9 +178,9 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     // [count(<e), count(≤e)] intersecting φ ± slack (a point check is
     // unsatisfiable when one value carries > 2·slack of the mass).
     val ranks = phis.zip(est).flatMap { case (p, e) => Seq(
-      sum(when(col("v") < lit(e), 1L).otherwise(0L)).as(s"lt$p"),
-      sum(when(col("v") <= lit(e), 1L).otherwise(0L)).as(s"le$p")) }
-    vals.agg(count(lit(1)).as("n_rows"), ranks: _*)
+      sum(when(col("v") < lit(e), col("w")).otherwise(0L)).as(s"lt$p"),
+      sum(when(col("v") <= lit(e), col("w")).otherwise(0L)).as(s"le$p")) }
+    weighted.agg(sum(col("w")).as("n_rows"), ranks: _*)
       .select(Seq(col("n_rows")) ++ phis.map { p =>
         (col(s"lt$p") * 100 <= col("n_rows") * (p + 5) &&
          col(s"le$p") * 100 >= col("n_rows") * (p - 5))
