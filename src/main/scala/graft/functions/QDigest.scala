@@ -127,9 +127,16 @@ class QDigest(levels: Int, k: Int)
     val out = java.util.Arrays.copyOf(b, b.length + 2)
     out(b.length) = U + v
     out(b.length + 1) = w
-    // safety valve for callers that DIDN'T pre-aggregate a huge
-    // universe: canonicalize + compress once the tail grows silly
-    if (out.length > 65536) {
+    // Safety valve for callers that DIDN'T pre-aggregate a huge
+    // universe: canonicalize + compress once the tail grows silly.
+    // Two guards keep it amortized-cheap instead of per-row O(size):
+    // the trigger sits above the worst post-compress size (~6k nodes),
+    // so a productive compress always drops well below it, and it only
+    // fires when the threshold is live (n ≥ k) — below that compress
+    // is a no-op and rebuilding per row would be the quadratic
+    // pathology this class once had.
+    val cap = 2 * math.max(32768, 8 * k) // longs = 2 per node
+    if (out.length > cap && totalOf(out) >= k) {
       val m = toMap(out)
       compress(m, totalOf(out))
       toArr(m)

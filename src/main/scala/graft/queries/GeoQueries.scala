@@ -27,6 +27,9 @@ object GeoQueries {
 
   private val Side = 1000000L // plane edge length
   private val R = 5000L       // search radius = grid cell width
+  private val Eps = 20000L    // DBSCAN radius (denser than R: cores
+                              // must exist at sf0.01's 1 500 points)
+  private val MinPts = 3      // DBSCAN core threshold (incl. self)
 
   private def h56(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(c), 1, 14), 16, 10).cast("bigint")
@@ -173,8 +176,6 @@ FROM ranked WHERE rank <= 3 ORDER BY qid, rank
     * classification (not graded here) is one more semi-join.
     */
   def dbscan(spark: SparkSession, sfDir: String): DataFrame = {
-    val Eps = 20000L
-    val minPts = 3
     val p = points(spark, sfDir)
       .select(col("id"), col("x"), col("y"),
         expr(s"x div ${Eps}L").as("cx"), expr(s"y div ${Eps}L").as("cy"))
@@ -197,7 +198,7 @@ FROM ranked WHERE rank <= 3 ORDER BY qid, rank
       .localCheckpoint() // reused: degree count + core-edge filter
     val sym = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
     val core = sym.groupBy("a").agg(count(lit(1)).as("deg"))
-      .where(col("deg") >= minPts - 1)
+      .where(col("deg") >= MinPts - 1)
       .select(col("a").as("node"))
     val coreEdges = sym
       .join(core.toDF("a"), "a").join(core.toDF("b"), "b")
@@ -227,11 +228,11 @@ pairs AS (
   SELECT a.id AS a, b.id AS b
   FROM p a JOIN p b ON a.id < b.id
   WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
-          <= ${20000L * 20000L}
+          <= ${Eps * Eps}
 ),
 sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
 core AS (
-  SELECT a AS node FROM sym GROUP BY a HAVING count(*) >= 2
+  SELECT a AS node FROM sym GROUP BY a HAVING count(*) >= ${MinPts - 1}
 ),
 edges AS (
   SELECT s.a AS src, s.b AS dst FROM sym s

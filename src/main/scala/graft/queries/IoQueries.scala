@@ -1047,8 +1047,12 @@ GROUP BY 1 LIMIT 10
     * the layouts agree.
     */
   def synthlogSpj(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    def t = spark.read.format("graft.sources.SynthLogSource")
+    // v2 bucketing scoped to a CLONED session: the flag changes join
+    // planning for every V2 scan that reports partitioning, and graded
+    // queries must not depend on which others ran before them
+    val sub = spark.newSession()
+    sub.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    def t = sub.read.format("graft.sources.SynthLogSource")
       .option("rows", "5000").option("bucketed", "true").load()
     val a = t.select(col("bucket"), col("value").as("va"))
     val b = t.select(col("bucket"), col("value").as("vb"))
@@ -1125,12 +1129,36 @@ JOIN (SELECT DISTINCT o_orderkey AS k FROM orders
     * driver's value hash even at equal values (the one red row of
     * rounds 7–8).
     */
+  /** Per-invocation unique dir under graft_audit (concurrent gate runs
+    * never share state), with a stale-sibling sweep so repeated
+    * bench/gate cycles don't grow /tmp without bound: siblings older
+    * than an hour are dead runs (a live reader holds its DataFrame for
+    * minutes at most) and are removed before the new dir is created.
+    */
+  private def freshAuditDir(tag: String): String = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_audit")
+    if (java.nio.file.Files.isDirectory(root)) {
+      val cutoff = java.lang.System.currentTimeMillis() - 3600L * 1000L
+      val ls = java.nio.file.Files.list(root)
+      try {
+        val it = ls.iterator()
+        while (it.hasNext) {
+          val d = it.next()
+          if (java.nio.file.Files.getLastModifiedTime(d).toMillis < cutoff) {
+            val w = java.nio.file.Files.walk(d)
+            try w.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+            finally w.close()
+          }
+        }
+      } finally ls.close()
+    }
+    root.resolve(tag + "-" + java.util.UUID.randomUUID().toString).toString
+  }
+
   def auditSinkRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    // per-invocation unique dir: concurrent gate runs never share state
-    val dir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_audit",
-      sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" +
-        java.util.UUID.randomUUID().toString).toString
+    val dir = freshAuditDir(sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
     Tables.events(spark, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).as("us"))
       .write.format("graft.sources.AuditSink")
@@ -1171,10 +1199,8 @@ FROM events
     * flip at least one graded column.
     */
   def auditSinkChecksum(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_audit",
-      sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + "-ck-" +
-        java.util.UUID.randomUUID().toString).toString
+    val dir = freshAuditDir(
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + "-ck")
     Tables.events(spark, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).as("us"))
       .write.format("graft.sources.AuditSink")

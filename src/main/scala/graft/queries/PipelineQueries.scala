@@ -1377,6 +1377,8 @@ WHERE rn <= 5 ORDER BY source, n_chars DESC, doc_id
         when(col("c1") > col("c2") ||
              (col("c1") === col("c2") && col("s1") < col("s2")),
           col("s1")).otherwise(col("s2")).as("winner"))
+      .localCheckpoint() // the corpus-sized self-join runs ONCE;
+                         // games and wins both aggregate from it
     val games = duels
       .select(least(col("s1"), col("s2")).as("a"),
               greatest(col("s1"), col("s2")).as("b"))

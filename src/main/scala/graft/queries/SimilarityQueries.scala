@@ -139,7 +139,10 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
     * after top-k: greedily pick items maximizing
     * `relevance − max(similarity to already-picked)` so near-duplicate
     * candidates don't crowd the context window. Shape: a bounded
-    * query set (every 100th vector) → top-8 relevance candidates via
+    * query set (every 100th vector below the ABSOLUTE cap 20 000, so
+    * |Q| ≤ 200 at every sf — the geo_knn/ADVICE-r5 rule: without the
+    * cap |Q| grows with N and the scan is O(N²/100)) → top-8
+    * relevance candidates via
     * the bounded-heap [[graft.plans.TopKPerKey]] operator → the greedy
     * loop UNROLLED to its fixed depth (3 picks) as three
     * argmax-by-struct aggregations over ≤8 rows per query — no driver
@@ -152,7 +155,7 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
     */
   def mmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
     val n = normalized(spark, sfDir)
-    val q = n.where(col("vec_id") % 100 === 0)
+    val q = n.where(col("vec_id") % 100 === 0 && col("vec_id") < 20000)
       .select(col("vec_id").as("qid"), col("u").as("uq"))
     val c = n.select(col("vec_id").as("cid"), col("u").as("uc"))
     val scored = q.join(c, col("qid") =!= col("cid"))
@@ -203,7 +206,8 @@ scored AS (
   SELECT q.vec_id AS qid, c.vec_id AS cid,
          list_sum(list_transform(range(1, len(q.u) + 1), i -> q.u[i] * c.u[i])) AS rel,
          c.u AS uc
-  FROM u q JOIN u c ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+  FROM u q JOIN u c ON q.vec_id % 100 = 0 AND q.vec_id < 20000
+                   AND q.vec_id <> c.vec_id
 ),
 cand AS (
   SELECT qid, cid, rel, uc FROM (

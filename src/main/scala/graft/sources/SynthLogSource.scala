@@ -254,7 +254,12 @@ private[sources] class SynthLogScanBuilder(rows: Long, slices: Int,
         val ids1 = ids0.filter(id => id >= l && id < hi)
         val ids = limit.fold(ids1)(ids1.take)
         new SynthLogScan(0L, 0L, slices, required, pushed.toArray, Some(ids))
-      case None if bucketed && limit.isEmpty && aggFuncs.isEmpty =>
+      // bucketed form only while `bucket` survives column pruning:
+      // the reported KeyGroupedPartitioning names it, and Spark
+      // resolves that reference against the PRUNED scan output —
+      // advertising a dropped column fails the whole query
+      case None if bucketed && limit.isEmpty && aggFuncs.isEmpty &&
+          required.fieldNames.contains("bucket") =>
         new SynthLogBucketedScan(l, hi, required, pushed.toArray)
       case None =>
         val h = limit.fold(hi)(n => math.min(hi, l + n))

@@ -69,8 +69,9 @@ class PlanShapeSpec extends SparkSpec {
     "sim_binary_sign_ann", "sketch_theta_anotb", "sim_matryoshka",
     "geo_knn", "sim_threshold_sweep",
     // sim_mmr: candidate generation joins a BOUNDED query set (every
-    // 100th vector) against the corpus — O(|Q|·N) like
-    // sim_topk_bruteforce; the MMR tail itself is ≤8 rows per query.
+    // 100th vector below the absolute 20000 cap, |Q| ≤ 200 at any sf)
+    // against the corpus — O(|Q|·N) like sim_topk_bruteforce; the MMR
+    // tail itself is ≤8 rows per query.
     "sim_mmr",
     // graph_mst: one cross join of two ONE-ROW aggregates (forest
     // totals × component count) — the documented scalar-join pattern.

@@ -260,6 +260,13 @@ class SynthLogSourceSpec extends SparkSpec {
       // the scan advertises the bucketed form
       val desc = scanOf(a).scan.description()
       assert(desc.contains("synthlog-bucketed"), desc)
+      // pruning `bucket` away must fall back to the plain scan (the
+      // reported partitioning names bucket and is resolved against
+      // the PRUNED output — advertising it would fail the query)
+      val pruned = t.select(col("value"))
+      assert(!scanOf(pruned).scan.description().contains("synthlog-bucketed"))
+      assert(pruned.agg(sum(col("value"))).collect()(0).getLong(0) ===
+        (0L until 3000L).map(SynthLogSource.value).sum)
     } finally {
       sc.conf.unset("spark.sql.sources.v2.bucketing.enabled")
       sc.conf.unset("spark.sql.adaptive.enabled")
