@@ -54,20 +54,42 @@ case class FnvFold(children: Seq[Expression]) extends Expression {
     h
   }
 
+  /** Fold state lives in operator-level mutable fields and each
+    * child's (eval + fold step) is a splittable chunk through
+    * `splitExpressionsWithCurrentInputs` — the pattern Spark's own
+    * `HashExpression` uses — so a very wide argument list compiles as
+    * several sub-64KB methods instead of one inline block that would
+    * blow the JVM method limit and knock the whole stage back to
+    * interpreted eval (ADVICE r9). In whole-stage-codegen contexts the
+    * helper inlines when it cannot split; the fallback behavior there
+    * is unchanged.
+    */
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val evals = children.map(_.genCode(ctx))
-    val anyNull =
-      if (nullable) evals.map(_.isNull.code).mkString(" || ") else "false"
-    val steps = evals.map(e =>
-      s"${ev.value} = (${ev.value} ^ ${e.value}) * 1099511628211L;")
-      .mkString("\n")
+    val isNullG = ctx.addMutableState(
+      org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+        .JAVA_BOOLEAN, "fnvFoldIsNull")
+    val valueG = ctx.addMutableState(
+      org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+        .JAVA_LONG, "fnvFoldValue")
+    val chunks = children.map { c =>
+      val e = c.genCode(ctx)
+      val step = s"$valueG = ($valueG ^ ${e.value}) * 1099511628211L;"
+      val guarded =
+        if (c.nullable) s"if (${e.isNull}) { $isNullG = true; } else { $step }"
+        else step
+      s"""
+      ${e.code}
+      if (!$isNullG) {
+        $guarded
+      }"""
+    }
+    val split = ctx.splitExpressionsWithCurrentInputs(chunks)
     ev.copy(code = code"""
-      ${evals.map(_.code).reduce(_ + _)}
-      boolean ${ev.isNull} = $anyNull;
-      long ${ev.value} = -3750763034362895579L;
-      if (!${ev.isNull}) {
-        $steps
-      }""")
+      $isNullG = false;
+      $valueG = -3750763034362895579L;
+      $split
+      boolean ${ev.isNull} = $isNullG;
+      long ${ev.value} = $valueG;""")
   }
 
   override protected def withNewChildrenInternal(

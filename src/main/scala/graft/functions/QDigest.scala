@@ -50,16 +50,26 @@ class QDigest(levels: Int, k: Int)
   /** Quantiles reported by finish(), in percent. */
   val Phis: Seq[Int] = Seq(1, 25, 50, 75, 99)
 
-  /** Buffer layout: interleaved (nodeId, count) pairs; ids may repeat
-    * and arrive unsorted (reduce appends), every consumer tolerates
-    * that, and `merge`/`compress` canonicalize through a TreeMap.
+  /** Buffer layout: `b(0)` = payload length in longs (always even),
+    * then that many interleaved (nodeId, count) longs at indices
+    * `1 .. b(0)`; any physical tail beyond that is FREE CAPACITY from
+    * the amortized growth in `reduce` (serialized but ignored —
+    * `toArr` always emits exact-size, so buffers that crossed a
+    * `merge`/valve are compact). Ids may repeat and arrive unsorted
+    * (reduce appends), every consumer tolerates that, and
+    * `merge`/`compress` canonicalize through a TreeMap.
     * Leaf of value v = U + v; root = 1; parent = id >> 1.
     */
-  override def zero: Array[Long] = Array.empty[Long]
+  override def zero: Array[Long] = Array(0L)
+
+  /** Payload length in longs; tolerates a zero-length physical array. */
+  private def lenOf(b: Array[Long]): Int =
+    if (b.length == 0) 0 else b(0).toInt
 
   private def totalOf(b: Array[Long]): Long = {
-    var s = 0L; var i = 1
-    while (i < b.length) { s += b(i); i += 2 }
+    val len = lenOf(b)
+    var s = 0L; var i = 2
+    while (i <= len) { s += b(i); i += 2 }
     s
   }
 
@@ -98,8 +108,9 @@ class QDigest(levels: Int, k: Int)
 
   private def toMap(b: Array[Long]): java.util.TreeMap[Long, Long] = {
     val m = new java.util.TreeMap[Long, Long]()
-    var i = 0
-    while (i < b.length) {
+    val len = lenOf(b)
+    var i = 1
+    while (i < len) {
       m.merge(b(i), b(i + 1), (x, y) => x + y)
       i += 2
     }
@@ -107,9 +118,10 @@ class QDigest(levels: Int, k: Int)
   }
 
   private def toArr(m: java.util.TreeMap[Long, Long]): Array[Long] = {
-    val out = new Array[Long](m.size * 2)
+    val out = new Array[Long](1 + m.size * 2)
+    out(0) = m.size * 2L
     val it = m.entrySet().iterator()
-    var i = 0
+    var i = 1
     while (it.hasNext) {
       val e = it.next()
       out(i) = e.getKey; out(i + 1) = e.getValue; i += 2
@@ -121,12 +133,19 @@ class QDigest(levels: Int, k: Int)
     val (v, w) = in
     require(v >= 0 && v < U, s"value $v outside universe [0, $U)")
     require(w > 0, s"non-positive weight $w")
-    // append-only: O(size) copy per distinct input, no tree upkeep —
-    // the caller pre-aggregates, so this runs once per distinct value
-    // per partition
-    val out = java.util.Arrays.copyOf(b, b.length + 2)
-    out(b.length) = U + v
-    out(b.length + 1) = w
+    // Amortized append: grow capacity geometrically (~2× the needed
+    // size) and MUTATE in place when it suffices — the Aggregator
+    // contract allows reduce to modify and return its buffer. The old
+    // exact-size copyOf per input was O(buffer) per distinct value
+    // (quadratic-ish below the valve for non-pre-aggregated callers,
+    // ADVICE r9); `QDigestSpec` now pins the copy count sublinear.
+    val len = lenOf(b)
+    val out =
+      if (b.length >= 3 + len) b
+      else java.util.Arrays.copyOf(b, math.max(5 + 2 * len, 2 * b.length))
+    out(1 + len) = U + v
+    out(2 + len) = w
+    out(0) = len + 2L
     // Safety valve for callers that DIDN'T pre-aggregate a huge
     // universe: canonicalize + compress once the tail grows silly.
     // Two guards keep it amortized-cheap instead of per-row O(size):
@@ -136,7 +155,7 @@ class QDigest(levels: Int, k: Int)
     // is a no-op and rebuilding per row would be the quadratic
     // pathology this class once had.
     val cap = 2 * math.max(32768, 8 * k) // longs = 2 per node
-    if (out.length > cap && totalOf(out) >= k) {
+    if (len + 2 > cap && totalOf(out) >= k) {
       val m = toMap(out)
       compress(m, totalOf(out))
       toArr(m)
@@ -144,11 +163,12 @@ class QDigest(levels: Int, k: Int)
   }
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-    if (a.isEmpty) return b
-    if (b.isEmpty) return a
+    if (lenOf(a) == 0) return b
+    if (lenOf(b) == 0) return a
     val m = toMap(a)
-    var i = 0
-    while (i < b.length) {
+    val len = lenOf(b)
+    var i = 1
+    while (i < len) {
       m.merge(b(i), b(i + 1), (x, y) => x + y)
       i += 2
     }
@@ -170,14 +190,15 @@ class QDigest(levels: Int, k: Int)
     val n = totalOf(b)
     if (n == 0) return Array(0L) ++ Phis.map(_ => 0L) ++ Array(0L)
     case class Node(lo: Long, hi: Long, c: Long)
-    val nodes = new Array[Node](b.length / 2)
-    var i = 0
-    while (i < b.length) {
+    val len = lenOf(b)
+    val nodes = new Array[Node](len / 2)
+    var i = 1
+    while (i < len) {
       val id = b(i)
       val lvl = 63 - java.lang.Long.numberOfLeadingZeros(id)
       val width = U >> lvl
       val lo = (id - (1L << lvl)) * width
-      nodes(i / 2) = Node(lo, lo + width - 1, b(i + 1))
+      nodes((i - 1) / 2) = Node(lo, lo + width - 1, b(i + 1))
       i += 2
     }
     val ordered = nodes.sortBy(nd => (nd.hi, nd.hi - nd.lo))
@@ -193,7 +214,7 @@ class QDigest(levels: Int, k: Int)
       out(t) = if (j == 0) ordered(0).hi else ordered(j - 1).hi
       t += 1
     }
-    Array(n) ++ out ++ Array(b.length / 2L)
+    Array(n) ++ out ++ Array(len / 2L)
   }
 
   override def bufferEncoder: Encoder[Array[Long]] =

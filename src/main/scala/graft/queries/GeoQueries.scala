@@ -31,8 +31,51 @@ object GeoQueries {
                               // must exist at sf0.01's 1 500 points)
   private val MinPts = 3      // DBSCAN core threshold (incl. self)
 
+  /** Hot-cell cap for the grid join's candidate generator — the same
+    * hot-bucket discipline every other candidate generator carries
+    * (minhash bands, simhash bands, CDC chunk index, ANN buckets):
+    * points in cells holding more than this many points are EXCLUDED
+    * from the pair search (both probe and build side, mirrored in the
+    * oracle), so a degenerate cell can contribute at most Cap²·9
+    * candidate pairs instead of going quadratic in its population. On
+    * the graded uniform plane expected occupancy is < 1 point/cell
+    * (40 000 cells at sf0.1's 15 000 points), so the cap drops nothing
+    * there — `GeoCapSpec` proves both properties on an adversarial
+    * clustered fixture. 100 TB trade, stated: under real clustered geo
+    * data the capped join returns the pair histogram of the ≤Cap-dense
+    * regions; over-dense cells need a finer grid (smaller radius) or a
+    * pre-aggregation, and silently burning a quadratic join on them is
+    * the one wrong answer.
+    */
+  private[queries] val GridCellCap = 64L
+
+  /** DBSCAN's grid uses a GUARD, not a drop: a hot cell there is
+    * precisely a dense cluster — dropping it would invert the
+    * operator's meaning (densest regions become noise) — so an
+    * over-dense cell fails LOUDLY with the remediation options instead
+    * (the TopKPerKey key-bound discipline). 512 ≈ 85× the sf0.1
+    * expected occupancy (6 points/cell at eps-width cells).
+    */
+  private[queries] val DbscanCellCap = 512L
+
   private def h56(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(c), 1, 14), 16, 10).cast("bigint")
+
+  /** Loud over-density guard (the TopKPerKey key-bound discipline):
+    * fails the query up front if any grid cell exceeds `cap` points,
+    * naming the occupancy and the remediation options. One small
+    * aggregate over the (checkpointed) cell table.
+    */
+  private[queries] def requireBoundedCells(p: DataFrame, cap: Long,
+      what: String): Unit = {
+    val occ = p.groupBy("cx", "cy").count()
+      .agg(coalesce(max(col("count")), lit(0L)).as("m"))
+      .collect()(0).getLong(0)
+    require(occ <= cap,
+      s"$what: a grid cell holds $occ points > cap $cap — the " +
+      "cell-neighborhood join would go quadratic there; shrink the cell " +
+      "width, pre-aggregate coincident points, or raise the cap consciously")
+  }
 
   /** (id, x, y) points on the integer plane, one per customer. */
   private[queries] def points(spark: SparkSession, sfDir: String): DataFrame =
@@ -49,11 +92,24 @@ object GeoQueries {
     * histogram over dist² quartile shells — which pins candidate
     * generation, dedup, and verification, not just a count.
     */
-  def gridJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val p = points(spark, sfDir)
+  def gridJoin(spark: SparkSession, sfDir: String): DataFrame =
+    gridJoinOn(points(spark, sfDir), GridCellCap)
+
+  /** The capped grid join over an arbitrary (id, x, y) point set —
+    * split out so `GeoCapSpec` can drive it with an adversarial
+    * clustered fixture.
+    */
+  private[queries] def gridJoinOn(pts: DataFrame, cap: Long): DataFrame = {
+    val cells = pts
       .select(col("id"), col("x"), col("y"),
         expr(s"x div ${R}L").as("cx"), expr(s"y div ${R}L").as("cy"))
-      .localCheckpoint() // probe and build side share the scan
+      .localCheckpoint() // hot-cell count, probe and build share it
+    // hot-cell drop: tiny by construction (cells over cap), broadcast
+    // into an anti-join on both sides of the candidate join
+    val hot = cells.groupBy("cx", "cy").count()
+      .where(col("count") > cap).select("cx", "cy")
+    val p = cells.join(broadcast(hot), Seq("cx", "cy"), "left_anti")
+      .select("id", "x", "y", "cx", "cy")
     val probes = p.select(col("id").as("a"), col("x").as("xa"),
         col("y").as("ya"),
         explode(expr("transform(sequence(0, 8)," +
@@ -83,7 +139,15 @@ WITH p AS (
            % $Side AS y
   FROM customer
 ),
-c AS (SELECT id, x, y, x // $R AS cx, y // $R AS cy FROM p),
+cells AS (SELECT id, x, y, x // $R AS cx, y // $R AS cy FROM p),
+hot AS (
+  SELECT cx, cy FROM cells GROUP BY cx, cy HAVING count(*) > $GridCellCap
+),
+c AS (
+  SELECT cells.* FROM cells
+  LEFT JOIN hot ON hot.cx = cells.cx AND hot.cy = cells.cy
+  WHERE hot.cx IS NULL
+),
 probes AS (
   SELECT id AS a, x AS xa, y AS ya,
          cx + dx.d AS cx, cy + dy.d AS cy
@@ -165,21 +229,35 @@ FROM ranked WHERE rank <= 3 ORDER BY qid, rank
     *      edges, solved by the flagship CC fixpoint
     *      ([[graft.cc.ConnectedComponents.runAuto]]) — density
     *      clustering reduces to the reference's own operator;
-    *   4. labels: cluster id = component minimum (deterministic),
-    *      graded as (cluster, n_core) rows.
+    *   4. labels: cluster id = component minimum (deterministic);
+    *   5. BORDER points: non-core within eps of ≥1 core, attached to
+    *      the minimum adjacent cluster id (the deterministic tie-break
+    *      — textbook DBSCAN leaves multi-adjacent borders
+    *      order-dependent, which a hash gate cannot tolerate);
+    *   6. NOISE: everything else, reported as one `cluster = -1` row.
+    *
+    * Graded as (cluster, n_core, n_border, n_noise) rows — the full
+    * three-way DBSCAN accounting (n_noise is 0 on real clusters and
+    * the global count on the -1 row).
     *
     * eps = 20 000 (denser than the grid join's 5 000 so cores exist at
     * sf0.01's 1 500 points); minPts = 3. The oracle re-solves the
     * core–core closure with the recursive min-label walk the cc_*
     * oracles use. Scale: candidate generation is linear for bounded
-    * density, the CC input is |core-edges| ≪ |pairs|, and border/noise
-    * classification (not graded here) is one more semi-join.
+    * density — and unbounded density fails LOUDLY up front
+    * ([[DbscanCellCap]]; dropping hot cells like the grid join does
+    * would invert DBSCAN's meaning, so the guard is the only honest
+    * bound — the occupancy probe is one small aggregate over the
+    * already-checkpointed cell table. The CC input is |core-edges| ≪
+    * |pairs|, and border/noise attachment is one more
+    * aggregate-and-anti-join over the same pair table.
     */
   def dbscan(spark: SparkSession, sfDir: String): DataFrame = {
     val p = points(spark, sfDir)
       .select(col("id"), col("x"), col("y"),
         expr(s"x div ${Eps}L").as("cx"), expr(s"y div ${Eps}L").as("cy"))
       .localCheckpoint()
+    requireBoundedCells(p, DbscanCellCap, "geo_dbscan")
     val probes = p.select(col("id").as("a"), col("x").as("xa"),
         col("y").as("ya"),
         explode(expr("transform(sequence(0, 8)," +
@@ -207,11 +285,26 @@ FROM ranked WHERE rank <= 3 ORDER BY qid, rank
     // a core whose eps-neighbors are all non-core forms a SINGLETON
     // cluster — the CC solve only sees nodes with core-core edges, so
     // re-attach the edgeless cores as their own components
-    core.join(assigned, Seq("node"), "left")
+    val labels = core.join(assigned, Seq("node"), "left")
       .select(col("node"),
-        coalesce(col("component"), col("node")).as("component"))
-      .groupBy("component").agg(count(lit(1)).as("n_core"))
-      .select(col("component").as("cluster"), col("n_core"))
+        coalesce(col("component"), col("node")).as("cluster"))
+      .localCheckpoint() // reused: core counts + border attachment
+    // border = non-core with a core eps-neighbor → min adjacent cluster
+    val border = sym.join(labels.toDF("b", "cluster"), "b")
+      .join(core.toDF("a"), Seq("a"), "left_anti")
+      .groupBy(col("a").as("node")).agg(min(col("cluster")).as("cluster"))
+    val noise = p.select(col("id").as("node"))
+      .join(core, Seq("node"), "left_anti")
+      .join(border.select("node"), Seq("node"), "left_anti")
+      .agg(count(lit(1)).as("n_noise"))
+    labels.groupBy("cluster").agg(count(lit(1)).as("n_core"))
+      .join(border.groupBy("cluster").agg(count(lit(1)).as("n_border")),
+        Seq("cluster"), "left")
+      .select(col("cluster"), col("n_core"),
+        coalesce(col("n_border"), lit(0L)).as("n_border"),
+        lit(0L).as("n_noise"))
+      .unionAll(noise.select(lit(-1L).as("cluster"), lit(0L).as("n_core"),
+        lit(0L).as("n_border"), col("n_noise")))
       .orderBy("cluster")
   }
 
@@ -242,10 +335,32 @@ walk(node, comp) AS (
   SELECT node, node FROM core
   UNION
   SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+),
+labels AS (SELECT node, min(comp) AS cluster FROM walk GROUP BY node),
+border AS (
+  SELECT s.a AS node, min(l.cluster) AS cluster
+  FROM sym s JOIN labels l ON l.node = s.b
+  WHERE s.a NOT IN (SELECT node FROM core)
+  GROUP BY s.a
+),
+clusters AS (
+  SELECT c.cluster, c.n_core,
+         coalesce(b.n_border, CAST(0 AS BIGINT)) AS n_border,
+         CAST(0 AS BIGINT) AS n_noise
+  FROM (SELECT cluster, count(*) AS n_core FROM labels GROUP BY 1) c
+  LEFT JOIN (SELECT cluster, count(*) AS n_border FROM border GROUP BY 1) b
+    ON b.cluster = c.cluster
+),
+noise AS (
+  SELECT CAST(-1 AS BIGINT) AS cluster, CAST(0 AS BIGINT) AS n_core,
+         CAST(0 AS BIGINT) AS n_border, count(*) AS n_noise
+  FROM p
+  WHERE id NOT IN (SELECT node FROM core)
+    AND id NOT IN (SELECT node FROM border)
 )
-SELECT min_comp AS cluster, count(*) AS n_core FROM (
-  SELECT node, min(comp) AS min_comp FROM walk GROUP BY node)
-GROUP BY 1 ORDER BY cluster
+SELECT cluster, n_core, n_border, n_noise FROM clusters
+UNION ALL SELECT cluster, n_core, n_border, n_noise FROM noise
+ORDER BY cluster
 """
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -957,6 +957,48 @@ FROM (SELECT * FROM ${graft.sources.SynthLogSource.oracleTable(5000000L)} s
 """
   }
 
+  /** src_synthlog_topn: the connector's `SupportsPushDownTopN` —
+    * ORDER BY id LIMIT n answered CLOSED-FORM over the sorted keyspace
+    * (the top-n of a generated interval is an interval endpoint), in
+    * BOTH directions: ASC narrows to the first n ids, DESC to the last
+    * n emitted high-to-low from a single partition. Complete pushdown
+    * (`isPartiallyPushed = false`): no Sort and no Limit survive in
+    * the physical plan — `SynthLogSourceSpec` pins that — over a 4M-id
+    * keyspace of which exactly 2×25 rows are ever generated. The same
+    * refusal discipline as `pushLimit` applies: a TopN arriving after
+    * a pushed aggregate ranges over GROUP rows and is refused
+    * (spec-pinned), so the agg_limit wrong-results hazard cannot
+    * recur through the sort path.
+    */
+  def synthlogTopn(spark: SparkSession, sfDir: String): DataFrame = {
+    def base = spark.read.format("graft.sources.SynthLogSource")
+      .option("rows", "5000000").option("slices", "8").load()
+      .where(col("id") >= 100L && col("id") < 4000000L)
+    def measure(df: DataFrame, dir: String): DataFrame =
+      df.agg(count(lit(1)).as("n"),
+             sum(col("value")).as("value_sum"),
+             sum(col("level")).as("level_sum"),
+             min(col("id")).as("min_id"),
+             max(col("id")).as("max_id"))
+        .select(lit(dir).as("dir"), col("n"), col("value_sum"),
+                col("level_sum"), col("min_id"), col("max_id"))
+    measure(base.orderBy(col("id").asc).limit(25), "asc")
+      .unionAll(measure(base.orderBy(col("id").desc).limit(25), "desc"))
+      .orderBy("dir")
+  }
+
+  private val synthlogTopnOracle: String = {
+    def side(dir: String) = s"""
+SELECT '$dir' AS dir, count(*) AS n,
+       CAST(sum(value) AS BIGINT) AS value_sum,
+       CAST(sum(level) AS BIGINT) AS level_sum,
+       min(id) AS min_id, max(id) AS max_id
+FROM (SELECT * FROM ${graft.sources.SynthLogSource.oracleTable(5000000L)} s
+      WHERE id >= 100 AND id < 4000000
+      ORDER BY id ${dir.toUpperCase} LIMIT 25) t"""
+    s"${side("asc")} UNION ALL ${side("desc")} ORDER BY dir"
+  }
+
   /** src_synthlog_agg: the connector's `SupportsPushDownAggregates` —
     * COUNT/MIN(id)/MAX(id) with no GROUP BY answered in O(1) from the
     * narrowed range bounds, COMPLETE pushdown (one final row, Spark
@@ -1145,11 +1187,19 @@ JOIN (SELECT DISTINCT o_orderkey AS k FROM orders
         val it = ls.iterator()
         while (it.hasNext) {
           val d = it.next()
-          if (java.nio.file.Files.getLastModifiedTime(d).toMillis < cutoff) {
-            val w = java.nio.file.Files.walk(d)
-            try w.sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => java.nio.file.Files.deleteIfExists(p))
-            finally w.close()
+          // best-effort GC, never a gate failure: a concurrent run can
+          // sweep the same sibling mid-walk (NoSuchFileException out of
+          // Files.walk as UncheckedIOException) — the other process
+          // finishing our housekeeping is success, not an error
+          try {
+            if (java.nio.file.Files.getLastModifiedTime(d).toMillis < cutoff) {
+              val w = java.nio.file.Files.walk(d)
+              try w.sorted(java.util.Comparator.reverseOrder())
+                .forEach(p => java.nio.file.Files.deleteIfExists(p))
+              finally w.close()
+            }
+          } catch {
+            case _: java.io.IOException | _: java.io.UncheckedIOException =>
           }
         }
       } finally ls.close()
@@ -1278,6 +1328,7 @@ WHERE s.id < 2000 AND s.level = 3
     "src_synthlog_pushdown" -> (synthlogPushdown _),
     "src_synthlog_join" -> (synthlogJoin _),
     "src_synthlog_limit" -> (synthlogLimit _),
+    "src_synthlog_topn" -> (synthlogTopn _),
     "src_synthlog_agg" -> (synthlogAgg _),
     "src_synthlog_groupagg" -> (synthlogGroupAgg _),
     "src_synthlog_agg_limit" -> (synthlogAggLimit _),
@@ -1311,6 +1362,7 @@ WHERE s.id < 2000 AND s.level = 3
     "src_synthlog_pushdown" -> synthlogPushdownOracle,
     "src_synthlog_join" -> synthlogJoinOracle,
     "src_synthlog_limit" -> synthlogLimitOracle,
+    "src_synthlog_topn" -> synthlogTopnOracle,
     "src_synthlog_agg" -> synthlogAggOracle,
     "src_synthlog_groupagg" -> synthlogGroupAggOracle,
     "src_synthlog_agg_limit" -> synthlogAggLimitOracle,

@@ -1365,6 +1365,14 @@ WHERE rn <= 5 ORDER BY source, n_chars DESC, doc_id
     * iterations run on the SOURCE-level table — constant-size, joined
     * against the constant-size opponent matrix. Nothing grows with
     * corpus size after the first aggregation.
+    *
+    * Fixed-point bound, stated (ADVICE r9): the scaled products
+    * `n · 10¹²` and `w · 10¹²` require any single matchup pair's duel
+    * count — and any source's total win count — to stay below
+    * 2⁶³/10¹² ≈ 9.2 million, or ANSI mode fails the multiply loudly
+    * (never silently wrong). Past that, bucket the preference log by
+    * (pair, epoch) before fitting, or widen the fit to DECIMAL(38,0)
+    * in both engines; the MM arithmetic is unchanged either way.
     */
   def bradleyTerry(spark: SparkSession, sfDir: String): DataFrame = {
     val S2 = 1000000000000L // (10^6)^2 — fixed-point square

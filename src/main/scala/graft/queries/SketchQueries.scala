@@ -153,39 +153,48 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     * idealized charging argument), so the gate caps at 8k. The sketch value itself depends on the merge tree (counts
     * promote differently per partitioning), so the gate grades the
     * GUARANTEE, not the estimate — like `dedup_ann_recall`'s recall
-    * floor. The five estimates arrive as ONE collected row (driver
-    * scalar, the bm25Topk pattern), then one aggregation computes the
-    * exact ranks.
+    * floor.
+    *
+    * ONE distributed pass (VERDICT r9 #6 folded the old second
+    * exact-rank aggregation + checkpoint away): the same aggregation
+    * that builds the digest also collects the frequency table itself —
+    * BOUNDED by the value universe (≤ 2^17 ≈ 131k (v, w) pairs, ~2 MB,
+    * independent of corpus size) — and the exact-rank gate columns are
+    * computed on the driver from it (integer sums, order-independent,
+    * same collect-bounded discipline as the 8-row k-means seed).
     */
   def qdigestQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val vals = Tables.lineitem(spark, sfDir)
       .select(floor(col("l_extendedprice")).cast("long").as("v"))
     val qd = new graft.functions.QDigest(17, 1024)
+    val qdU = udaf(qd,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
     // Feed the digest WEIGHTED from a map-side-combined pre-aggregation
     // — the sketch's reduce then runs once per distinct dollar value
-    // per partition, not once per corpus row — and checkpoint it so
-    // the exact-rank pass below reuses the ~10⁵-row frequency table
-    // instead of rescanning the corpus.
+    // per partition, not once per corpus row.
     val weighted = vals.groupBy("v").agg(count(lit(1)).as("w"))
-      .localCheckpoint()
-    val r = weighted.as[(Long, Long)]
-      .select(qd.toColumn.name("r")).collect()(0)
+    val row = weighted.agg(
+      qdU(col("v"), col("w")).as("r"),
+      collect_list(struct(col("v"), col("w"))).as("freq")).collect()(0)
+    val r = row.getSeq[Long](0)
+    val freq = row.getSeq[org.apache.spark.sql.Row](1)
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val n = freq.iterator.map(_._2).sum
     val est = r.slice(1, 6) // value estimates for φ = 1,25,50,75,99 %
     val nNodes = r(6) // layout: n, 5 estimates, node count
     val phis = Seq(1, 25, 50, 75, 99)
     // With duplicates the guarantee is on the estimate's rank INTERVAL
     // [count(<e), count(≤e)] intersecting φ ± slack (a point check is
     // unsatisfiable when one value carries > 2·slack of the mass).
-    val ranks = phis.zip(est).flatMap { case (p, e) => Seq(
-      sum(when(col("v") < lit(e), col("w")).otherwise(0L)).as(s"lt$p"),
-      sum(when(col("v") <= lit(e), col("w")).otherwise(0L)).as(s"le$p")) }
-    weighted.agg(sum(col("w")).as("n_rows"), ranks: _*)
-      .select(Seq(col("n_rows")) ++ phis.map { p =>
-        (col(s"lt$p") * 100 <= col("n_rows") * (p + 5) &&
-         col(s"le$p") * 100 >= col("n_rows") * (p - 5))
-          .as(f"ok_q$p%02d") } ++
-        Seq((lit(nNodes) <= lit(8L * 1024L)).as("state_bounded")): _*)
+    val oks = phis.zip(est).map { case (p, e) =>
+      val lt = freq.iterator.filter(_._1 < e).map(_._2).sum
+      val le = freq.iterator.filter(_._1 <= e).map(_._2).sum
+      lt * 100 <= n * (p + 5) && le * 100 >= n * (p - 5)
+    }
+    spark.range(1).select(
+      Seq(lit(n).as("n_rows")) ++
+      phis.zip(oks).map { case (p, ok) => lit(ok).as(f"ok_q$p%02d") } ++
+      Seq(lit(nNodes <= 8L * 1024L).as("state_bounded")): _*)
   }
 
   val qdigestOracle: String = """

@@ -45,6 +45,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * hash folded with XOR: commutative across rows, so task order and
   * retries never change it — the property a distributed audit needs.
   *
+  * Concurrency: commits are serialized per path by an atomic
+  * `_COMMIT.lock` ([[AuditSink.acquireCommitLock]]) — a second
+  * concurrent committer fails loudly instead of racing the version
+  * pick; crashed committers' stale locks are broken after
+  * [[AuditSink.StaleLockMs]] (the last published snapshot is intact
+  * either way, by publish-then-GC).
+  *
   * Table semantics: REPLACE-on-commit — each successful write
   * publishes a complete snapshot under a fresh version. Readers MUST
   * go through the manifest ([[AuditSink.committedParts]]): it names
@@ -102,10 +109,54 @@ object AuditSink {
     (v(1).toLong, t(1).toLong, t(2).toLong)
   }
 
+  /** How old a `_COMMIT.lock` must be before a new committer may break
+    * it: a healthy commit is driver-side file moves (milliseconds), so
+    * a lock this stale can only be a crashed committer's leak.
+    */
+  private[sources] val StaleLockMs: Long = 15L * 60L * 1000L
+
+  /** Commit-scoped mutual exclusion: atomically creates `_COMMIT.lock`
+    * (CREATE_NEW — the filesystem is the arbiter) and returns it; the
+    * committer holds it across version pick, part moves, manifest swap
+    * and GC, then deletes it. A SECOND concurrent committer FAILS
+    * LOUDLY here instead of silently interleaving with the first —
+    * without this, two commits could pick the same version
+    * (read-then-act `nextVersion`) and overwrite each other's parts
+    * while both manifests claimed them, or one commit's GC could
+    * delete parts the other's not-yet-published manifest names.
+    *
+    * Crash recovery: a lock older than [[StaleLockMs]] is a crashed
+    * committer's leak (publish-then-GC means the last published
+    * snapshot is still intact) and is broken and re-acquired; the
+    * re-acquire is itself CREATE_NEW, so two simultaneous breakers
+    * still serialize through the filesystem.
+    */
+  private[sources] def acquireCommitLock(base: Path): Path = {
+    val lock = base.resolve("_COMMIT.lock")
+    def tryCreate(): Boolean =
+      try { Files.createFile(lock); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (tryCreate()) return lock
+    val age =
+      try System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis
+      catch { case _: java.io.IOException => 0L } // vanished: retry below
+    if (age > StaleLockMs || !Files.exists(lock)) {
+      Files.deleteIfExists(lock)
+      if (tryCreate()) return lock
+    }
+    throw new IllegalStateException(
+      s"AuditSink: concurrent committer holds $lock — the sink is " +
+      "single-writer-per-path per commit; retry after the other commit " +
+      s"finishes (locks older than ${StaleLockMs / 60000} min are " +
+      "treated as crashed and broken automatically)")
+  }
+
   /** Next snapshot version: one past everything visible on disk —
     * both the committed manifest's version and any orphaned parts a
     * crashed commit left behind (so a re-commit never half-reuses an
-    * orphan's name set).
+    * orphan's name set). Callers must hold the commit lock
+    * ([[acquireCommitLock]]) — the read-then-act is only safe
+    * serialized.
     */
   private[sources] def nextVersion(base: Path): Long = {
     val manifestV =
@@ -163,6 +214,16 @@ private[sources] class AuditBatchWrite(dir: String, nCols: Int)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val base = Paths.get(dir)
     Files.createDirectories(base)
+    // Serialize the whole publish sequence (version pick → moves →
+    // manifest swap → GC) against concurrent committers; a second
+    // committer fails loudly rather than silently overwriting parts.
+    val lock = AuditSink.acquireCommitLock(base)
+    try { commitLocked(base, messages) }
+    finally Files.deleteIfExists(lock)
+  }
+
+  private def commitLocked(base: Path,
+      messages: Array[WriterCommitMessage]): Unit = {
     val version = AuditSink.nextVersion(base)
     val parts = messages.toSeq.collect { case m: AuditCommit => m }
       .sortBy(_.tempPath)

@@ -9,14 +9,15 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{
   Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.{
-  Expressions, Literal, NamedReference}
+  Expressions, Literal, NamedReference, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{
   Batch, HasPartitionKey, InputPartition, PartitionReader,
   PartitionReaderFactory, Scan, ScanBuilder,
   Statistics, SupportsPushDownAggregates, SupportsPushDownFilters,
   SupportsPushDownLimit, SupportsPushDownRequiredColumns,
-  SupportsReportPartitioning, SupportsReportStatistics}
+  SupportsPushDownTopN, SupportsReportPartitioning,
+  SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.partitioning.{
   KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -121,7 +122,7 @@ private[sources] class SynthLogScanBuilder(rows: Long, slices: Int,
     bucketed: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
-    with SupportsPushDownAggregates {
+    with SupportsPushDownTopN with SupportsPushDownAggregates {
 
   private var lo: Long = 0L
   private var hi: Long = rows
@@ -129,6 +130,8 @@ private[sources] class SynthLogScanBuilder(rows: Long, slices: Int,
   // every other pushed filter at build time.
   private var inIds: Option[Array[Long]] = None
   private var limit: Option[Int] = None
+  // ORDER BY id [DESC] LIMIT n, accepted by pushTopN: (descending, n).
+  private var topN: Option[(Boolean, Int)] = None
   private var pushed: ArrayBuffer[Filter] = ArrayBuffer.empty
   private var required: StructType = SynthLogSource.schema
 
@@ -185,6 +188,31 @@ private[sources] class SynthLogScanBuilder(rows: Long, slices: Int,
     limit = Some(limit.fold(n)(math.min(_, n)))
     true
   }
+
+  /** ORDER BY id [ASC|DESC] LIMIT n, answered CLOSED-FORM over the
+    * narrowed keyspace: ids leave the source sorted by construction, so
+    * the top-n is the first (ASC) or last-reversed (DESC) n ids of the
+    * pushed interval — no sort ever runs, anywhere. COMPLETE pushdown
+    * (`isPartiallyPushed = false`): the scan emits exactly the n rows
+    * in the requested order from one partition, and Spark drops both
+    * its Sort and its Limit.
+    *
+    * Refused — Spark keeps its own TopN above the scan — when:
+    *   - an aggregation is already pushed (the TopN would range over
+    *     GROUP rows; truncating the pre-aggregation keyspace is the
+    *     wrong-results hazard `pushLimit` refuses for the same reason);
+    *   - an `In`-list is pushed (the list scan's min/max stats assume
+    *     ascending storage order — keep the two paths orthogonal);
+    *   - the sort key is anything but the single column `id` (computed
+    *     columns are not monotone in id).
+    */
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    if (aggFuncs.isDefined || inIds.isDefined || limit.isDefined) return false
+    if (orders.length != 1 || !idField(orders(0).expression())) return false
+    topN = Some((orders(0).direction() == SortDirection.DESCENDING, n))
+    true
+  }
+  override def isPartiallyPushed(): Boolean = false
 
   // Aggregate pushdown: COUNT(*)/COUNT(col)/MIN(id)/MAX(id) with no
   // GROUP BY are CLOSED-FORM over the narrowed keyspace — the same
@@ -258,12 +286,22 @@ private[sources] class SynthLogScanBuilder(rows: Long, slices: Int,
       // the reported KeyGroupedPartitioning names it, and Spark
       // resolves that reference against the PRUNED scan output —
       // advertising a dropped column fails the whole query
-      case None if bucketed && limit.isEmpty && aggFuncs.isEmpty &&
-          required.fieldNames.contains("bucket") =>
+      case None if bucketed && limit.isEmpty && topN.isEmpty &&
+          aggFuncs.isEmpty && required.fieldNames.contains("bucket") =>
         new SynthLogBucketedScan(l, hi, required, pushed.toArray)
       case None =>
-        val h = limit.fold(hi)(n => math.min(hi, l + n))
-        new SynthLogScan(l, h, slices, required, pushed.toArray, None)
+        topN match {
+          case Some((desc, n)) =>
+            // the top-n of a sorted keyspace is an interval endpoint:
+            // one partition, emitted in the requested order
+            val (tl, th) =
+              if (desc) (math.max(l, hi - n), hi)
+              else (l, math.min(hi, l + n))
+            new SynthLogScan(tl, th, 1, required, pushed.toArray, None, desc)
+          case None =>
+            val h = limit.fold(hi)(n => math.min(hi, l + n))
+            new SynthLogScan(l, h, slices, required, pushed.toArray, None)
+        }
     }
     aggFuncs match {
       case Some(fs) => new SynthLogAggScan(scan, fs, aggByBucket)
@@ -462,7 +500,8 @@ private[sources] class SynthLogAggReaderFactory extends PartitionReaderFactory {
   * sorted, limit-truncated `In` list) — `lo`/`hi` are unused then.
   */
 private[sources] class SynthLogScan(lo: Long, hi: Long, slices: Int,
-    required: StructType, pushed: Array[Filter], ids: Option[Array[Long]])
+    required: StructType, pushed: Array[Filter], ids: Option[Array[Long]],
+    descending: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
@@ -480,7 +519,9 @@ private[sources] class SynthLogScan(lo: Long, hi: Long, slices: Int,
   // pruning: Spark resolves these refs against the scan's (pruned)
   // output and fails the whole query otherwise.
   override def filterAttributes(): Array[NamedReference] =
-    if (required.fieldNames.contains("id"))
+    // descending (complete-TopN) scans opt out: their row set is the
+    // query's answer, not a superset to prune
+    if (required.fieldNames.contains("id") && !descending)
       Array(Expressions.column("id"))
     else Array.empty
 
@@ -521,7 +562,8 @@ private[sources] class SynthLogScan(lo: Long, hi: Long, slices: Int,
   override def toBatch: Batch = this
   override def description(): String = {
     val range = ids.fold(s"[$lo, $hi)")(a => s"ids(${a.length})")
-    s"synthlog $range cols=${required.fieldNames.mkString(",")} " +
+    val ord = if (descending) " order=id-desc" else ""
+    s"synthlog $range$ord cols=${required.fieldNames.mkString(",")} " +
       s"pushed=${pushed.mkString(",")}"
   }
 
@@ -553,7 +595,15 @@ private[sources] class SynthLogScan(lo: Long, hi: Long, slices: Int,
         val m = math.max(hi - lo, 0L)
         if (m == 0L) return Array.empty
         val k = math.min(slices.toLong, m).toInt
-        Array.tabulate(k) { i =>
+        if (descending)
+          // complete TopN contract: partition 0 carries the HIGHEST
+          // chunk and each chunk is emitted high-to-low, so the
+          // concatenation in partition order is globally descending
+          Array.tabulate(k) { i =>
+            SynthLogRevPartition(
+              lo + (k - 1 - i) * m / k, lo + (k - i) * m / k)
+          }
+        else Array.tabulate(k) { i =>
           SynthLogPartition(lo + i * m / k, lo + (i + 1) * m / k)
         }
     }
@@ -566,6 +616,10 @@ private[sources] class SynthLogScan(lo: Long, hi: Long, slices: Int,
 private[sources] case class SynthLogPartition(lo: Long, hi: Long)
     extends InputPartition
 
+/** `[lo, hi)` emitted high-to-low — the complete-TopN DESC contract. */
+private[sources] case class SynthLogRevPartition(lo: Long, hi: Long)
+    extends InputPartition
+
 private[sources] case class SynthLogIdsPartition(ids: Array[Long])
     extends InputPartition
 
@@ -575,6 +629,8 @@ private[sources] class SynthLogReaderFactory(cols: Array[String])
     p match {
       case SynthLogPartition(lo, hi) =>
         new SynthLogReader(() => new RangeIdIterator(lo, hi), cols)
+      case SynthLogRevPartition(lo, hi) =>
+        new SynthLogReader(() => new ReverseRangeIdIterator(lo, hi), cols)
       case SynthLogBucketKeyPartition(_, lo, hi) =>
         new SynthLogReader(() => new RangeIdIterator(lo, hi), cols)
       case SynthLogIdsPartition(ids) =>
@@ -587,6 +643,13 @@ private[sources] class RangeIdIterator(lo: Long, hi: Long)
   private var id = lo
   override def hasNext: Boolean = id < hi
   override def next(): Long = { val v = id; id += 1; v }
+}
+
+private[sources] class ReverseRangeIdIterator(lo: Long, hi: Long)
+    extends Iterator[Long] {
+  private var id = hi
+  override def hasNext: Boolean = id > lo
+  override def next(): Long = { id -= 1; id }
 }
 
 /** Per-partition reader: an id cursor (contiguous counter or explicit

@@ -86,6 +86,28 @@ class QDigestSpec extends graft.SparkSpec {
     assert(out.slice(1, 6).toSeq === Seq(1L, 25L, 50L, 75L, 99L))
   }
 
+  test("reduce appends are AMORTIZED: per-input buffer reallocations " +
+       "are logarithmic, not per-call (ADVICE r9 perf shape)") {
+    val qd = new QDigest(17, 1024)
+    var b = qd.zero
+    var reallocs = 0
+    var i = 0
+    // 2000 distinct values stay below the compression valve (cap is
+    // 65536 longs), so every returned buffer is the append path
+    while (i < 2000) {
+      val next = qd.reduce(b, ((i * 37L) % 131072L, 1L))
+      if (!(next eq b)) reallocs += 1
+      b = next
+      i += 1
+    }
+    // geometric growth: ~log2(2000) + O(1) reallocations; the old
+    // exact-size copyOf did 2000
+    assert(reallocs <= 20, s"$reallocs reallocations for 2000 appends")
+    // and the logical content is intact through the header layout
+    val out = qd.finish(b)
+    assert(out(0) === 2000L)
+  }
+
   test("the typed Aggregator path: distributed result matches local") {
     val s = spark
     import s.implicits._

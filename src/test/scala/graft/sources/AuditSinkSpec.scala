@@ -122,6 +122,46 @@ class AuditSinkSpec extends SparkSpec {
     finally left.close()
   }
 
+  test("a concurrent committer fails LOUDLY instead of racing the " +
+       "version pick (single-writer-per-commit contract)") {
+    val dir = freshDir("concurrent")
+    writeRange(dir, 100L, 2)
+    // simulate committer A mid-commit: its _COMMIT.lock is live
+    val lock = Paths.get(dir, "_COMMIT.lock")
+    Files.createFile(lock)
+    val e = intercept[Exception] { writeRange(dir, 50L, 2) }
+    // Spark wraps the driver-side commit failure; the root cause names
+    // the contract
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("concurrent committer")),
+      e.toString)
+    // the loser left no damage: the v0 snapshot still reads complete
+    assert(readCommitted(dir).count() === 100L)
+    val (v, rows, _) = AuditSink.manifestTotals(dir)
+    assert(v === 0L && rows === 100L)
+    Files.delete(lock)
+    // with the lock gone the next commit proceeds and replaces
+    writeRange(dir, 50L, 2)
+    assert(readCommitted(dir).count() === 50L)
+  }
+
+  test("a crashed committer's stale lock is broken automatically") {
+    val dir = freshDir("stalelock")
+    writeRange(dir, 100L, 2)
+    val lock = Paths.get(dir, "_COMMIT.lock")
+    Files.createFile(lock)
+    Files.setLastModifiedTime(lock, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - AuditSink.StaleLockMs - 60000L))
+    writeRange(dir, 30L, 2) // breaks the stale lock, commits v1
+    assert(readCommitted(dir).count() === 30L)
+    val (v, rows, _) = AuditSink.manifestTotals(dir)
+    assert(v === 1L && rows === 30L)
+    // and the new commit cleaned its own lock up
+    assert(!Files.exists(lock))
+  }
+
   test("non-long schemas are rejected loudly") {
     val e = intercept[IllegalArgumentException] {
       spark.range(1).select(col("id").cast("string").as("s"))

@@ -130,6 +130,59 @@ class SynthLogSourceSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).sorted.toSeq === Seq(5L, 41L, 77L))
   }
 
+  test("TopN pushdown DESC: no Sort, no Limit in the plan; rows arrive " +
+       "high-to-low from one partition") {
+    val df = read(5000000L).where(col("id") >= 100L)
+      .orderBy(col("id").desc).limit(5)
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.collect { case s if s.nodeName.contains("Sort") => s }.isEmpty,
+      plan.toString)
+    assert(plan.collect {
+      case l if l.nodeName.contains("Limit") || l.nodeName.contains("TakeOrdered") => l
+    }.isEmpty, plan.toString)
+    val scan = scanOf(df)
+    assert(scan.scan.description().contains("order=id-desc"),
+      scan.scan.description())
+    assert(scan.scan.asInstanceOf[SynthLogScan].planInputPartitions().length === 1)
+    assert(df.collect().map(_.getLong(0)).toSeq ===
+      Seq(4999999L, 4999998L, 4999997L, 4999996L, 4999995L))
+  }
+
+  test("TopN pushdown ASC narrows to the interval head") {
+    val df = read(5000000L).where(col("id") >= 1000L)
+      .orderBy(col("id").asc).limit(3)
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.collect { case s if s.nodeName.contains("Sort") => s }.isEmpty,
+      plan.toString)
+    assert(scanOf(df).scan.description().contains("[1000, 1003)"),
+      scanOf(df).scan.description())
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(1000L, 1001L, 1002L))
+  }
+
+  test("TopN on a computed column is refused — Spark keeps its sort " +
+       "and the values are right") {
+    val df = read(10000L).orderBy(col("value").desc).limit(3)
+    assert(!scanOf(df).scan.description().contains("order="),
+      scanOf(df).scan.description())
+    val expect = (0L until 10000L).map(SynthLogSource.value)
+      .sorted(Ordering[Long].reverse).take(3)
+    assert(df.collect().map(_.getLong(3)).toSeq === expect)
+  }
+
+  test("a TopN arriving after a pushed aggregate is REFUSED — group " +
+       "values stay intact (the agg_limit hazard, sort path)") {
+    val df = read(5000L, slices = 4)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"))
+      .orderBy(col("bucket").desc).limit(2)
+    val desc = scanOf(df).scan.description()
+    assert(desc.contains("group=bucket"), desc)
+    assert(desc.contains("[0, 5000)"), desc) // keyspace untouched
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(4L, 3L))
+    assert(rows.forall(_.getLong(1) === 1000L), rows.map(_.toSeq).mkString(";"))
+  }
+
   test("src_synthlog_limit's graded scan shows the truncated id list") {
     val df = graft.queries.IoQueries.synthlogLimit(spark, "unused")
     val desc = df.queryExecution.sparkPlan.collectFirst {
