@@ -289,10 +289,14 @@ FROM ranked WHERE rank <= 3 ORDER BY qid, rank
       .select(col("node"),
         coalesce(col("component"), col("node")).as("cluster"))
       .localCheckpoint() // reused: core counts + border attachment
-    // border = non-core with a core eps-neighbor → min adjacent cluster
+    // border = non-core with a core eps-neighbor → min adjacent cluster;
+    // checkpointed because it is consumed twice (per-cluster border
+    // counts + the noise anti-join) and its lineage crosses the
+    // |pairs|-sized sym table (code-review r10)
     val border = sym.join(labels.toDF("b", "cluster"), "b")
       .join(core.toDF("a"), Seq("a"), "left_anti")
       .groupBy(col("a").as("node")).agg(min(col("cluster")).as("cluster"))
+      .localCheckpoint()
     val noise = p.select(col("id").as("node"))
       .join(core, Seq("node"), "left_anti")
       .join(border.select("node"), Seq("node"), "left_anti")

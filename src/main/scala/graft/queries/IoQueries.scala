@@ -1180,30 +1180,35 @@ JOIN (SELECT DISTINCT o_orderkey AS k FROM orders
   private def freshAuditDir(tag: String): String = {
     val root = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_audit")
-    if (java.nio.file.Files.isDirectory(root)) {
-      val cutoff = java.lang.System.currentTimeMillis() - 3600L * 1000L
-      val ls = java.nio.file.Files.list(root)
-      try {
-        val it = ls.iterator()
-        while (it.hasNext) {
-          val d = it.next()
-          // best-effort GC, never a gate failure: a concurrent run can
-          // sweep the same sibling mid-walk (NoSuchFileException out of
-          // Files.walk as UncheckedIOException) — the other process
-          // finishing our housekeeping is success, not an error
-          try {
-            if (java.nio.file.Files.getLastModifiedTime(d).toMillis < cutoff) {
-              val w = java.nio.file.Files.walk(d)
-              try w.sorted(java.util.Comparator.reverseOrder())
-                .forEach(p => java.nio.file.Files.deleteIfExists(p))
-              finally w.close()
+    // The WHOLE sweep is best-effort and must never fail a graded
+    // query: a concurrent run deleting the same sibling surfaces as
+    // UncheckedIOException from Files.walk, DirectoryIteratorException
+    // from the listing iterator itself, or plain NoSuchFile — all of
+    // them mean the other process finished our housekeeping, which is
+    // success, not an error (code-review r10 broadened this from the
+    // per-sibling IOException guard).
+    try {
+      if (java.nio.file.Files.isDirectory(root)) {
+        val cutoff = java.lang.System.currentTimeMillis() - 3600L * 1000L
+        val ls = java.nio.file.Files.list(root)
+        try {
+          val it = ls.iterator()
+          while (it.hasNext) {
+            val d = it.next()
+            try {
+              if (java.nio.file.Files.getLastModifiedTime(d).toMillis < cutoff) {
+                val w = java.nio.file.Files.walk(d)
+                try w.sorted(java.util.Comparator.reverseOrder())
+                  .forEach(p => java.nio.file.Files.deleteIfExists(p))
+                finally w.close()
+              }
+            } catch {
+              case _: java.io.IOException | _: java.io.UncheckedIOException =>
             }
-          } catch {
-            case _: java.io.IOException | _: java.io.UncheckedIOException =>
           }
-        }
-      } finally ls.close()
-    }
+        } finally ls.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
     root.resolve(tag + "-" + java.util.UUID.randomUUID().toString).toString
   }
 

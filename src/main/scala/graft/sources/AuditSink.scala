@@ -116,39 +116,71 @@ object AuditSink {
   private[sources] val StaleLockMs: Long = 15L * 60L * 1000L
 
   /** Commit-scoped mutual exclusion: atomically creates `_COMMIT.lock`
-    * (CREATE_NEW — the filesystem is the arbiter) and returns it; the
-    * committer holds it across version pick, part moves, manifest swap
-    * and GC, then deletes it. A SECOND concurrent committer FAILS
-    * LOUDLY here instead of silently interleaving with the first —
-    * without this, two commits could pick the same version
-    * (read-then-act `nextVersion`) and overwrite each other's parts
-    * while both manifests claimed them, or one commit's GC could
-    * delete parts the other's not-yet-published manifest names.
+    * (CREATE_NEW — the filesystem is the arbiter), writes this
+    * committer's OWNER TOKEN into it, and returns the token; the
+    * committer holds the lock across version pick, part moves,
+    * manifest swap and GC, then releases it through
+    * [[releaseCommitLock]] — which deletes the lock ONLY if it still
+    * carries this committer's token, so a commit that outlived a
+    * stale-break can never delete the successor's live lock. A SECOND
+    * concurrent committer FAILS LOUDLY here instead of silently
+    * interleaving with the first — without this, two commits could
+    * pick the same version (read-then-act `nextVersion`) and overwrite
+    * each other's parts while both manifests claimed them, or one
+    * commit's GC could delete parts the other's not-yet-published
+    * manifest names.
     *
     * Crash recovery: a lock older than [[StaleLockMs]] is a crashed
     * committer's leak (publish-then-GC means the last published
-    * snapshot is still intact) and is broken and re-acquired; the
-    * re-acquire is itself CREATE_NEW, so two simultaneous breakers
-    * still serialize through the filesystem.
+    * snapshot is still intact) and is broken by ATOMIC-MOVING it to a
+    * unique tombstone — the move is the arbiter, so of two
+    * simultaneous breakers exactly one wins (a delete-then-create
+    * break would let the second breaker delete the first's FRESH lock
+    * and both enter the critical section).
     */
-  private[sources] def acquireCommitLock(base: Path): Path = {
+  private[sources] def acquireCommitLock(base: Path): String = {
     val lock = base.resolve("_COMMIT.lock")
+    val token = java.util.UUID.randomUUID().toString
     def tryCreate(): Boolean =
-      try { Files.createFile(lock); true }
+      try {
+        Files.createFile(lock)
+        Files.write(lock, token.getBytes(UTF_8))
+        true
+      }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    if (tryCreate()) return lock
+    if (tryCreate()) return token
     val age =
       try System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis
       catch { case _: java.io.IOException => 0L } // vanished: retry below
     if (age > StaleLockMs || !Files.exists(lock)) {
-      Files.deleteIfExists(lock)
-      if (tryCreate()) return lock
+      // break the stale lock with an atomic move to a unique tombstone:
+      // exactly one breaker's move succeeds, the loser's throws
+      try {
+        val tomb = base.resolve(s"_COMMIT.lock.broken-$token")
+        Files.move(lock, tomb, StandardCopyOption.ATOMIC_MOVE)
+        Files.deleteIfExists(tomb)
+      } catch { case _: java.io.IOException => () } // lost the break race
+      if (tryCreate()) return token
     }
     throw new IllegalStateException(
       s"AuditSink: concurrent committer holds $lock — the sink is " +
       "single-writer-per-path per commit; retry after the other commit " +
       s"finishes (locks older than ${StaleLockMs / 60000} min are " +
       "treated as crashed and broken automatically)")
+  }
+
+  /** Deletes `_COMMIT.lock` only while it still carries `token` — an
+    * owner check, so a committer that stalled past [[StaleLockMs]] and
+    * was broken cannot release its SUCCESSOR's live lock on the way
+    * out (which would re-open the double-commit window for a third
+    * committer).
+    */
+  private[sources] def releaseCommitLock(base: Path, token: String): Unit = {
+    val lock = base.resolve("_COMMIT.lock")
+    try {
+      if (new String(Files.readAllBytes(lock), UTF_8) == token)
+        Files.deleteIfExists(lock)
+    } catch { case _: java.io.IOException => () } // already gone/broken
   }
 
   /** Next snapshot version: one past everything visible on disk —
@@ -217,9 +249,9 @@ private[sources] class AuditBatchWrite(dir: String, nCols: Int)
     // Serialize the whole publish sequence (version pick → moves →
     // manifest swap → GC) against concurrent committers; a second
     // committer fails loudly rather than silently overwriting parts.
-    val lock = AuditSink.acquireCommitLock(base)
+    val token = AuditSink.acquireCommitLock(base)
     try { commitLocked(base, messages) }
-    finally Files.deleteIfExists(lock)
+    finally AuditSink.releaseCommitLock(base, token)
   }
 
   private def commitLocked(base: Path,

@@ -212,7 +212,15 @@ private[sources] class SynthLogScanBuilder(rows: Long, slices: Int,
     topN = Some((orders(0).direction() == SortDirection.DESCENDING, n))
     true
   }
-  override def isPartiallyPushed(): Boolean = false
+  /** Complete ONLY for an accepted TopN (the scan then emits exactly
+    * the n rows in order and Spark drops its Sort and Limit). The same
+    * method also answers for `SupportsPushDownLimit`, so it must stay
+    * `true` when only a plain limit was pushed: today every limit path
+    * emits exactly ≤ n rows too, but keeping Spark's Limit above the
+    * scan costs nothing and is the safety net if a future path ever
+    * emits a superset (code-review r10).
+    */
+  override def isPartiallyPushed(): Boolean = topN.isEmpty
 
   // Aggregate pushdown: COUNT(*)/COUNT(col)/MIN(id)/MAX(id) with no
   // GROUP BY are CLOSED-FORM over the narrowed keyspace — the same
