@@ -82,10 +82,17 @@ object CCScaleProbe {
     // case (every component task-local, one rep per node). Scattering
     // the edges mimics how a real corpus arrives — components smeared
     // across every task — which is the case the contraction must beat.
+    // SPARK_GRAFT_SCATTER sizes the input partitions: the fixpoint's
+    // map-side collect_set state is proportional to edges/partition,
+    // so a halved heap needs proportionally more (smaller) partitions
+    // — the same sizing a real cluster does with
+    // spark.sql.files.maxPartitionBytes (round-10 probe: 32 partitions
+    // × 12M edges OOM'd the map-side aggregation at 48g; 128 × 3M fits).
+    val scatter = sys.env.getOrElse("SPARK_GRAFT_SCATTER", "32").toInt
     lazy val edges = {
-      val e = time(s"generate nBlocks=$nBlocks (cliques -> edges, scattered, checkpointed)") {
+      val e = time(s"generate nBlocks=$nBlocks (cliques -> edges, scattered x$scatter, checkpointed)") {
         val x = EdgeBuilder.cliqueEdgesGen(CliqueGen.cliques(spark, nBlocks))
-          .repartition(32)
+          .repartition(scatter)
           .localCheckpoint()
         x.count()
         x
