@@ -135,4 +135,23 @@ class FunctionsSpec extends SparkSpec {
     assert(withNull.select(FnvFold.fnvFold(col("a"), col("b")))
       .collect()(0).isNullAt(0))
   }
+
+  test("FnvFold survives a VERY wide argument list (split codegen, " +
+       "ADVICE r9: no 64KB method blowup, values exact)") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val n = 500
+    val df = s.range(0, 100).toDF("id")
+    val args = (0 until n).map(i => (col("id") * (i + 1)).cast("long"))
+    val got = df.select(FnvFold.fnvFold(args: _*).as("h"))
+      .collect().map(_.getLong(0))
+    val expected = (0L until 100L).map { id =>
+      graft.sources.AuditSink.rowHash((0 until n).map(i => id * (i + 1))) }
+    assert(got.toSeq === expected)
+    // and the interpreted path agrees at the same arity
+    val e = FnvFold((0 until n).map(i =>
+      org.apache.spark.sql.catalyst.expressions.Literal(3L * (i + 1))))
+    assert(e.eval(null) ===
+      graft.sources.AuditSink.rowHash((0 until n).map(i => 3L * (i + 1))))
+  }
 }
