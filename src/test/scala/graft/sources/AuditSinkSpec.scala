@@ -147,6 +147,55 @@ class AuditSinkSpec extends SparkSpec {
     assert(readCommitted(dir).count() === 50L)
   }
 
+  test("two GENUINELY concurrent committers never corrupt a snapshot: " +
+       "each outcome is a complete, self-consistent version") {
+    // Not a simulation: two driver threads race real write().save()
+    // calls into one directory, repeatedly. Allowed outcomes per race:
+    // both serialize (lock held briefly) or the loser fails loudly.
+    // The invariant under test: the PUBLISHED manifest always names
+    // parts that exist, with rows/checksum matching exactly one
+    // writer's complete dataset — never an interleaved mixture.
+    val dir = freshDir("race")
+    val nA = 400L; val nB = 700L
+    for (round <- 1 to 4) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      def attempt(n: Long) = scala.concurrent.Future {
+        try { writeRange(dir, n, 2); None }
+        catch { case e: Exception => Some(e) }
+      }
+      val (ra, rb) = (attempt(nA), attempt(nB))
+      import scala.concurrent.duration._
+      val outcomes = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(Seq(ra, rb)), 120.seconds)
+      pool.shutdown()
+      // any failure must be the loud concurrent-committer contract
+      // (or Spark's job-abort wrapper around it), never silence
+      outcomes.flatten.foreach { e =>
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Seq.empty
+          else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(e).exists(_.contains("concurrent committer")) ||
+               msgs(e).exists(_.contains("Writing job aborted")),
+          s"round $round unexpected failure: $e")
+      }
+      // the published snapshot is complete and self-consistent
+      val parts = AuditSink.committedParts(dir)
+      parts.foreach(p => assert(Files.exists(p), s"manifest names missing $p"))
+      val (_, totalRows, totalSum) = AuditSink.manifestTotals(dir)
+      assert(totalRows === nA || totalRows === nB,
+        s"round $round: mixed snapshot? rows=$totalRows")
+      val back = readCommitted(dir).collect()
+      assert(back.length.toLong === totalRows)
+      val recomputed = back.map(r =>
+        AuditSink.rowHash(Seq(r.getLong(0), r.getLong(1))))
+        .foldLeft(0L)(_ ^ _)
+      assert(recomputed === totalSum,
+        s"round $round: manifest checksum does not describe disk bytes")
+    }
+  }
+
   test("a crashed committer's stale lock is broken automatically") {
     val dir = freshDir("stalelock")
     writeRange(dir, 100L, 2)
