@@ -111,7 +111,7 @@ object CCScaleProbe {
       val denom = args.drop(2).headOption.map(_.toInt).getOrElse(10)
       val all = CliqueGen.cliques(spark, nBlocks)
       def starScattered(p: org.apache.spark.sql.Column): DataFrame = {
-        val e = EdgeBuilder.starEdges(all.where(p)).repartition(32)
+        val e = EdgeBuilder.starEdges(all.where(p)).repartition(scatter)
           .localCheckpoint()
         e.count(); e
       }
