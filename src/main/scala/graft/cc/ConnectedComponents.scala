@@ -52,18 +52,22 @@ object ConnectedComponents {
     var pendingUnpersist: Seq[DataFrame] = Nil
     while (!converged && iter < maxIterations) {
       val t0 = System.nanoTime()
-      // ONE job per round: the large star is fully lazy (its change
-      // count is an Observation) and streams into the small star,
-      // whose count action executes the whole round — materializing
-      // last round's lazy checkpoint on the way.
+      // ONE edge-scale job per round: the large star defers its count
+      // and streams into the small star, whose count action executes
+      // the whole round — materializing all four star caches and last
+      // round's lazy checkpoint on the way. The two count reads after
+      // it are node-scale aggregations over cached stats.
       val ls = StarOps.largeStarLazy(pairs)
       val ss = StarOps.smallStar(ls.pairs)
       val largeCount = ls.changeCount()
+      // The large star's caches fed the small star's (now materialized)
+      // caches; nothing downstream reads them again.
+      ls.handles.foreach(_.unpersist(false))
       pendingUnpersist.foreach(_.unpersist(false))
       val next =
         if (reliableCheckpoint) ss.pairs.checkpoint(eager = false)
         else ss.pairs.localCheckpoint(eager = false)
-      pendingUnpersist = Seq(ss.handle)
+      pendingUnpersist = ss.handles
       iter += 1
       if (sys.env.contains("GRAFT_CC_VERBOSE"))
         System.err.println(f"[cc] iter=$iter large=$largeCount " +
@@ -90,7 +94,11 @@ object ConnectedComponents {
     * 6-round run on a few thousand edges spends seconds of pure
     * scheduling — while a sub-million-edge graph union-finds in
     * milliseconds in the driver (exactly the regime where AQE would
-    * broadcast a join side). Threshold is edge COUNT. Driver memory at
+    * broadcast a join side). Threshold is edge COUNT. On the
+    * distributed branch the already-counted edges also size the input
+    * partitions against heap-per-core (see inline comment) — the
+    * round-10 probe lesson that map-side state per task, not total
+    * heap, is what OOMs a halved-memory run. Driver memory at
     * the default 4M edges: the union-find map is compact (~16 bytes per
     * node slot, open addressing), but the `collect()` itself transits
     * up to 4M boxed tuples — budget ~1 GB of driver heap at the
@@ -108,8 +116,27 @@ object ConnectedComponents {
       col("dst").cast("bigint").as("dst"))
       .dropDuplicates("src", "dst")
       .localCheckpoint()
-    if (e.count() > smallGraphThreshold) run(e, maxIterations)
-    else {
+    val n = e.count()
+    if (n > smallGraphThreshold) {
+      // Memory-aware input sizing (the round-10 half-memory lesson,
+      // encoded instead of rediscovered by OOM): per-task transient
+      // state in a star round is proportional to the task's edge
+      // slice — symmetrized rows plus the distinct hash map, ~100
+      // bytes/edge with slack — and the binding constraint is
+      // heap-per-core, not total heap. Size partitions so one task's
+      // slice stays within a quarter of its heap share; a fraction of
+      // that state spills gracefully (hash aggregation falls back to
+      // sort-based), so this bounds straggling, not correctness. On a
+      // real cluster the same knob is spark.sql.files.maxPartitionBytes.
+      val cores = math.max(spark.sparkContext.defaultParallelism, 1)
+      val heapPerCore = Runtime.getRuntime.maxMemory() / cores
+      val rowsPerPartition = math.max(1L << 18, heapPerCore / 4L / 100L)
+      val parts = math.min(20000L,
+        math.max(cores.toLong, n / rowsPerPartition + 1L)).toInt
+      val sized = if (e.rdd.getNumPartitions >= parts) e
+                  else e.repartition(parts)
+      run(sized, maxIterations)
+    } else {
       import spark.implicits._
       val uf = new LocalUnionFind(1 << 16)
       e.as[(Long, Long)].collect().foreach { case (a, b) => uf.union(a, b) }

@@ -47,6 +47,8 @@ class QDigest(levels: Int, k: Int)
   require(k >= 16 && k <= 65536, s"k out of range: $k")
 
   private val U: Long = 1L << levels
+  /** Max free-capacity tail `reduce` may leave on a buffer (longs). */
+  private val SlackCap = 16384
   /** Quantiles reported by finish(), in percent. */
   val Phis: Seq[Int] = Seq(1, 25, 50, 75, 99)
 
@@ -138,11 +140,17 @@ class QDigest(levels: Int, k: Int)
     // contract allows reduce to modify and return its buffer. The old
     // exact-size copyOf per input was O(buffer) per distinct value
     // (quadratic-ish below the valve for non-pre-aggregated callers,
-    // ADVICE r9); `QDigestSpec` now pins the copy count sublinear.
+    // ADVICE r9); `QDigestSpec` pins the copy count sublinear. Growth
+    // switches from geometric to fixed-slab above SlackCap longs, so
+    // the stale tail a pre-shuffle serialization ships (the buffer
+    // encoder writes the PHYSICAL array) is bounded at 128 KB instead
+    // of ~2× the payload (ADVICE r10) — at slab size the copy cost per
+    // append is still ≤ a few longs amortized.
     val len = lenOf(b)
     val out =
       if (b.length >= 3 + len) b
-      else java.util.Arrays.copyOf(b, math.max(5 + 2 * len, 2 * b.length))
+      else java.util.Arrays.copyOf(b,
+        math.min(math.max(5 + 2 * len, 2 * b.length), len + 2 + SlackCap))
     out(1 + len) = U + v
     out(2 + len) = w
     out(0) = len + 2L

@@ -42,12 +42,28 @@ object GeoQueries {
     * (40 000 cells at sf0.1's 15 000 points), so the cap drops nothing
     * there — `GeoCapSpec` proves both properties on an adversarial
     * clustered fixture. 100 TB trade, stated: under real clustered geo
-    * data the capped join returns the pair histogram of the ≤Cap-dense
+    * data the capped join returns the pair histogram of the ≤cap-dense
     * regions; over-dense cells need a finer grid (smaller radius) or a
     * pre-aggregation, and silently burning a quadratic join on them is
     * the one wrong answer.
+    *
+    * The cap SCALES with expected occupancy (ADVICE r10): a flat 64
+    * calibrated at sf ≤ 0.1 (< 1 point/cell) would silently start
+    * dropping ordinary Poisson-tail cells once uniform occupancy grows
+    * (sf10 ≈ 37.5 points/cell → cells over 64 become routine).
+    * [[adaptiveGridCap]] = max(64, 32 × ⌈points/cells⌉) keeps the cap
+    * ≥ 32× the MEAN occupancy — far beyond any Poisson tail (at mean µ
+    * the tail above 32µ is astronomically small), so under uniform
+    * data the cap still drops nothing at ANY sf, while genuinely
+    * clustered hot cells (the quadratic hazard) stay excluded. Integer
+    * arithmetic, mirrored verbatim in the oracle.
     */
   private[queries] val GridCellCap = 64L
+
+  private[queries] val GridCells: Long = (Side / R) * (Side / R) // 40 000
+
+  private[queries] def adaptiveGridCap(nPoints: Long): Long =
+    math.max(GridCellCap, 32L * ((nPoints + GridCells - 1L) / GridCells))
 
   /** DBSCAN's grid uses a GUARD, not a drop: a hot cell there is
     * precisely a dense cluster — dropping it would invert the
@@ -92,8 +108,10 @@ object GeoQueries {
     * histogram over dist² quartile shells — which pins candidate
     * generation, dedup, and verification, not just a count.
     */
-  def gridJoin(spark: SparkSession, sfDir: String): DataFrame =
-    gridJoinOn(points(spark, sfDir), GridCellCap)
+  def gridJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = points(spark, sfDir).localCheckpoint()
+    gridJoinOn(pts, adaptiveGridCap(pts.count()))
+  }
 
   /** The capped grid join over an arbitrary (id, x, y) point set —
     * split out so `GeoCapSpec` can drive it with an adversarial
@@ -141,7 +159,9 @@ WITH p AS (
 ),
 cells AS (SELECT id, x, y, x // $R AS cx, y // $R AS cy FROM p),
 hot AS (
-  SELECT cx, cy FROM cells GROUP BY cx, cy HAVING count(*) > $GridCellCap
+  SELECT cx, cy FROM cells GROUP BY cx, cy
+  HAVING count(*) > greatest($GridCellCap,
+    32 * (((SELECT count(*) FROM p) + $GridCells - 1) // $GridCells))
 ),
 c AS (
   SELECT cells.* FROM cells

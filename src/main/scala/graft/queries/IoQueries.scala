@@ -999,6 +999,46 @@ FROM (SELECT * FROM ${graft.sources.SynthLogSource.oracleTable(5000000L)} s
     s"${side("asc")} UNION ALL ${side("desc")} ORDER BY dir"
   }
 
+  /** src_synthlog_offset: the connector's `SupportsPushDownOffset` —
+    * the last pushdown interface after filters/columns/In/limit/
+    * aggregates/runtime-filters/partitioning/TopN. `ORDER BY id LIMIT n
+    * OFFSET k` is answered CLOSED-FORM: Spark pushes the TopN as
+    * n+k (complete), then the offset, and the scan shifts the emitting
+    * endpoint of the keyspace — lo+k ascending, hi−k descending — so
+    * neither a Sort, a Limit, nor an Offset operator survives in the
+    * physical plan (`SynthLogSourceSpec` pins all three away, plus the
+    * refusal after a pushed aggregate: an offset over GROUP rows is
+    * the same wrong-results hazard the limit/TopN paths refuse).
+    */
+  def synthlogOffset(spark: SparkSession, sfDir: String): DataFrame = {
+    def base = spark.read.format("graft.sources.SynthLogSource")
+      .option("rows", "5000000").option("slices", "8").load()
+      .where(col("id") >= 100L && col("id") < 4000000L)
+    def measure(df: DataFrame, dir: String): DataFrame =
+      df.agg(count(lit(1)).as("n"),
+             sum(col("value")).as("value_sum"),
+             sum(col("level")).as("level_sum"),
+             min(col("id")).as("min_id"),
+             max(col("id")).as("max_id"))
+        .select(lit(dir).as("dir"), col("n"), col("value_sum"),
+                col("level_sum"), col("min_id"), col("max_id"))
+    measure(base.orderBy(col("id").asc).offset(37).limit(5), "asc")
+      .unionAll(measure(base.orderBy(col("id").desc).offset(37).limit(5), "desc"))
+      .orderBy("dir")
+  }
+
+  private val synthlogOffsetOracle: String = {
+    def side(dir: String) = s"""
+SELECT '$dir' AS dir, count(*) AS n,
+       CAST(sum(value) AS BIGINT) AS value_sum,
+       CAST(sum(level) AS BIGINT) AS level_sum,
+       min(id) AS min_id, max(id) AS max_id
+FROM (SELECT * FROM ${graft.sources.SynthLogSource.oracleTable(5000000L)} s
+      WHERE id >= 100 AND id < 4000000
+      ORDER BY id ${dir.toUpperCase} LIMIT 5 OFFSET 37) t"""
+    s"${side("asc")} UNION ALL ${side("desc")} ORDER BY dir"
+  }
+
   /** src_synthlog_agg: the connector's `SupportsPushDownAggregates` —
     * COUNT/MIN(id)/MAX(id) with no GROUP BY answered in O(1) from the
     * narrowed range bounds, COMPLETE pushdown (one final row, Spark
@@ -1334,6 +1374,7 @@ WHERE s.id < 2000 AND s.level = 3
     "src_synthlog_join" -> (synthlogJoin _),
     "src_synthlog_limit" -> (synthlogLimit _),
     "src_synthlog_topn" -> (synthlogTopn _),
+    "src_synthlog_offset" -> (synthlogOffset _),
     "src_synthlog_agg" -> (synthlogAgg _),
     "src_synthlog_groupagg" -> (synthlogGroupAgg _),
     "src_synthlog_agg_limit" -> (synthlogAggLimit _),
@@ -1368,6 +1409,7 @@ WHERE s.id < 2000 AND s.level = 3
     "src_synthlog_join" -> synthlogJoinOracle,
     "src_synthlog_limit" -> synthlogLimitOracle,
     "src_synthlog_topn" -> synthlogTopnOracle,
+    "src_synthlog_offset" -> synthlogOffsetOracle,
     "src_synthlog_agg" -> synthlogAggOracle,
     "src_synthlog_groupagg" -> synthlogGroupAggOracle,
     "src_synthlog_agg_limit" -> synthlogAggLimitOracle,

@@ -23,9 +23,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   - each TASK writes its partition to an ATTEMPT-UNIQUE temp file
   *     and returns a [[WriterCommitMessage]] carrying (path, rows,
   *     order-insensitive checksum) — never a visible file;
-  *   - the DRIVER's `commit()` moves every temp file to a
-  *     VERSION-PREFIXED final name (`part-v000001-00000.csv`), then
-  *     atomically replaces `_MANIFEST` (version header, rows +
+  *   - the DRIVER's `commit()` moves every temp file to a VERSION- and
+  *     TOKEN-prefixed final name (`part-v000001-ab12cd34-00000.csv`),
+  *     then atomically replaces `_MANIFEST` (version header, rows +
   *     combined checksum per part, totals last) — the manifest swap is
   *     the single publication point, and only AFTER it are the
   *     previous snapshot's parts garbage-collected. A crash at any
@@ -50,7 +50,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * concurrent committer fails loudly instead of racing the version
   * pick; crashed committers' stale locks are broken after
   * [[AuditSink.StaleLockMs]] (the last published snapshot is intact
-  * either way, by publish-then-GC).
+  * either way, by publish-then-GC). A stale-broken committer that is
+  * merely PAUSED, not dead, is defused twice over: its part names are
+  * token-unique (it cannot overwrite the successor's files) and the
+  * manifest swap is fenced ([[AuditSink.verifyCommitLock]]) so it
+  * aborts loudly instead of publishing.
   *
   * Table semantics: REPLACE-on-commit — each successful write
   * publishes a complete snapshot under a fresh version. Readers MUST
@@ -84,7 +88,14 @@ object AuditSink {
 
   def manifestOf(dir: String): Path = Paths.get(dir, "_MANIFEST")
 
-  private[sources] val PartName = raw"part-v(\d+)-\d+\.csv".r
+  /** Part names carry the committing attempt's token hash so two
+    * committers can NEVER clobber each other's part files, even when a
+    * stale-broken-but-alive committer races its successor's moves —
+    * each writes version-AND-token-unique names, and only the manifest
+    * swap (fenced, see [[verifyCommitLock]]) decides whose become
+    * visible.
+    */
+  private[sources] val PartName = raw"part-v(\d+)-[0-9a-f]{8}-\d+\.csv".r
 
   /** Parses the committed manifest and returns the snapshot's part
     * paths — THE read entry point. Directory listings see orphans from
@@ -141,10 +152,13 @@ object AuditSink {
   private[sources] def acquireCommitLock(base: Path): String = {
     val lock = base.resolve("_COMMIT.lock")
     val token = java.util.UUID.randomUUID().toString
+    // Create WITH content in one atomic CREATE_NEW write: a two-step
+    // create-then-write could crash in between and leak an empty,
+    // token-less lock that blocks every committer for StaleLockMs.
     def tryCreate(): Boolean =
       try {
-        Files.createFile(lock)
-        Files.write(lock, token.getBytes(UTF_8))
+        Files.write(lock, token.getBytes(UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
         true
       }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
@@ -160,6 +174,16 @@ object AuditSink {
         Files.move(lock, tomb, StandardCopyOption.ATOMIC_MOVE)
         Files.deleteIfExists(tomb)
       } catch { case _: java.io.IOException => () } // lost the break race
+      // sweep tombstones a crashed breaker left between its move and
+      // delete — they are garbage by construction (only ever created
+      // en route to deletion), so age checks are unnecessary
+      try {
+        val s = Files.list(base)
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("_COMMIT.lock.broken-"))
+          .toSeq.foreach(Files.deleteIfExists(_))
+        finally s.close()
+      } catch { case _: java.io.IOException => () }
       if (tryCreate()) return token
     }
     throw new IllegalStateException(
@@ -169,11 +193,47 @@ object AuditSink {
       "treated as crashed and broken automatically)")
   }
 
+  /** The FENCE: re-reads `_COMMIT.lock` and throws unless it still
+    * carries this committer's token. Called immediately before the
+    * manifest atomic move — the single publication point — so a
+    * committer that stalled past [[StaleLockMs]] (GC pause, NFS hang),
+    * had its lock broken, and woke up mid-commit ABORTS loudly instead
+    * of publishing over its successor. Its already-moved parts are
+    * harmless unpublished orphans (part names are token-unique, so its
+    * moves cannot have clobbered the successor's files) that the next
+    * successful commit's GC removes.
+    *
+    * Residual contract, stated honestly: the fence-read-to-move window
+    * is microseconds wide; defeating it requires a committer to stall
+    * for [[StaleLockMs]] EXACTLY between the fence read and the move
+    * syscall. Closing that last window needs filesystem-level fencing
+    * (e.g. O_EXCL version files or conditional puts) that local
+    * renames cannot express.
+    */
+  private[sources] def verifyCommitLock(base: Path, token: String): Unit = {
+    val holder =
+      try new String(Files.readAllBytes(base.resolve("_COMMIT.lock")), UTF_8)
+      catch { case _: java.io.IOException => "" }
+    if (holder != token)
+      throw new IllegalStateException(
+        "AuditSink: commit fenced — this committer's _COMMIT.lock was " +
+        "broken as stale (did the committer pause past " +
+        s"${StaleLockMs / 60000} min mid-commit?) and " +
+        (if (holder.isEmpty) "released" else "re-acquired by another committer") +
+        ". Aborting before publish: the currently published snapshot is " +
+        "unaffected, and this commit's moved parts are unpublished " +
+        "orphans the next successful commit garbage-collects.")
+  }
+
   /** Deletes `_COMMIT.lock` only while it still carries `token` — an
     * owner check, so a committer that stalled past [[StaleLockMs]] and
-    * was broken cannot release its SUCCESSOR's live lock on the way
-    * out (which would re-open the double-commit window for a third
-    * committer).
+    * was broken will usually not delete its SUCCESSOR's live lock on
+    * the way out. The read-then-delete here is not atomic; the narrow
+    * interleaving it leaves open is harmless because every committer
+    * re-verifies ownership at the publication point
+    * ([[verifyCommitLock]]) and part names are token-unique — a
+    * wrongly-deleted lock can cause a spurious loud abort, never a
+    * corrupted or mixed snapshot.
     */
   private[sources] def releaseCommitLock(base: Path, token: String): Unit = {
     val lock = base.resolve("_COMMIT.lock")
@@ -233,6 +293,13 @@ private[sources] class AuditSinkTable(schema0: StructType, path: String)
 private[sources] case class AuditCommit(tempPath: String, rows: Long,
     checksum: Long) extends WriterCommitMessage
 
+private[sources] object AuditBatchWrite {
+  /** Test seam for the fence race spec: runs after part moves + manifest
+    * temp write, immediately before the fence check. Production no-op.
+    */
+  @volatile private[sources] var prePublishHook: () => Unit = () => ()
+}
+
 private[sources] class AuditBatchWrite(dir: String, nCols: Int)
     extends BatchWrite {
 
@@ -250,19 +317,22 @@ private[sources] class AuditBatchWrite(dir: String, nCols: Int)
     // manifest swap → GC) against concurrent committers; a second
     // committer fails loudly rather than silently overwriting parts.
     val token = AuditSink.acquireCommitLock(base)
-    try { commitLocked(base, messages) }
+    try { commitLocked(base, token, messages) }
     finally AuditSink.releaseCommitLock(base, token)
   }
 
-  private def commitLocked(base: Path,
+  private def commitLocked(base: Path, token: String,
       messages: Array[WriterCommitMessage]): Unit = {
     val version = AuditSink.nextVersion(base)
+    val tok8 = token.replace("-", "").take(8)
     val parts = messages.toSeq.collect { case m: AuditCommit => m }
       .sortBy(_.tempPath)
     val lines = new StringBuilder
     lines.append(s"VERSION\t$version\n")
     parts.zipWithIndex.foreach { case (m, i) =>
-      val fin = base.resolve(f"part-v$version%06d-$i%05d.csv")
+      // token-unique name: a racing zombie committer's moves can never
+      // land on this commit's files (see AuditSink.PartName)
+      val fin = base.resolve(f"part-v$version%06d-$tok8-$i%05d.csv")
       Files.move(Paths.get(m.tempPath), fin,
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       lines.append(s"${fin.getFileName}\t${m.rows}\t${m.checksum}\n")
@@ -270,19 +340,24 @@ private[sources] class AuditBatchWrite(dir: String, nCols: Int)
     val totalRows = parts.map(_.rows).sum
     val totalSum = parts.map(_.checksum).foldLeft(0L)(_ ^ _)
     lines.append(s"TOTAL\t$totalRows\t$totalSum\n")
-    // manifest appearance IS the commit: write to temp, atomic move
-    val mTmp = base.resolve("_MANIFEST.tmp")
+    // manifest appearance IS the commit: write to temp, fence, atomic
+    // move — the fence aborts a committer whose lock was stale-broken
+    // while it was paused, BEFORE it can publish over its successor
+    val mTmp = base.resolve(s"_MANIFEST.tmp-$tok8")
     Files.write(mTmp, lines.toString.getBytes(UTF_8))
+    AuditBatchWrite.prePublishHook()
+    AuditSink.verifyCommitLock(base, token)
     Files.move(mTmp, AuditSink.manifestOf(dir),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // GC strictly AFTER the publication point: older versions' parts
-    // (and crashed commits' orphans below the new version) go away.
+    // GC strictly AFTER the publication point: older versions' parts,
+    // crashed commits' orphans below the new version, and other
+    // attempts' leaked manifest temp files go away.
     val old = Files.list(base)
     try old.iterator().asScala
       .filter { p =>
         p.getFileName.toString match {
           case AuditSink.PartName(v) => v.toLong < version
-          case _                     => false
+          case n => n.startsWith("_MANIFEST.tmp") && n != mTmp.getFileName.toString
         }
       }.toSeq.foreach(Files.deleteIfExists(_))
     finally old.close()

@@ -15,9 +15,9 @@ import org.apache.spark.sql.connector.read.{
   Batch, HasPartitionKey, InputPartition, PartitionReader,
   PartitionReaderFactory, Scan, ScanBuilder,
   Statistics, SupportsPushDownAggregates, SupportsPushDownFilters,
-  SupportsPushDownLimit, SupportsPushDownRequiredColumns,
-  SupportsPushDownTopN, SupportsReportPartitioning,
-  SupportsReportStatistics}
+  SupportsPushDownLimit, SupportsPushDownOffset,
+  SupportsPushDownRequiredColumns, SupportsPushDownTopN,
+  SupportsReportPartitioning, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.partitioning.{
   KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -122,7 +122,8 @@ private[sources] class SynthLogScanBuilder(rows: Long, slices: Int,
     bucketed: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
-    with SupportsPushDownTopN with SupportsPushDownAggregates {
+    with SupportsPushDownTopN with SupportsPushDownOffset
+    with SupportsPushDownAggregates {
 
   private var lo: Long = 0L
   private var hi: Long = rows
@@ -130,6 +131,7 @@ private[sources] class SynthLogScanBuilder(rows: Long, slices: Int,
   // every other pushed filter at build time.
   private var inIds: Option[Array[Long]] = None
   private var limit: Option[Int] = None
+  private var offset: Option[Int] = None
   // ORDER BY id [DESC] LIMIT n, accepted by pushTopN: (descending, n).
   private var topN: Option[(Boolean, Int)] = None
   private var pushed: ArrayBuffer[Filter] = ArrayBuffer.empty
@@ -212,6 +214,25 @@ private[sources] class SynthLogScanBuilder(rows: Long, slices: Int,
     topN = Some((orders(0).direction() == SortDirection.DESCENDING, n))
     true
   }
+  /** OFFSET k, answered CLOSED-FORM like the limit: rows leave the
+    * source in ascending-id order (descending for an accepted DESC
+    * TopN), so skipping the first k rows is a keyspace-endpoint shift.
+    * Spark pushes OFFSET only after any LIMIT above it was pushed
+    * COMPLETELY (V2ScanRelationPushDown), and always as "skip k of the
+    * scan's output" — so at build time the limit first truncates the
+    * interval (it arrived as limit+offset for `LIMIT l OFFSET k`
+    * shapes), then the offset advances the emitting end: lo for
+    * ascending scans, hi for DESC-TopN scans, `drop(k)` for In-lists.
+    * Refused after a pushed aggregate — an offset over GROUP rows
+    * cannot be expressed as a keyspace shift (same hazard family as
+    * `pushLimit`/`pushTopN`, spec-pinned).
+    */
+  override def pushOffset(n: Int): Boolean = {
+    if (aggFuncs.isDefined) return false
+    offset = Some(offset.fold(n)(_ + n))
+    true
+  }
+
   /** Complete ONLY for an accepted TopN (the scan then emits exactly
     * the n rows in order and Spark drops its Sort and Limit). The same
     * method also answers for `SupportsPushDownLimit`, so it must stay
@@ -288,27 +309,37 @@ private[sources] class SynthLogScanBuilder(rows: Long, slices: Int,
     val scan = inIds match {
       case Some(ids0) =>
         val ids1 = ids0.filter(id => id >= l && id < hi)
-        val ids = limit.fold(ids1)(ids1.take)
+        val ids2 = limit.fold(ids1)(ids1.take)
+        val ids = offset.fold(ids2)(ids2.drop)
         new SynthLogScan(0L, 0L, slices, required, pushed.toArray, Some(ids))
       // bucketed form only while `bucket` survives column pruning:
       // the reported KeyGroupedPartitioning names it, and Spark
       // resolves that reference against the PRUNED scan output —
       // advertising a dropped column fails the whole query
       case None if bucketed && limit.isEmpty && topN.isEmpty &&
-          aggFuncs.isEmpty && required.fieldNames.contains("bucket") =>
+          offset.isEmpty && aggFuncs.isEmpty &&
+          required.fieldNames.contains("bucket") =>
         new SynthLogBucketedScan(l, hi, required, pushed.toArray)
       case None =>
         topN match {
           case Some((desc, n)) =>
             // the top-n of a sorted keyspace is an interval endpoint:
-            // one partition, emitted in the requested order
-            val (tl, th) =
+            // one partition, emitted in the requested order; a pushed
+            // offset then skips from the EMITTING end (hi for DESC)
+            val (tl0, th0) =
               if (desc) (math.max(l, hi - n), hi)
               else (l, math.min(hi, l + n))
+            val (tl, th) = offset.fold((tl0, th0)) { o =>
+              if (desc) (tl0, math.max(th0 - o, tl0))
+              else (math.min(tl0 + o, th0), th0)
+            }
             new SynthLogScan(tl, th, 1, required, pushed.toArray, None, desc)
           case None =>
+            // limit first (it arrived as limit+offset when both were
+            // pushed), then offset advances the low end
             val h = limit.fold(hi)(n => math.min(hi, l + n))
-            new SynthLogScan(l, h, slices, required, pushed.toArray, None)
+            val l2 = offset.fold(l)(o => math.min(l + o, h))
+            new SynthLogScan(l2, h, slices, required, pushed.toArray, None)
         }
     }
     aggFuncs match {

@@ -47,7 +47,7 @@ object CCProbe {
       val ls = time(s"iter$i largeStar") { StarOps.largeStar(pairs) }
       val ss = time(s"iter$i smallStar") { StarOps.smallStar(ls.pairs) }
       val next = time(s"iter$i checkpoint") { ss.pairs.localCheckpoint() }
-      ls.handle.unpersist(false); ss.handle.unpersist(false)
+      (ls.handles ++ ss.handles).foreach(_.unpersist(false))
       System.err.println(s"[probe] iter$i large=${ls.changeCount} small=${ss.changeCount} rows=${next.count()}")
       pairs = next
     }

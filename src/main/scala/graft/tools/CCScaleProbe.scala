@@ -14,8 +14,19 @@ import graft.cc.{CliqueGen, ConnectedComponents, EdgeBuilder}
   *
   * Usage: GRAFT_CC_VERBOSE=1 runMain graft.tools.CCScaleProbe [nBlocks] [mode]
   * (nBlocks=1000 ~ 4M edges, 5000 ~ 20M, 25000 ~ 100M;
-  * mode = all | contracted | plain | incremental — split the biggest
-  * runs).
+  * mode = all | contracted | plain | incremental | giant — split the
+  * biggest runs).
+  *
+  * `giant` (r10 verdict item 2) is the adversarial SINGLE-component
+  * probe: args are `<nNodes> giant <legacy|new>`. The graph is the
+  * binary tree `(i, i div 2)` for i in [1, nNodes) — one component of
+  * nNodes members, nNodes-1 edges, deterministic, no RNG. Near
+  * convergence every edge is `(n, 0)`, so the large star's group for
+  * node 0 holds the ENTIRE component: the round-10 collect_set shape
+  * ([[LegacyStarOps]]) concentrates O(component) aggregation state in
+  * one task there, while the min-join shape ([[graft.cc.StarOps]])
+  * keeps per-key state O(1) and lets AQE skew-split the join. This is
+  * the 100 TB boilerplate-mega-cluster case from the dedup pipelines.
   *
   * `incremental` (r5 verdict item 5) probes the label-MAINTENANCE path
   * at scale: base fixpoint on 90% of the blocks' star edges, then the
@@ -53,11 +64,15 @@ object CCScaleProbe {
     // manager, so the max over samples bounds the fixpoint's working
     // set (current + previous round while the swap happens).
     @volatile var peakStorage = 0L
+    @volatile var peakHeap = 0L
     val sampler = new Thread(() => {
       try while (true) {
         val s = spark.sparkContext.getRDDStorageInfo
           .map(i => i.memSize + i.diskSize).sum
         if (s > peakStorage) peakStorage = s
+        val rt = Runtime.getRuntime
+        val h = rt.totalMemory() - rt.freeMemory()
+        if (h > peakHeap) peakHeap = h
         Thread.sleep(250)
       } catch { case _: InterruptedException => () }
     })
@@ -167,8 +182,38 @@ object CCScaleProbe {
         s"iterations=${plain.iterations}")
       mismatches("plain", plain.assignments)
     }
+    if (mode == "giant") {
+      val nNodes = nBlocks.toLong // first arg is the raw node count here
+      val shape = args.drop(2).headOption.getOrElse("new")
+      // NOT checkpointed, deliberately: the tree is closed-form range
+      // arithmetic (regenerating it costs less than reading a cache),
+      // and a 100M-row deserialized localCheckpoint costs ~2 orders of
+      // magnitude more storage than the data (measured: it filled this
+      // box's disk) — the probe's storage budget belongs to the
+      // fixpoint's own per-round checkpoints.
+      val tree = spark.range(1L, nNodes)
+        .select(col("id").as("src"), shiftright(col("id"), 1).as("dst"))
+      time("tree row count")(tree.count())
+      val labels = time(s"giant fixpoint shape=$shape") {
+        shape match {
+          case "legacy" => LegacyStarOps.runLegacy(tree)
+          case _ =>
+            val r = ConnectedComponents.run(tree)
+            require(r.converged, "fixpoint did not converge")
+            System.err.println(s"[probe] giant: iterations=${r.iterations}")
+            r.assignments
+        }
+      }
+      val bad = labels.where(col("component") =!= 0L).count()
+      val n = labels.count()
+      System.err.println(s"[probe] giant vs ground truth: wrong=$bad rows=$n")
+      require(bad == 0 && n == nNodes, "giant component labels diverged")
+    }
+
     System.err.println(
       f"[probe] peak cached storage: ${peakStorage / 1048576.0}%.1f MiB")
+    System.err.println(
+      f"[probe] peak JVM heap used: ${peakHeap / 1048576.0}%.1f MiB")
     System.err.println("[probe] PASS")
     spark.stop()
   }

@@ -96,7 +96,7 @@ class AuditSinkSpec extends SparkSpec {
     val before = AuditSink.manifestTotals(dir)
     // simulate a commit that crashed after moving its parts but before
     // publishing: orphan v1 parts appear, manifest untouched
-    Files.write(Paths.get(dir, "part-v000001-00000.csv"),
+    Files.write(Paths.get(dir, "part-v000001-deadbeef-00000.csv"),
       "999,999\n".getBytes(UTF_8))
     assert(AuditSink.manifestTotals(dir) === before)
     assert(readCommitted(dir).count() === 100L,
@@ -107,7 +107,7 @@ class AuditSinkSpec extends SparkSpec {
     val (version, totalRows, _) = AuditSink.manifestTotals(dir)
     assert(version === 2L && totalRows === 5L)
     assert(readCommitted(dir).count() === 5L)
-    assert(!Files.exists(Paths.get(dir, "part-v000001-00000.csv")),
+    assert(!Files.exists(Paths.get(dir, "part-v000001-deadbeef-00000.csv")),
       "post-publish GC should remove the crashed commit's orphan")
   }
 
@@ -194,6 +194,61 @@ class AuditSinkSpec extends SparkSpec {
       assert(recomputed === totalSum,
         s"round $round: manifest checksum does not describe disk bytes")
     }
+  }
+
+  test("a committer paused past StaleLockMs loses LOUDLY at the fence; " +
+       "the successor's snapshot survives untouched") {
+    // Committer A runs a REAL write().save() but its driver-side commit
+    // blocks at the pre-publish hook (parts moved, manifest temp
+    // written, fence not yet checked) — the GC-pause / NFS-hang shape.
+    // While A hangs, its lock is backdated past StaleLockMs and
+    // committer B commits for real: B breaks A's stale lock, publishes,
+    // releases. A then resumes, and the fence must abort it loudly —
+    // with token-unique part names, A's earlier moves cannot have
+    // touched B's files, so B's published snapshot must verify clean.
+    val dir = freshDir("fence")
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val parked = new java.util.concurrent.CountDownLatch(1)
+    AuditBatchWrite.prePublishHook = () => { parked.countDown(); gate.await() }
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val a = scala.concurrent.Future {
+        try { writeRange(dir, 400L, 2); None }
+        catch { case e: Exception => Some(e) }
+      }
+      assert(parked.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "committer A never reached the pre-publish hook")
+      // A is now paused mid-commit; age its lock past the break horizon
+      val lock = Paths.get(dir, "_COMMIT.lock")
+      Files.setLastModifiedTime(lock, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() - AuditSink.StaleLockMs - 60000L))
+      // B must not hit the hook — restore it before B commits
+      AuditBatchWrite.prePublishHook = () => ()
+      writeRange(dir, 77L, 2) // breaks A's stale lock, publishes, releases
+      val (vB, rowsB, sumB) = AuditSink.manifestTotals(dir)
+      assert(rowsB === 77L)
+      gate.countDown() // wake A: it must fence-abort, not publish
+      import scala.concurrent.duration._
+      val outcome = scala.concurrent.Await.result(a, 120.seconds)
+      pool.shutdown()
+      assert(outcome.isDefined, "paused committer A published after losing its lock")
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(outcome.get).exists(_.contains("commit fenced")) ||
+             msgs(outcome.get).exists(_.contains("Writing job aborted")),
+        s"expected the fence abort, got: ${outcome.get}")
+      // B's snapshot is still the published one and verifies bit-exact
+      assert(AuditSink.manifestTotals(dir) === ((vB, rowsB, sumB)))
+      val back = readCommitted(dir).collect()
+      assert(back.length === 77)
+      val recomputed = back.map(r =>
+        AuditSink.rowHash(Seq(r.getLong(0), r.getLong(1)))).foldLeft(0L)(_ ^ _)
+      assert(recomputed === sumB,
+        "paused committer's part moves corrupted the successor's snapshot")
+    } finally AuditBatchWrite.prePublishHook = () => ()
   }
 
   test("a crashed committer's stale lock is broken automatically") {

@@ -159,6 +159,59 @@ class SynthLogSourceSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).toSeq === Seq(1000L, 1001L, 1002L))
   }
 
+  test("OFFSET pushdown under an ASC TopN: no Sort, no Limit, no Offset " +
+       "in the plan; the keyspace head shifts by the offset") {
+    val df = read(5000000L).where(col("id") >= 100L)
+      .orderBy(col("id").asc).offset(37).limit(5)
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.collect {
+      case s if s.nodeName.contains("Sort") || s.nodeName.contains("Offset") ||
+                s.nodeName.contains("Limit") => s
+    }.isEmpty, plan.toString)
+    assert(scanOf(df).scan.description().contains("[137, 142)"),
+      scanOf(df).scan.description())
+    assert(df.collect().map(_.getLong(0)).toSeq ===
+      Seq(137L, 138L, 139L, 140L, 141L))
+  }
+
+  test("OFFSET pushdown under a DESC TopN skips from the HIGH end") {
+    val df = read(5000000L).where(col("id") >= 100L)
+      .orderBy(col("id").desc).offset(37).limit(5)
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.collect {
+      case s if s.nodeName.contains("Sort") || s.nodeName.contains("Offset") => s
+    }.isEmpty, plan.toString)
+    assert(scanOf(df).scan.description().contains("[4999958, 4999963)"),
+      scanOf(df).scan.description())
+    assert(df.collect().map(_.getLong(0)).toSeq ===
+      Seq(4999962L, 4999961L, 4999960L, 4999959L, 4999958L))
+  }
+
+  test("a bare OFFSET (no sort, no limit) is pushed as a keyspace shift") {
+    val df = read(1000L).offset(997)
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.collect {
+      case s if s.nodeName.contains("Offset") => s }.isEmpty, plan.toString)
+    assert(scanOf(df).scan.description().contains("[997, 1000)"),
+      scanOf(df).scan.description())
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(997L, 998L, 999L))
+  }
+
+  test("an OFFSET arriving after a pushed aggregate is REFUSED — group " +
+       "rows stay intact (the agg_limit hazard, offset path)") {
+    val df = read(5000L, slices = 4)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"))
+      .orderBy("bucket").offset(3)
+    val desc = scanOf(df).scan.description()
+    assert(desc.contains("synthlog-agg"), desc)
+    // the un-truncated 5-bucket group set, minus the 3 Spark skips ABOVE
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq((3L, 1000L, 3000L, 3999L), (4L, 1000L, 4000L, 4999L)))
+  }
+
   test("TopN on a computed column is refused — Spark keeps its sort " +
        "and the values are right") {
     val df = read(10000L).orderBy(col("value").desc).limit(3)
