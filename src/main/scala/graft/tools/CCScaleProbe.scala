@@ -47,6 +47,13 @@ object CCScaleProbe {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      // Shuffle files are reaped by the ContextCleaner only when the
+      // referencing RDDs are GC'd; on a big-heap driver GCs are rare,
+      // so a multi-round fixpoint pins every round's shuffle on disk.
+      // The default periodic GC (30min) outlives the whole probe —
+      // force it often. (Checkpoint BLOCKS are freed explicitly by the
+      // fixpoint itself; this covers the shuffle-file tail.)
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.driver.memory", "16g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -83,7 +90,11 @@ object CCScaleProbe {
     // smallGraphThreshold=0 forces the distributed fixpoint on the rep
     // graph so the probe measures the path a real cluster would take on
     // a graph whose rep set outgrows the driver.
-    val truth = CliqueGen.groundTruth(spark, nBlocks).localCheckpoint()
+    // Lazy: giant mode interprets args(0) as a raw NODE count (10⁷-10⁸)
+    // and computes its own closed-form check — materializing block
+    // ground truth for that many BLOCKS (~300 nodes each) here would
+    // checkpoint billions of rows before the probe's first job.
+    lazy val truth = CliqueGen.groundTruth(spark, nBlocks).localCheckpoint()
     def mismatches(label: String, got: org.apache.spark.sql.DataFrame): Unit = {
       val bad = got.join(truth, "node")
         .where(got("component") =!= truth("component")).count()
