@@ -1,7 +1,10 @@
 package graft.cc
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Connected components via the alternating Large-Star / Small-Star
   * fixpoint (Kiveris et al., SoCC 2014), Spark-SQL-native.
@@ -32,6 +35,21 @@ object ConnectedComponents {
 
   private val Sentinel = 9999999L // reference ConnectedComponent.scala:272
 
+  /** The RDD behind a checkpointed Dataset (its analyzed plan is a
+    * LogicalRDD leaf), so superseded round checkpoints can be freed
+    * DETERMINISTICALLY. Without this, each round's blocks (plus the
+    * shuffle files its lineage pins) linger until a driver GC lets the
+    * ContextCleaner reap them — on a 48g+ heap GCs are rare, so a long
+    * fixpoint accumulates every round's working set on executor disks
+    * (measured: the 10⁸-node giant-component probe filled ~90 GB of
+    * scratch in 4 rounds before this fix; SCALE.md "giant component").
+    */
+  private def checkpointRdd(ds: DataFrame): Option[RDD[_]] =
+    ds.queryExecution.analyzed match {
+      case l: LogicalRDD => Some(l.rdd)
+      case _             => None
+    }
+
   /** @param edges DataFrame with integral columns `src`, `dst` (any
     *              orientation, duplicates/self-loops fine)
     */
@@ -50,6 +68,11 @@ object ConnectedComponents {
     // them — eager checkpointing would cost a whole extra job per
     // iteration, which dominates wall time on small graphs.
     var pendingUnpersist: Seq[DataFrame] = Nil
+    // Round checkpoints, freed on the same one-round lag: cp created in
+    // round k (lazy) materializes during round k+1's first action, at
+    // which point cp_{k-1}'s blocks feed nothing and are dropped.
+    var materializedCp: Option[RDD[_]] = None
+    var pendingCp: Option[RDD[_]] = None
     while (!converged && iter < maxIterations) {
       val t0 = System.nanoTime()
       // ONE edge-scale job per round: the large star defers its count
@@ -64,9 +87,19 @@ object ConnectedComponents {
       // caches; nothing downstream reads them again.
       ls.handles.foreach(_.unpersist(false))
       pendingUnpersist.foreach(_.unpersist(false))
+      // MEMORY_AND_DISK_SER: rows are read back at most once next
+      // round, and serialized UnsafeRow blocks cost ~25 B/row where the
+      // default deserialized level costs ~85 B in memory and ~10× that
+      // Java-serialized on disk spill (measured on the giant probe).
       val next =
         if (reliableCheckpoint) ss.pairs.checkpoint(eager = false)
-        else ss.pairs.localCheckpoint(eager = false)
+        else ss.pairs.localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
+      // The checkpoint materialized by THIS round's action supersedes
+      // the previous one; free the old blocks now instead of waiting
+      // for a driver GC to let the ContextCleaner find them.
+      materializedCp.foreach(_.unpersist(false))
+      materializedCp = pendingCp
+      pendingCp = checkpointRdd(next)
       pendingUnpersist = ss.handles
       iter += 1
       if (sys.env.contains("GRAFT_CC_VERBOSE"))
@@ -81,7 +114,13 @@ object ConnectedComponents {
     }
     // Materialize the final checkpoint before releasing its inputs.
     val out = pairs.toDF("node", "component")
-    if (iter > 0) { out.count(); pendingUnpersist.foreach(_.unpersist(false)) }
+    if (iter > 0) {
+      out.count()
+      pendingUnpersist.foreach(_.unpersist(false))
+      // The final checkpoint (the result, owned by the caller) is now
+      // materialized; its predecessor's blocks are dead.
+      materializedCp.foreach(_.unpersist(false))
+    }
     CCResult(out, converged, iter)
   }
 
@@ -108,6 +147,21 @@ object ConnectedComponents {
     * `iterations` is 0 on the driver path; `converged` is always true
     * there (union-find is exact).
     */
+  /** Input-partition count for the distributed fixpoint given the edge
+    * count and the executor's memory-per-core. Exposed (and spec-pinned
+    * against the round-10 probe configs, SCALE.md) so the sizing rule
+    * is testable arithmetic, not archaeology: a task's transient star
+    * state is ~100 bytes/edge, the binding constraint is heap-per-core,
+    * and one task's slice must fit a quarter of its heap share.
+    */
+  private[cc] def inputPartitions(edgeCount: Long, cores: Int,
+                                  maxHeapBytes: Long): Int = {
+    val heapPerCore = maxHeapBytes / math.max(cores, 1)
+    val rowsPerPartition = math.max(1L << 18, heapPerCore / 4L / 100L)
+    math.min(20000L,
+      math.max(cores.toLong, edgeCount / rowsPerPartition + 1L)).toInt
+  }
+
   def runAuto(edges: DataFrame, maxIterations: Int = 20,
               smallGraphThreshold: Long = 4L << 20): CCResult = {
     val spark = edges.sparkSession
@@ -128,11 +182,9 @@ object ConnectedComponents {
       // that state spills gracefully (hash aggregation falls back to
       // sort-based), so this bounds straggling, not correctness. On a
       // real cluster the same knob is spark.sql.files.maxPartitionBytes.
-      val cores = math.max(spark.sparkContext.defaultParallelism, 1)
-      val heapPerCore = Runtime.getRuntime.maxMemory() / cores
-      val rowsPerPartition = math.max(1L << 18, heapPerCore / 4L / 100L)
-      val parts = math.min(20000L,
-        math.max(cores.toLong, n / rowsPerPartition + 1L)).toInt
+      val parts = inputPartitions(n,
+        math.max(spark.sparkContext.defaultParallelism, 1),
+        Runtime.getRuntime.maxMemory())
       val sized = if (e.rdd.getNumPartitions >= parts) e
                   else e.repartition(parts)
       run(sized, maxIterations)

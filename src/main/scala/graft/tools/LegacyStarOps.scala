@@ -79,12 +79,25 @@ object LegacyStarOps {
     var converged = false
     var iter = 0
     var pendingUnpersist: Seq[DataFrame] = Nil
+    // Same checkpoint hygiene as the production loop (serialized level,
+    // superseded rounds freed deterministically) so the giant-probe A/B
+    // isolates the AGGREGATION-STATE difference, not disk accumulation.
+    var materializedCp: Option[org.apache.spark.rdd.RDD[_]] = None
+    var pendingCp: Option[org.apache.spark.rdd.RDD[_]] = None
+    def cpRdd(ds: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      ds.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+        case _ => None
+      }
     while (!converged && iter < maxIterations) {
       val t0 = System.nanoTime()
       val ls = largeStar(pairs)
       val ss = smallStar(ls.pairs)
       pendingUnpersist.foreach(_.unpersist(false))
-      val next = ss.pairs.localCheckpoint(eager = false)
+      val next = ss.pairs.localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
+      materializedCp.foreach(_.unpersist(false))
+      materializedCp = pendingCp
+      pendingCp = cpRdd(next)
       pendingUnpersist = Seq(ls.handle, ss.handle)
       iter += 1
       System.err.println(f"[legacy-cc] iter=$iter large=${ls.changeCount} " +
@@ -100,6 +113,7 @@ object LegacyStarOps {
     val out = pairs.toDF("node", "component")
     out.count()
     pendingUnpersist.foreach(_.unpersist(false))
+    materializedCp.foreach(_.unpersist(false))
     out
   }
 }

@@ -156,4 +156,27 @@ class CCPropertySpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(ours === theirs)
   }
+
+  test("runAuto input sizing encodes the round-10 half-memory lesson") {
+    val GiB = 1L << 30
+    val r10Edges = 384653590L // SCALE.md: the 48g probe graph
+    // The config that OOM'd (48g, 32 cores, 32 input partitions of 12M
+    // edges): the rule must split well past 32 so one task's ~100 B/edge
+    // transient state fits a quarter of its heap share.
+    val at48 = ConnectedComponents.inputPartitions(r10Edges, 32, 48 * GiB)
+    assert(at48 >= 90, s"48g sizing too coarse: $at48")
+    assert(r10Edges / at48 * 100L <= 48 * GiB / 32 / 3,
+      "per-task state exceeds a third of heap-per-core")
+    // Abundant memory must not over-split (scheduling latency matters
+    // on small rounds), but never below the core count.
+    val at96 = ConnectedComponents.inputPartitions(r10Edges, 32, 96 * GiB)
+    assert(at96 < at48 && at96 >= 32)
+    // Halving memory never DECREASES the partition count.
+    for (heap <- Seq(8, 16, 32, 64).map(_ * GiB))
+      assert(ConnectedComponents.inputPartitions(r10Edges, 32, heap) >=
+             ConnectedComponents.inputPartitions(r10Edges, 32, heap * 2))
+    // Floors and the runaway cap.
+    assert(ConnectedComponents.inputPartitions(1000L, 32, 48 * GiB) === 32)
+    assert(ConnectedComponents.inputPartitions(10_000_000_000_000L, 32, 8 * GiB) === 20000)
+  }
 }
