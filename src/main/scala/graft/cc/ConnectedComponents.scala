@@ -255,6 +255,12 @@ object ConnectedComponents {
       .toDF("node", "rep")
     // One row per node, all reps it received across tasks. Checkpointed:
     // it feeds the rep-clique expansion AND the final label join.
+    // This collect_set is NOT the star rounds' O(component) hazard
+    // (StarOps scaladoc): a node contributes one rep per TASK whose
+    // split holds one of its edges, so the set is bounded by
+    // min(degree, #tasks) — independent of component size. A
+    // 10⁸-member component still yields ≤ #tasks reps on its hottest
+    // node (megabytes, not gigabytes, at 10⁵-task scale).
     val grouped = mapping.groupBy("node")
       .agg(collect_set(col("rep")).as("nodes"))
       .localCheckpoint()

@@ -54,6 +54,15 @@ object CCScaleProbe {
       // force it often. (Checkpoint BLOCKS are freed explicitly by the
       // fixpoint itself; this covers the shuffle-file tail.)
       .config("spark.cleaner.periodicGC.interval", "60s")
+      // The fixpoint's round checkpoints are MEMORY_AND_DISK_SER, but
+      // serialized RDD blocks are NOT compressed by default
+      // (spark.rdd.compress=false) — on a giant-component run those
+      // blocks are the dominant storage term, and (node, min) pairs
+      // late in the run are nearly-constant columns that compress
+      // hard. zstd over lz4 for the extra ratio at probe scale: the
+      // 10⁸-node run is disk-bound on this box, not CPU-bound.
+      .config("spark.rdd.compress", "true")
+      .config("spark.io.compression.codec", "zstd")
       .config("spark.driver.memory", "16g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
