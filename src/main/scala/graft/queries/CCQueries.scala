@@ -45,9 +45,9 @@ object CCQueries {
     // Star expansion, not all-pairs: O(k) edges per order instead of
     // O(k²), identical connected components (every member is linked to
     // the clique min). At 100 TB a single hot order would otherwise
-    // explode quadratically. No dedup here: the first star's
-    // collect_set absorbs duplicates, saving a full shuffle over the
-    // expanded edge set.
+    // explode quadratically. No dedup here: the first star round's own
+    // (self, nbr) dedup absorbs duplicates, saving a full shuffle over
+    // the expanded edge set.
     graft.cc.EdgeBuilder.starEdges(cliques)
   }
 

@@ -118,7 +118,8 @@ object CCScaleProbe {
     // the edges mimics how a real corpus arrives — components smeared
     // across every task — which is the case the contraction must beat.
     // SPARK_GRAFT_SCATTER sizes the input partitions: the fixpoint's
-    // map-side collect_set state is proportional to edges/partition,
+    // map-side aggregation state (the (self, nbr) dedup and the
+    // min/count partials) is proportional to edges/partition,
     // so a halved heap needs proportionally more (smaller) partitions
     // — the same sizing a real cluster does with
     // spark.sql.files.maxPartitionBytes (round-10 probe: 32 partitions
