@@ -18,7 +18,13 @@ import graft.cc.{CliqueGen, ConnectedComponents, EdgeBuilder}
   * biggest runs).
   *
   * `giant` (r10 verdict item 2) is the adversarial SINGLE-component
-  * probe: args are `<nNodes> giant <legacy|new>`. The graph is the
+  * probe: args are `<nNodes> giant <legacy|new|contracted|incremental>`
+  * — the four shapes cover the frozen r10 star rounds (the A/B
+  * baseline), the min-join fixpoint, the two-phase contraction front
+  * door, and the label-maintenance front door (K=10⁶ new nodes
+  * attached to the standing component via IncrementalCC.applyDelta,
+  * with closed-form standing labels so the delta pass is measured
+  * alone). The graph is the
   * binary tree `(i, i div 2)` for i in [1, nNodes) — one component of
   * nNodes members, nNodes-1 edges, deterministic, no RNG. Near
   * convergence every edge is `(n, 0)`, so the large star's group for
@@ -215,9 +221,35 @@ object CCScaleProbe {
       val tree = spark.range(1L, nNodes)
         .select(col("id").as("src"), shiftright(col("id"), 1).as("dst"))
       time("tree row count")(tree.count())
+      // `incremental` grows the expected node set: K new nodes attach
+      // to the standing giant component through the delta.
+      val deltaK = 1000000L
       val labels = time(s"giant fixpoint shape=$shape") {
         shape match {
           case "legacy" => LegacyStarOps.runLegacy(tree)
+          case "contracted" =>
+            // The two-phase front door on the SAME adversarial graph:
+            // range partitions hold contiguous id spans, so each task's
+            // union-find contracts its (i, i>>1) edges locally and the
+            // inner fixpoint solves the cross-partition rep graph.
+            val r = ConnectedComponents.runContracted(tree,
+              smallGraphThreshold = 0)
+            require(r.converged, "contracted inner solve did not converge")
+            System.err.println(
+              s"[probe] giant contracted: innerIterations=${r.iterations}")
+            r.assignments
+          case "incremental" =>
+            // The MAINTENANCE front door against a standing 10⁸-member
+            // component: the claim under test is that attaching K new
+            // nodes costs join passes over the standing table, never a
+            // re-solve of the giant component. Standing labels for the
+            // tree are closed-form (everything is component 0) — the
+            // probe measures exactly the applyDelta composition.
+            val base = spark.range(0L, nNodes)
+              .select(col("id").as("node"), lit(0L).as("component"))
+            val delta = spark.range(0L, deltaK)
+              .select((col("id") + nNodes).as("src"), (col("id") + 1L).as("dst"))
+            graft.cc.IncrementalCC.applyDelta(base, delta)
           case _ =>
             val r = ConnectedComponents.run(tree)
             require(r.converged, "fixpoint did not converge")
@@ -225,10 +257,11 @@ object CCScaleProbe {
             r.assignments
         }
       }
+      val expected = if (shape == "incremental") nNodes + deltaK else nNodes
       val bad = labels.where(col("component") =!= 0L).count()
       val n = labels.count()
       System.err.println(s"[probe] giant vs ground truth: wrong=$bad rows=$n")
-      require(bad == 0 && n == nNodes, "giant component labels diverged")
+      require(bad == 0 && n == expected, "giant component labels diverged")
     }
 
     System.err.println(
