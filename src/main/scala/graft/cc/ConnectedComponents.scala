@@ -207,10 +207,12 @@ object ConnectedComponents {
     * min node of the node's task-local component — so every edge
     * collapses inside its task, and all surviving global connectivity
     * lives in nodes that appear in more than one task with different
-    * reps. Phase 2 groups the mapping by node (one node's reps form a
-    * clique, star-expanded like any other clique) and solves the rep
-    * graph — O(tasks x components-per-task) nodes, typically orders of
-    * magnitude smaller than the input — with [[runAuto]]: driver
+    * reps. Phase 2 star-expands each node's rep clique WITHOUT
+    * materializing it (per-node min rep + a join back onto the
+    * mapping — the same O(1)-state min-join discipline as StarOps) and
+    * solves the rep graph — O(tasks x components-per-task) nodes,
+    * typically orders of magnitude smaller than the input — with
+    * [[runAuto]]: driver
     * union-find when tiny, otherwise the alternating fixpoint, so the
     * reference convergence contract still governs the pairs that
     * remain. Phase 3 joins rep labels back through the mapping (the
@@ -253,32 +255,45 @@ object ConnectedComponents {
         uf.iterator
       }
       .toDF("node", "rep")
-    // One row per node, all reps it received across tasks. Checkpointed:
-    // it feeds the rep-clique expansion AND the final label join.
-    // This collect_set is NOT the star rounds' O(component) hazard
-    // (StarOps scaladoc): a node contributes one rep per TASK whose
-    // split holds one of its edges, so the set is bounded by
-    // min(degree, #tasks) — independent of component size. A
-    // 10⁸-member component still yields ≤ #tasks reps on its hottest
-    // node (megabytes, not gigabytes, at 10⁵-task scale).
-    val grouped = mapping.groupBy("node")
-      .agg(collect_set(col("rep")).as("nodes"))
-      .localCheckpoint()
+      .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
+    // A node's reps across tasks form a clique; the star expansion of
+    // that clique is just (rep, min rep) per mapping row — so phase 2
+    // needs only the per-node MIN rep (a combinable O(1)-state
+    // aggregate) joined back onto the mapping, never the rep SET.
+    // This is the same min-join discipline as StarOps: the per-key set
+    // here is bounded (one rep per task that saw the node), but the
+    // MAP-SIDE hash of boxed single-element sets over ~10⁷ keys per
+    // task is not — at 1 GB/core the collect_set form this replaces
+    // died with AGGREGATE_OUT_OF_MEMORY on the 10⁸-node giant graph
+    // while min/join spills and passes (SCALE.md round 11).
+    val mins = mapping.groupBy("node")
+      .agg(min(col("rep")).as("rep"))
+      .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
     // Contraction diagnostics (scale probes): extra jobs, opt-in only.
     if (sys.env.contains("GRAFT_CC_VERBOSE")) {
-      val row = grouped.agg(count(lit(1)), sum(size(col("nodes")))).head
-      val (nNodes, nMapRows) = (row.getLong(0), row.getLong(1))
-      val nReps = grouped.select(explode(col("nodes")).as("r"))
-        .agg(count_distinct(col("r"))).head.getLong(0)
+      val row = mapping.agg(count(lit(1)), count_distinct(col("rep"))).head
+      val (nMapRows, nReps) = (row.getLong(0), row.getLong(1))
+      val nNodes = mins.count()
       System.err.println(s"[cc] contracted: nodes=$nNodes mapRows=$nMapRows " +
         f"repNodes=$nReps ratio=${nReps.toDouble / math.max(nNodes, 1)}%.4f")
     }
-    val inner = runAuto(EdgeBuilder.starEdges(grouped), maxIterations,
-      smallGraphThreshold)
-    val labels = grouped
-      .select(col("node"), array_min(col("nodes")).as("rep"))
+    // Rep-clique star edges: (rep, min rep) per mapping row. Duplicates
+    // are fine — runAuto dedups; a singleton node yields its (m, m)
+    // self-pair, keeping isolated nodes visible, exactly as the set
+    // form's starEdges did.
+    val repEdges = mapping
+      .join(mins.toDF("node", "m"), "node")
+      .select(col("rep").as("src"), col("m").as("dst"))
+    val inner = runAuto(repEdges, maxIterations, smallGraphThreshold)
+    val labels = mins
       .join(inner.assignments.toDF("rep", "component"), "rep")
       .select(col("node"), col("component"))
+    // The mapping fed mins and the (materialized-inside-runAuto) rep
+    // edges; labels reads only mins + assignments, so its blocks are
+    // dead now. Free them through the checkpoint RDD — Dataset
+    // .unpersist is a no-op on a localCheckpoint (same discipline as
+    // the fixpoint loop).
+    checkpointRdd(mapping).foreach(_.unpersist(false))
     CCResult(labels, inner.converged, inner.iterations)
   }
 

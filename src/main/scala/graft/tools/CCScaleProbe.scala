@@ -69,6 +69,15 @@ object CCScaleProbe {
       // 10⁸-node run is disk-bound on this box, not CPU-bound.
       .config("spark.rdd.compress", "true")
       .config("spark.io.compression.codec", "zstd")
+      // AQE's partition coalescing targets COMPRESSED shuffle bytes
+      // (MapOutputStatistics), and converged CC rounds compress ~10×
+      // under zstd — so the default 64m advisory size coalesces ~640 MB
+      // of raw rows into one task, whose sort pointer array alone
+      // (~512 MB at 3×10⁷ rows) blows a 1 GB/core budget (measured:
+      // the giant contracted label join OOM'd exactly there). Size the
+      // advisory target for the observed ratio, the same calibration a
+      // real zstd deployment does.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .config("spark.driver.memory", "16g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
