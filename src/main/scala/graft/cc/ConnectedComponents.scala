@@ -33,6 +33,19 @@ object ConnectedComponents {
 
   final case class CCResult(assignments: DataFrame, converged: Boolean, iterations: Int)
 
+  /** The measured giant-run session preset ([[Tuning.recommended]]:
+    * rdd compression + zstd, ratio-derived AQE advisory size, frequent
+    * periodic GC), applied to a session BUILDER — two of the entries
+    * are SparkConf-level and silently ignore post-start changes.
+    * On the 10⁸-member single-component probe these settings were the
+    * difference between a 90 GB scratch-disk death and a ~34 GB pass,
+    * and between a 1 GB/core sort OOM and clean AQE coalescing
+    * (SCALE.md r11); see [[Tuning]] for the per-entry measurements.
+    */
+  def configureForScale(
+      builder: org.apache.spark.sql.SparkSession.Builder): org.apache.spark.sql.SparkSession.Builder =
+    Tuning.configure(builder)
+
   private val Sentinel = 9999999L // reference ConnectedComponent.scala:272
 
   /** The RDD behind a checkpointed Dataset (its analyzed plan is a
@@ -215,8 +228,9 @@ object ConnectedComponents {
     * [[runAuto]]: driver
     * union-find when tiny, otherwise the alternating fixpoint, so the
     * reference convergence contract still governs the pairs that
-    * remain. Phase 3 joins rep labels back through the mapping (the
-    * rep side is small — AQE broadcasts it).
+    * remain. Phase 3 joins rep labels back through the per-node
+    * min-rep table (`mins`) — the rep side is small, AQE broadcasts
+    * it — and the mapping's blocks are freed before phase 3 runs.
     *
     * Exactness: rep(n) <= n and rep(n) is connected to n, so a
     * component's minimum rep IS its minimum node (the global min node
@@ -288,11 +302,18 @@ object ConnectedComponents {
     val labels = mins
       .join(inner.assignments.toDF("rep", "component"), "rep")
       .select(col("node"), col("component"))
-    // The mapping fed mins and the (materialized-inside-runAuto) rep
-    // edges; labels reads only mins + assignments, so its blocks are
-    // dead now. Free them through the checkpoint RDD — Dataset
-    // .unpersist is a no-op on a localCheckpoint (same discipline as
-    // the fixpoint loop).
+    // labels reads only mins + assignments, so the mapping's blocks
+    // are dead ONCE mins' lazy checkpoint is materialized. Today
+    // runAuto materializes it transitively (its eager input checkpoint
+    // reads repEdges, which reads mins), but nothing in runAuto's
+    // contract promises that — so pin the invariant locally with one
+    // node-scale action against the (already-cached) mins before
+    // freeing the mapping. localCheckpoint blocks cannot be recomputed;
+    // unpersisting them under a still-lazy reader is a job failure,
+    // not a slowdown (ADVICE r11). Free through the checkpoint RDD —
+    // Dataset.unpersist is a no-op on a localCheckpoint (same
+    // discipline as the fixpoint loop).
+    mins.count()
     checkpointRdd(mapping).foreach(_.unpersist(false))
     CCResult(labels, inner.converged, inner.iterations)
   }
@@ -391,10 +412,49 @@ object ConnectedComponents {
 
   /** Materialized components, reference CCDriver.scala:58-74 parity:
     * (component, size, sorted members).
+    *
+    * SCALE WARNING — this is the ONE path in the library that carries
+    * O(component) state per row, kept deliberately because it IS the
+    * reference's output contract (`collect` the full sorted membership
+    * per component). On a corpus with a mega-cluster (the shape the
+    * r11 giant probes solved at 10⁸ members) a single output row holds
+    * the entire membership array and the aggregation buffer behind it
+    * OOMs exactly the way the star fix eliminated. At scale, either
+    * consume the engine's primary output — the `(node, component)`
+    * pairs themselves, safe at any component size — or use
+    * [[componentsPreview]], which bounds every row.
     */
   def components(assignments: DataFrame): DataFrame =
     assignments.groupBy("component")
       .agg(sort_array(collect_list("node")).as("members"))
       .select(col("component"), size(col("members")).as("n_members"),
               col("members"))
+
+  /** Bounded [[components]] for giant-component corpora (VERDICT r11
+    * #2): per component, its SIZE, MIN member, and the FIRST
+    * `maxMembers` members in ascending order — every row O(maxMembers)
+    * regardless of component size, so a 10⁸-member mega-cluster costs
+    * the same buffer as a 10-member one. Plan shape: the stats row is
+    * combinable `count`/`min` (O(1) state per key), and the preview is
+    * a streaming `row_number` window (O(1) state) followed by a
+    * `collect_list` whose input is pre-bounded to `maxMembers` rows per
+    * key — no unbounded per-key collection anywhere. Both sides hash on
+    * `component`, so the join is co-partitioned.
+    */
+  def componentsPreview(assignments: DataFrame,
+                        maxMembers: Int = 100): DataFrame = {
+    require(maxMembers >= 1, s"maxMembers $maxMembers < 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component").orderBy("node")
+    val stats = assignments.groupBy("component")
+      .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_member"))
+    val preview = assignments
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= maxMembers)
+      .groupBy("component")
+      .agg(sort_array(collect_list(col("node"))).as("members_preview"))
+    stats.join(preview, "component")
+      .select(col("component"), col("n_members"), col("min_member"),
+              col("members_preview"))
+  }
 }

@@ -108,24 +108,53 @@ object GeoQueries {
     * histogram over dist² quartile shells — which pins candidate
     * generation, dedup, and verification, not just a count.
     */
-  def gridJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val pts = points(spark, sfDir).localCheckpoint()
+  def gridJoin(spark: SparkSession, sfDir: String): DataFrame =
+    gridJoinOn(points(spark, sfDir).localCheckpoint())
+
+  /** What the hot-cell cap excluded from one [[gridJoinOn]] run —
+    * surfaced (VERDICT r11 #6) so a 100 TB operator SEES the drop
+    * instead of trusting the cap blind: a nonzero count means the pair
+    * histogram describes only the ≤cap-dense regions, and the
+    * remediation (finer grid, pre-aggregation, conscious cap raise) is
+    * a decision, not a surprise.
+    */
+  final case class GridDropStats(cap: Long, droppedCells: Long,
+      droppedPoints: Long)
+
+  private[queries] def gridJoinOn(pts: DataFrame): DataFrame =
     gridJoinOn(pts, adaptiveGridCap(pts.count()))
-  }
+
+  private[queries] def gridJoinOn(pts: DataFrame, cap: Long): DataFrame =
+    gridJoinWithStats(pts, cap)._1
 
   /** The capped grid join over an arbitrary (id, x, y) point set —
     * split out so `GeoCapSpec` can drive it with an adversarial
-    * clustered fixture.
+    * clustered fixture — plus the drop accounting. The occupancy table
+    * is checkpointed once and shared by the stats action and the
+    * query's own hot-cell anti-join, so observability costs one small
+    * aggregate job, not a second pass over the points. Dropping
+    * anything is also announced on stderr — silent truncation reads as
+    * "covered everything" when it didn't.
     */
-  private[queries] def gridJoinOn(pts: DataFrame, cap: Long): DataFrame = {
+  def gridJoinWithStats(pts: DataFrame, cap: Long): (DataFrame, GridDropStats) = {
     val cells = pts
       .select(col("id"), col("x"), col("y"),
         expr(s"x div ${R}L").as("cx"), expr(s"y div ${R}L").as("cy"))
       .localCheckpoint() // hot-cell count, probe and build share it
+    val occ = cells.groupBy("cx", "cy").count().localCheckpoint()
+    val dropRow = occ.where(col("count") > cap)
+      .agg(count(lit(1)).as("cells"),
+           coalesce(sum(col("count")), lit(0L)).as("points"))
+      .collect()(0)
+    val stats = GridDropStats(cap, dropRow.getLong(0), dropRow.getLong(1))
+    if (stats.droppedPoints > 0L)
+      System.err.println(s"[geo] grid join: hot-cell cap $cap excluded " +
+        s"${stats.droppedPoints} points in ${stats.droppedCells} cells " +
+        "from the pair search — the result covers only the <=cap-dense " +
+        "regions (shrink the cell width, pre-aggregate, or raise the cap)")
     // hot-cell drop: tiny by construction (cells over cap), broadcast
     // into an anti-join on both sides of the candidate join
-    val hot = cells.groupBy("cx", "cy").count()
-      .where(col("count") > cap).select("cx", "cy")
+    val hot = occ.where(col("count") > cap).select("cx", "cy")
     val p = cells.join(broadcast(hot), Seq("cx", "cy"), "left_anti")
       .select("id", "x", "y", "cx", "cy")
     val probes = p.select(col("id").as("a"), col("x").as("xa"),
@@ -136,7 +165,7 @@ object GeoQueries {
           .as("cell"))
       .select(col("a"), col("xa"), col("ya"),
         col("cell.cx").as("cx"), col("cell.cy").as("cy"))
-    probes.join(p.toDF("b", "xb", "yb", "cx", "cy"), Seq("cx", "cy"))
+    val out = probes.join(p.toDF("b", "xb", "yb", "cx", "cy"), Seq("cx", "cy"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b"),
         ((col("xa") - col("xb")) * (col("xa") - col("xb"))
@@ -146,6 +175,7 @@ object GeoQueries {
       .agg(count(lit(1)).as("n_pairs"), min(col("d2")).as("min_d2"),
            max(col("d2")).as("max_d2"))
       .orderBy("shell")
+    (out, stats)
   }
 
   val gridJoinOracle: String = s"""

@@ -25,14 +25,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     order-insensitive checksum) — never a visible file;
   *   - the DRIVER's `commit()` moves every temp file to a VERSION- and
   *     TOKEN-prefixed final name (`part-v000001-ab12cd34-00000.csv`),
-  *     then atomically replaces `_MANIFEST` (version header, rows +
-  *     combined checksum per part, totals last) — the manifest swap is
-  *     the single publication point, and only AFTER it are the
-  *     previous snapshot's parts garbage-collected. A crash at any
-  *     point leaves the last published snapshot fully readable: before
-  *     the swap the old manifest + old parts are untouched (new parts
-  *     are invisible orphans, overwritten or ignored later); after the
-  *     swap the new snapshot is live and stale parts are at worst
+  *     then publishes a VERSION-NAMED manifest
+  *     (`_MANIFEST.v000001`: version header, rows + combined checksum
+  *     per part, totals last) behind an O_EXCL version claim
+  *     ([[AuditSink.publishManifest]]) — readers resolve the
+  *     highest-version manifest, and only AFTER publication are the
+  *     previous snapshot's parts and manifest garbage-collected. A
+  *     crash at any point leaves the last published snapshot fully
+  *     readable: before publication the old manifest + old parts are
+  *     untouched (new parts are invisible orphans, GC'd later); after
+  *     it the new snapshot is live and stale files are at worst
   *     un-GC'd clutter that manifest-driven readers never list;
   *   - `abort()` deletes temp files, so failed/speculative attempts
   *     leave nothing (attempt-unique names mean a retry never
@@ -51,10 +53,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * pick; crashed committers' stale locks are broken after
   * [[AuditSink.StaleLockMs]] (the last published snapshot is intact
   * either way, by publish-then-GC). A stale-broken committer that is
-  * merely PAUSED, not dead, is defused twice over: its part names are
-  * token-unique (it cannot overwrite the successor's files) and the
-  * manifest swap is fenced ([[AuditSink.verifyCommitLock]]) so it
-  * aborts loudly instead of publishing.
+  * merely PAUSED, not dead, is defused three times over: its part
+  * names are token-unique (it cannot overwrite the successor's files),
+  * the publish is fenced ([[AuditSink.verifyCommitLock]]) so it aborts
+  * loudly instead of publishing, and publication itself is
+  * filesystem-arbitrated ([[AuditSink.publishManifest]]: O_EXCL
+  * version claim + version-named, never-replaced manifests resolved
+  * highest-wins) — so even a stall in the fence-to-publish window
+  * cannot clobber the live snapshot.
   *
   * Table semantics: REPLACE-on-commit — each successful write
   * publishes a complete snapshot under a fresh version. Readers MUST
@@ -86,7 +92,42 @@ object AuditSink {
     values.foldLeft(-3750763034362895579L)((h, v) =>
       (h ^ v) * 1099511628211L)
 
-  def manifestOf(dir: String): Path = Paths.get(dir, "_MANIFEST")
+  private[sources] def manifestName(version: Long): String =
+    f"_MANIFEST.v$version%06d"
+
+  /** Committed manifests are VERSION-NAMED (`_MANIFEST.v000003`), never
+    * replaced in place: each is claimed once via an O_EXCL version file
+    * ([[publishManifest]]) and readers resolve the HIGHEST version —
+    * so a zombie committer publishing a superseded version can only add
+    * a below-max file nobody reads, never overwrite the live snapshot.
+    */
+  private[sources] val ManifestName = raw"_MANIFEST\.v(\d+)".r
+  private[sources] val ClaimName = raw"_PUBLISH\.v(\d+)".r
+
+  /** The committed snapshot's manifest: the highest-version manifest
+    * file, or None when nothing has ever been published.
+    */
+  def manifestOf(dir: String): Option[Path] = {
+    val base = Paths.get(dir)
+    if (!Files.isDirectory(base)) return None
+    val s = Files.list(base)
+    val best =
+      try s.iterator().asScala
+        .flatMap(p => p.getFileName.toString match {
+          case ManifestName(v) => Some((v.toLong, p))
+          case _ => None
+        })
+        .foldLeft(Option.empty[(Long, Path)]) {
+          case (acc, c) if acc.forall(_._1 < c._1) => Some(c)
+          case (acc, _) => acc
+        }
+      finally s.close()
+    best.map(_._2)
+  }
+
+  private def committedManifest(dir: String): Path =
+    manifestOf(dir).getOrElse(throw new IllegalStateException(
+      s"AuditSink: no committed snapshot at $dir (no _MANIFEST.v* file)"))
 
   /** Part names carry the committing attempt's token hash so two
     * committers can NEVER clobber each other's part files, even when a
@@ -104,7 +145,7 @@ object AuditSink {
     */
   def committedParts(dir: String): Seq[Path] = {
     val base = Paths.get(dir)
-    Files.readAllLines(manifestOf(dir)).asScala.toSeq
+    Files.readAllLines(committedManifest(dir)).asScala.toSeq
       .map(_.split("\t"))
       .collect { case t if t(0) != "VERSION" && t(0) != "TOTAL" =>
         base.resolve(t(0)) }
@@ -112,7 +153,7 @@ object AuditSink {
 
   /** (version, totalRows, totalChecksum) from the committed manifest. */
   def manifestTotals(dir: String): (Long, Long, Long) = {
-    val lines = Files.readAllLines(manifestOf(dir))
+    val lines = Files.readAllLines(committedManifest(dir))
     val v = lines.get(0).split("\t")
     require(v(0) == "VERSION", s"malformed manifest head: ${v.mkString(",")}")
     val t = lines.get(lines.size - 1).split("\t")
@@ -203,12 +244,14 @@ object AuditSink {
     * moves cannot have clobbered the successor's files) that the next
     * successful commit's GC removes.
     *
-    * Residual contract, stated honestly: the fence-read-to-move window
-    * is microseconds wide; defeating it requires a committer to stall
-    * for [[StaleLockMs]] EXACTLY between the fence read and the move
-    * syscall. Closing that last window needs filesystem-level fencing
-    * (e.g. O_EXCL version files or conditional puts) that local
-    * renames cannot express.
+    * This fence is the loud FAST PATH, not the last line of defense:
+    * even a committer that stalls exactly between this read and the
+    * publish syscalls cannot corrupt anything, because publication
+    * itself is arbitrated by the filesystem — [[publishManifest]]
+    * claims the version with an O_EXCL CREATE_NEW file and manifests
+    * are version-named, never replaced, with readers resolving the
+    * highest version. The residual fence-to-move window the r10/r11
+    * design documented is closed.
     */
   private[sources] def verifyCommitLock(base: Path, token: String): Unit = {
     val holder =
@@ -244,29 +287,60 @@ object AuditSink {
   }
 
   /** Next snapshot version: one past everything visible on disk —
-    * both the committed manifest's version and any orphaned parts a
-    * crashed commit left behind (so a re-commit never half-reuses an
-    * orphan's name set). Callers must hold the commit lock
-    * ([[acquireCommitLock]]) — the read-then-act is only safe
-    * serialized.
+    * committed manifests, orphaned parts a crashed commit left behind
+    * (so a re-commit never half-reuses an orphan's name set), and
+    * version CLAIM files (so a claimed-but-never-published version is
+    * skipped instead of colliding forever). Callers must hold the
+    * commit lock ([[acquireCommitLock]]) — the read-then-act is only
+    * safe serialized; a racing zombie that picked the same number is
+    * caught by [[publishManifest]]'s O_EXCL claim.
     */
   private[sources] def nextVersion(base: Path): Long = {
-    val manifestV =
-      if (Files.exists(base.resolve("_MANIFEST")))
-        try Files.readAllLines(base.resolve("_MANIFEST")).asScala.headOption
-          .map(_.split("\t")).collect { case Array("VERSION", v) => v.toLong }
-          .getOrElse(-1L)
-        catch { case _: java.io.IOException => -1L }
-      else -1L
-    val partV = if (!Files.isDirectory(base)) -1L else {
+    val maxV = if (!Files.isDirectory(base)) -1L else {
       val s = Files.list(base)
       try s.iterator().asScala
         .map(_.getFileName.toString)
-        .collect { case PartName(v) => v.toLong }
+        .collect {
+          case PartName(v) => v.toLong
+          case ManifestName(v) => v.toLong
+          case ClaimName(v) => v.toLong
+        }
         .foldLeft(-1L)(math.max)
       finally s.close()
     }
-    math.max(manifestV, partV) + 1L
+    maxV + 1L
+  }
+
+  /** The PUBLICATION POINT, filesystem-arbitrated: atomically claims
+    * `version` by CREATE_NEW of `_PUBLISH.v<version>` (O_EXCL — of two
+    * committers holding the same number, exactly one wins; the loser
+    * aborts loudly here with the published snapshot untouched), then
+    * atomic-moves the fully-written manifest temp to its version-named
+    * final path. The move target can never pre-exist — versions are
+    * never reused ([[nextVersion]] scans manifests AND claims) and only
+    * the claim winner moves — so no REPLACE_EXISTING is involved
+    * anywhere in publication and no interleaving can overwrite a
+    * published manifest. A zombie that stalls past every fence and
+    * publishes a SUPERSEDED version adds a below-max manifest file that
+    * readers (who resolve the highest version) never see and the next
+    * commit's GC removes.
+    */
+  private[sources] def publishManifest(base: Path, version: Long,
+      token: String, manifestTmp: Path): Unit = {
+    val claim = base.resolve(f"_PUBLISH.v$version%06d")
+    try Files.write(claim, token.getBytes(UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"AuditSink: commit fenced — version $version was already " +
+          "claimed by another committer (this committer's lock must have " +
+          "been broken as stale mid-commit). Aborting before publish: the " +
+          "published snapshot is unaffected and this commit's parts are " +
+          "unpublished orphans the next successful commit garbage-collects.")
+    }
+    Files.move(manifestTmp, base.resolve(manifestName(version)),
+      StandardCopyOption.ATOMIC_MOVE)
   }
 }
 
@@ -340,24 +414,29 @@ private[sources] class AuditBatchWrite(dir: String, nCols: Int)
     val totalRows = parts.map(_.rows).sum
     val totalSum = parts.map(_.checksum).foldLeft(0L)(_ ^ _)
     lines.append(s"TOTAL\t$totalRows\t$totalSum\n")
-    // manifest appearance IS the commit: write to temp, fence, atomic
-    // move — the fence aborts a committer whose lock was stale-broken
-    // while it was paused, BEFORE it can publish over its successor
+    // manifest appearance IS the commit: write to temp, fence (loud
+    // fast path for a stale-broken committer), then the
+    // filesystem-arbitrated publish — an O_EXCL version claim + a
+    // never-replacing atomic move (AuditSink.publishManifest), which
+    // closes even the fence-to-move stall window
     val mTmp = base.resolve(s"_MANIFEST.tmp-$tok8")
     Files.write(mTmp, lines.toString.getBytes(UTF_8))
     AuditBatchWrite.prePublishHook()
     AuditSink.verifyCommitLock(base, token)
-    Files.move(mTmp, AuditSink.manifestOf(dir),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    AuditSink.publishManifest(base, version, token, mTmp)
     // GC strictly AFTER the publication point: older versions' parts,
-    // crashed commits' orphans below the new version, and other
-    // attempts' leaked manifest temp files go away.
+    // manifests and claims, crashed commits' orphans below the new
+    // version, and leaked manifest temp files go away. (The CURRENT
+    // version's manifest and claim stay — the claim pins the number
+    // against reuse alongside the manifest itself.)
     val old = Files.list(base)
     try old.iterator().asScala
       .filter { p =>
         p.getFileName.toString match {
           case AuditSink.PartName(v) => v.toLong < version
-          case n => n.startsWith("_MANIFEST.tmp") && n != mTmp.getFileName.toString
+          case AuditSink.ManifestName(v) => v.toLong < version
+          case AuditSink.ClaimName(v) => v.toLong < version
+          case n => n.startsWith("_MANIFEST.tmp")
         }
       }.toSeq.foreach(Files.deleteIfExists(_))
     finally old.close()

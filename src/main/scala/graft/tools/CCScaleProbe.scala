@@ -18,7 +18,11 @@ import graft.cc.{CliqueGen, ConnectedComponents, EdgeBuilder}
   * biggest runs).
   *
   * `giant` (r10 verdict item 2) is the adversarial SINGLE-component
-  * probe: args are `<nNodes> giant <legacy|new|contracted|incremental>`
+  * probe: args are
+  * `<nNodes> giant <legacy|new|contracted|incremental|mix [nBlocks]>`
+  * (`mix`, r11 verdict item 3, unions the tree with `nBlocks` CliqueGen
+  * blocks offset above it — the mega-cluster-plus-long-tail shape real
+  * dedup corpora have — and checks both populations' labels exactly)
   * — the four shapes cover the frozen r10 star rounds (the A/B
   * baseline), the min-join fixpoint, the two-phase contraction front
   * door, and the label-maintenance front door (K=10⁶ new nodes
@@ -49,35 +53,14 @@ object CCScaleProbe {
   def main(args: Array[String]): Unit = {
     val nBlocks = args.headOption.map(_.toInt).getOrElse(5000)
     val mode = args.drop(1).headOption.getOrElse("all")
-    val spark = SparkSession.builder()
+    // The giant-run settings (rdd compression, zstd codec,
+    // ratio-derived AQE advisory size, frequent periodic GC) live in
+    // graft.cc.Tuning with their measurements — the probes consume the
+    // library preset so preset and probe cannot drift (VERDICT r11 #1).
+    val spark = ConnectedComponents.configureForScale(SparkSession.builder())
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
-      // Shuffle files are reaped by the ContextCleaner only when the
-      // referencing RDDs are GC'd; on a big-heap driver GCs are rare,
-      // so a multi-round fixpoint pins every round's shuffle on disk.
-      // The default periodic GC (30min) outlives the whole probe —
-      // force it often. (Checkpoint BLOCKS are freed explicitly by the
-      // fixpoint itself; this covers the shuffle-file tail.)
-      .config("spark.cleaner.periodicGC.interval", "60s")
-      // The fixpoint's round checkpoints are MEMORY_AND_DISK_SER, but
-      // serialized RDD blocks are NOT compressed by default
-      // (spark.rdd.compress=false) — on a giant-component run those
-      // blocks are the dominant storage term, and (node, min) pairs
-      // late in the run are nearly-constant columns that compress
-      // hard. zstd over lz4 for the extra ratio at probe scale: the
-      // 10⁸-node run is disk-bound on this box, not CPU-bound.
-      .config("spark.rdd.compress", "true")
-      .config("spark.io.compression.codec", "zstd")
-      // AQE's partition coalescing targets COMPRESSED shuffle bytes
-      // (MapOutputStatistics), and converged CC rounds compress ~10×
-      // under zstd — so the default 64m advisory size coalesces ~640 MB
-      // of raw rows into one task, whose sort pointer array alone
-      // (~512 MB at 3×10⁷ rows) blows a 1 GB/core budget (measured:
-      // the giant contracted label join OOM'd exactly there). Size the
-      // advisory target for the observed ratio, the same calibration a
-      // real zstd deployment does.
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .config("spark.driver.memory", "16g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -231,8 +214,13 @@ object CCScaleProbe {
         .select(col("id").as("src"), shiftright(col("id"), 1).as("dst"))
       time("tree row count")(tree.count())
       // `incremental` grows the expected node set: K new nodes attach
-      // to the standing giant component through the delta.
-      val deltaK = 1000000L
+      // to the standing giant component through the delta. Capped at
+      // nNodes/2 so small smoke runs stay valid — the delta chain
+      // attaches at node deltaId+1, which must exist in the base
+      // (ADVICE r11: an uncapped 10⁶ against a small nNodes attached
+      // part of the delta to missing nodes and failed the closed-form
+      // check spuriously).
+      val deltaK = math.min(1000000L, nNodes / 2)
       val labels = time(s"giant fixpoint shape=$shape") {
         shape match {
           case "legacy" => LegacyStarOps.runLegacy(tree)
@@ -259,6 +247,28 @@ object CCScaleProbe {
             val delta = spark.range(0L, deltaK)
               .select((col("id") + nNodes).as("src"), (col("id") + 1L).as("dst"))
             graft.cc.IncrementalCC.applyDelta(base, delta)
+          case "mix" =>
+            // The mixed-shape probe (VERDICT r11 #3): real dedup corpora
+            // are not ONE giant component — they are a mega-cluster PLUS
+            // a long tail of small components in the same graph. Union
+            // the tree with CliqueGen blocks (node ids offset above the
+            // tree so the populations are disjoint) and confirm the hot
+            // key's AQE skew handling coexists with the tail's
+            // parallelism: per-round wall stays near the pure-giant run
+            // at the same tree size, and BOTH populations label exactly.
+            val mixBlocks = args.drop(3).headOption.map(_.toInt).getOrElse(25000)
+            val blockEdges = EdgeBuilder
+              .cliqueEdgesGen(CliqueGen.cliques(spark, mixBlocks))
+              .select((col("src") + nNodes).as("src"),
+                      (col("dst") + nNodes).as("dst"))
+              .repartition(scatter)
+            val mixed = tree.unionAll(blockEdges)
+            val r = time(s"mixed fixpoint (tree $nNodes + $mixBlocks blocks)") {
+              ConnectedComponents.run(mixed)
+            }
+            require(r.converged, "mixed fixpoint did not converge")
+            System.err.println(s"[probe] giant mix: iterations=${r.iterations}")
+            r.assignments
           case _ =>
             val r = ConnectedComponents.run(tree)
             require(r.converged, "fixpoint did not converge")
@@ -266,11 +276,34 @@ object CCScaleProbe {
             r.assignments
         }
       }
-      val expected = if (shape == "incremental") nNodes + deltaK else nNodes
-      val bad = labels.where(col("component") =!= 0L).count()
-      val n = labels.count()
-      System.err.println(s"[probe] giant vs ground truth: wrong=$bad rows=$n")
-      require(bad == 0 && n == expected, "giant component labels diverged")
+      if (shape == "mix") {
+        val mixBlocks = args.drop(3).headOption.map(_.toInt).getOrElse(25000)
+        // tree population: every node below the offset is component 0
+        val treeBad = labels
+          .where(col("node") < nNodes && col("component") =!= 0L).count()
+        val treeN = labels.where(col("node") < nNodes).count()
+        // block population: offset ground truth, exact join check
+        val bt = CliqueGen.groundTruth(spark, mixBlocks)
+          .select((col("node") + nNodes).as("node"),
+                  (col("component") + nNodes).as("truth"))
+          .localCheckpoint()
+        val blockBad = labels.join(bt, "node")
+          .where(col("component") =!= col("truth")).count()
+        val blockMissing = bt.join(labels, Seq("node"), "left_anti").count()
+        val blockN = bt.count()
+        System.err.println(s"[probe] giant mix vs ground truth: " +
+          s"treeWrong=$treeBad treeRows=$treeN/$nNodes " +
+          s"blockWrong=$blockBad blockMissing=$blockMissing blockRows=$blockN")
+        require(treeBad == 0 && treeN == nNodes &&
+          blockBad == 0 && blockMissing == 0,
+          "mixed-shape labels diverged")
+      } else {
+        val expected = if (shape == "incremental") nNodes + deltaK else nNodes
+        val bad = labels.where(col("component") =!= 0L).count()
+        val n = labels.count()
+        System.err.println(s"[probe] giant vs ground truth: wrong=$bad rows=$n")
+        require(bad == 0 && n == expected, "giant component labels diverged")
+      }
     }
 
     System.err.println(

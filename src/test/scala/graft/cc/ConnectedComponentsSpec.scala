@@ -117,6 +117,53 @@ class ConnectedComponentsSpec extends SparkSpec {
       (9L, 1, Seq(9L))))
   }
 
+  test("componentsPreview: every row bounded by maxMembers (size, min, " +
+       "first-N sorted) — the giant-component-safe variant (r11 verdict #2)") {
+    val s = spark; import s.implicits._
+    // one 100-member component (path 0..99), one pair, one singleton
+    val edges = edgesDf((0L until 99L).map(i => (i, i + 1)) ++
+      Seq((1000L, 1001L), (2000L, 2000L)))
+    val res = ConnectedComponents.run(edges)
+    assert(res.converged)
+    val prev = ConnectedComponents.componentsPreview(res.assignments, maxMembers = 5)
+      .as[(Long, Long, Long, Seq[Long])].collect().toSet
+    assert(prev === Set(
+      (0L, 100L, 0L, Seq(0L, 1L, 2L, 3L, 4L)),
+      (1000L, 2L, 1000L, Seq(1000L, 1001L)),
+      (2000L, 1L, 2000L, Seq(2000L))))
+    // with a bound at or above the largest component the preview IS the
+    // full membership — agreement with the reference-parity form
+    val full = ConnectedComponents.components(res.assignments)
+      .as[(Long, Int, Seq[Long])].collect().toSet
+    val wide = ConnectedComponents.componentsPreview(res.assignments, maxMembers = 100)
+      .as[(Long, Long, Long, Seq[Long])].collect().toSet
+    assert(wide.map(t => (t._1, t._2.toInt, t._4)) === full)
+    intercept[IllegalArgumentException] {
+      ConnectedComponents.componentsPreview(res.assignments, maxMembers = 0)
+    }
+  }
+
+  test("reliableCheckpoint=true: labels identical to the localCheckpoint " +
+       "path, checkpoint files actually written (r11 verdict #4)") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    // depth-16 path: multiple rounds, so mid-run checkpoints exercise
+    // the supersede-and-free discipline on the reliable branch too
+    val edges = edgesDf((0L until 15L).map(i => (i, i + 1)))
+    val rel = ConnectedComponents.run(edges, reliableCheckpoint = true)
+    assert(rel.converged)
+    val loc = ConnectedComponents.run(edges)
+    assert(rel.assignments.as[(Long, Long)].collect().toSet ===
+           loc.assignments.as[(Long, Long)].collect().toSet)
+    assert(rel.iterations === loc.iterations)
+    val w = java.nio.file.Files.walk(dir)
+    val nFiles =
+      try w.filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      finally w.close()
+    assert(nFiles > 0, "reliable branch wrote no checkpoint files")
+  }
+
   test("edge cases: empty input, single self-loop, path graph, maxIterations=0") {
     val s = spark; import s.implicits._
     val empty = ConnectedComponents.run(edgesDf(Seq.empty))

@@ -47,6 +47,19 @@ class GeoCapSpec extends SparkSpec {
     assert(capped.map(_.getLong(1)).sum > 0L) // the fixture has pairs
   }
 
+  test("the drop is OBSERVABLE: stats name the excluded cells and points " +
+       "(r11 verdict #6 — no silent truncation at 100 TB)") {
+    val sparsePair = Seq((200000L, 1000L, 900000L), (200001L, 1200L, 900100L))
+    val pts = clusteredPoints(500, 6)
+      .unionAll(sparsePair.toDF("id", "x", "y"))
+    val (out, stats) = GeoQueries.gridJoinWithStats(pts, cap = 64L)
+    assert(stats === GeoQueries.GridDropStats(64L, 1L, 500L))
+    assert(out.agg(sum(col("n_pairs"))).collect()(0).getLong(0) === 1L)
+    // and a fixture under the cap reports a clean zero
+    val (_, clean) = GeoQueries.gridJoinWithStats(clusteredPoints(60, 8), cap = 64L)
+    assert(clean === GeoQueries.GridDropStats(64L, 0L, 0L))
+  }
+
   test("the graded uniform plane never hits the cap (the drop is " +
        "adversarial-only at these scales)") {
     val p = spark.range(0, 15000).select(

@@ -49,7 +49,7 @@ class AuditSinkSpec extends SparkSpec {
       r.getLong(1)))).foldLeft(0L)(_ ^ _)
     assert(totalSum === expected)
     // per-part rows (manifest body between VERSION head and TOTAL tail)
-    val lines = Files.readAllLines(AuditSink.manifestOf(dir))
+    val lines = Files.readAllLines(AuditSink.manifestOf(dir).get)
     val partRows = (1 until lines.size - 1)
       .map(i => lines.get(i).split("\t")(1).toLong)
     assert(partRows.sum === 1000L)
@@ -292,6 +292,40 @@ class AuditSinkSpec extends SparkSpec {
         c.getMessage.contains("NULL in LONG column")),
       s"expected the NULL fail-fast message, got: ${e.getMessage}")
     // nothing was published
-    assert(!Files.exists(AuditSink.manifestOf(dir)))
+    assert(AuditSink.manifestOf(dir).isEmpty)
+  }
+
+  test("publication is filesystem-arbitrated: of two committers holding " +
+       "the same version number, exactly one publishes (O_EXCL claim)") {
+    // The window this closes (r11 verdict #7): a committer that stalls
+    // EXACTLY between the fence read and the publish syscalls. Simulate
+    // the collision directly at the publication primitive: two fully
+    // written manifest temps contending for one version number.
+    val dir = freshDir("claim")
+    val base = Paths.get(dir)
+    Files.createDirectories(base)
+    val winTmp = base.resolve("_MANIFEST.tmp-win")
+    Files.write(winTmp, "VERSION\t5\nTOTAL\t0\t0\n".getBytes(UTF_8))
+    AuditSink.publishManifest(base, 5L, "winner-token", winTmp)
+    val loseTmp = base.resolve("_MANIFEST.tmp-lose")
+    Files.write(loseTmp, "VERSION\t5\nTOTAL\t9\t9\n".getBytes(UTF_8))
+    val e = intercept[IllegalStateException] {
+      AuditSink.publishManifest(base, 5L, "loser-token", loseTmp)
+    }
+    assert(e.getMessage.contains("already claimed"))
+    // the winner's manifest is live and byte-identical to what it wrote
+    val m = AuditSink.manifestOf(dir).get
+    assert(m.getFileName.toString === "_MANIFEST.v000005")
+    assert(new String(Files.readAllBytes(m), UTF_8).contains("TOTAL\t0\t0"))
+    // versions are never reused: the next commit skips past both the
+    // published manifest and the claim file
+    assert(AuditSink.nextVersion(base) === 6L)
+    // readers resolve the HIGHEST version: a zombie publishing a
+    // superseded number cannot displace the live snapshot
+    val oldTmp = base.resolve("_MANIFEST.tmp-old")
+    Files.write(oldTmp, "VERSION\t3\nTOTAL\t7\t7\n".getBytes(UTF_8))
+    AuditSink.publishManifest(base, 3L, "zombie-token", oldTmp)
+    assert(AuditSink.manifestOf(dir).get.getFileName.toString
+      === "_MANIFEST.v000005")
   }
 }
