@@ -175,6 +175,25 @@ object ConnectedComponents {
       math.max(cores.toLong, edgeCount / rowsPerPartition + 1L)).toInt
   }
 
+  /** Edge count above which [[runAuto]] nudges a session missing the
+    * [[Tuning]] preset: ~5×10⁷ edges is where the r11 probes first saw
+    * uncompressed round-checkpoint storage become the binding term.
+    */
+  private[cc] val ScaleHintEdges: Long = 50L << 20
+
+  /** The [[Tuning.recommended]] keys whose SESSION values differ from
+    * the preset — the list [[runAuto]] names in its scale hint. Public
+    * within cc so the hint's decision logic is spec-testable without
+    * capturing stderr.
+    */
+  private[cc] def missingScaleConfs(
+      spark: org.apache.spark.sql.SparkSession): Seq[String] =
+    Tuning.recommended.collect {
+      case (k, v) if spark.conf.getOption(k)
+        .orElse(Option(spark.sparkContext.getConf.get(k, null)))
+        .forall(_ != v) => k
+    }.toSeq.sorted
+
   def runAuto(edges: DataFrame, maxIterations: Int = 20,
               smallGraphThreshold: Long = 4L << 20): CCResult = {
     val spark = edges.sparkSession
@@ -184,6 +203,20 @@ object ConnectedComponents {
       .dropDuplicates("src", "dst")
       .localCheckpoint()
     val n = e.count()
+    // Giant input on an untuned session: say so ONCE, up front, naming
+    // the preset — the alternative is the user rediscovering each
+    // setting by OOM or by a full scratch disk mid-fixpoint
+    // (SCALE.md r11; the confs are SparkConf-level, so by now they can
+    // only be noted, not fixed — the fix belongs on the builder).
+    if (n > ScaleHintEdges) {
+      val missing = missingScaleConfs(spark)
+      if (missing.nonEmpty)
+        System.err.println(s"[cc] scale hint: $n edges but this session " +
+          s"lacks the measured giant-run settings ${missing.mkString(", ")}" +
+          " — see graft.cc.Tuning / ConnectedComponents.configureForScale" +
+          " (apply on the SparkSession BUILDER; rdd compression and codec" +
+          " cannot change after context start)")
+    }
     if (n > smallGraphThreshold) {
       // Memory-aware input sizing (the round-10 half-memory lesson,
       // encoded instead of rediscovered by OOM): per-task transient

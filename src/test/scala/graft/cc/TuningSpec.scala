@@ -1,6 +1,6 @@
 package graft.cc
 
-import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
 
 /** Pins the giant-run preset to the probe-measured values (VERDICT r11
   * #1). `CCScaleProbe` consumes [[Tuning.recommended]] verbatim via
@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * drifting apart — an edit to either side fails here until the
   * measurement story is updated with it.
   */
-class TuningSpec extends AnyFunSuite {
+class TuningSpec extends SparkSpec {
 
   test("the preset carries exactly the probe-measured giant-run settings") {
     assert(Tuning.recommended === Map(
@@ -30,5 +30,21 @@ class TuningSpec extends AnyFunSuite {
     // ratio 1 (no compression) degenerates to the raw target itself
     assert(Tuning.advisoryPartitionBytes(1L) === Tuning.TargetRawBytesPerTask)
     intercept[IllegalArgumentException](Tuning.advisoryPartitionBytes(0L))
+  }
+
+  test("missingScaleConfs names exactly the preset keys the session " +
+       "lacks (the runAuto giant-input hint's decision logic)") {
+    // the shared test session carries none of the preset
+    assert(ConnectedComponents.missingScaleConfs(spark) ===
+      Tuning.recommended.keys.toSeq.sorted)
+    // a session-settable entry, once set to the preset value, drops off
+    val k = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    spark.conf.set(k, Tuning.recommended(k))
+    try assert(!ConnectedComponents.missingScaleConfs(spark).contains(k))
+    finally spark.conf.unset(k)
+    // ...and a DIFFERENT value still counts as missing
+    spark.conf.set(k, "123456")
+    try assert(ConnectedComponents.missingScaleConfs(spark).contains(k))
+    finally spark.conf.unset(k)
   }
 }
