@@ -83,4 +83,36 @@ object Tuning {
     */
   def configure(builder: SparkSession.Builder): SparkSession.Builder =
     recommended.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
+
+  /** Whether a session's value for `key` means the same SETTING as the
+    * preset's, under the key's own value syntax (ADVICE r12): byte
+    * sizes parse through Spark's suffix grammar (`16m` ==
+    * `16777216`), durations through the time grammar (`1min` ==
+    * `60s`), the codec by its short name (`zstd` ==
+    * `org.apache.spark.io.ZstdCompressionCodec`), and everything else
+    * case-insensitively — exact string equality would nag a
+    * correctly-tuned session over an equivalent spelling. A value the
+    * key's grammar cannot parse compares non-equal (the hint then
+    * names the key, which is the right outcome for a malformed conf).
+    */
+  def sameSetting(key: String, a: String, b: String): Boolean = {
+    import org.apache.spark.network.util.JavaUtils
+    def tryParse(f: String => Long)(s: String): Option[Long] =
+      try Some(f(s.trim)) catch { case _: Exception => None }
+    def both(f: String => Long): Boolean = {
+      val (pa, pb) = (tryParse(f)(a), tryParse(f)(b))
+      pa.isDefined && pa == pb
+    }
+    def codecName(s: String): String =
+      s.trim.split('.').last.toLowerCase(java.util.Locale.ROOT)
+        .stripSuffix("compressioncodec")
+    key match {
+      case "spark.sql.adaptive.advisoryPartitionSizeInBytes" =>
+        both(JavaUtils.byteStringAsBytes)
+      case "spark.cleaner.periodicGC.interval" =>
+        both(JavaUtils.timeStringAsMs)
+      case "spark.io.compression.codec" => codecName(a) == codecName(b)
+      case _ => a.trim.equalsIgnoreCase(b.trim)
+    }
+  }
 }

@@ -71,8 +71,24 @@ object GeoQueries {
     * over-dense cell fails LOUDLY with the remediation options instead
     * (the TopKPerKey key-bound discipline). 512 ≈ 85× the sf0.1
     * expected occupancy (6 points/cell at eps-width cells).
+    *
+    * Like the grid join's drop cap, the guard SCALES with expected
+    * occupancy (VERDICT r12 #5): fixed at 512, uniform data would
+    * start tripping it around sf≳5 (occupancy grows linearly with sf —
+    * ~300 points/cell at sf5 puts ordinary Poisson-tail cells over a
+    * fixed cap). [[adaptiveDbscanCap]] = max(512, 32 × ⌈points/cells⌉)
+    * keeps the guard ≥ 32× the MEAN occupancy — far beyond any Poisson
+    * tail, so uniform data passes at ANY sf, while a genuinely
+    * clustered hot cell (the quadratic hazard) still fails loudly.
+    * Scaling is safe precisely BECAUSE this is a guard: a too-high cap
+    * can only let a slow-but-correct query through, never drop data.
     */
   private[queries] val DbscanCellCap = 512L
+
+  private[queries] val DbscanCells: Long = (Side / Eps) * (Side / Eps) // 2 500
+
+  private[queries] def adaptiveDbscanCap(nPoints: Long): Long =
+    math.max(DbscanCellCap, 32L * ((nPoints + DbscanCells - 1L) / DbscanCells))
 
   private def h56(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(c), 1, 14), 16, 10).cast("bigint")
@@ -307,7 +323,7 @@ FROM ranked WHERE rank <= 3 ORDER BY qid, rank
       .select(col("id"), col("x"), col("y"),
         expr(s"x div ${Eps}L").as("cx"), expr(s"y div ${Eps}L").as("cy"))
       .localCheckpoint()
-    requireBoundedCells(p, DbscanCellCap, "geo_dbscan")
+    requireBoundedCells(p, adaptiveDbscanCap(p.count()), "geo_dbscan")
     val probes = p.select(col("id").as("a"), col("x").as("xa"),
         col("y").as("ya"),
         explode(expr("transform(sequence(0, 8)," +

@@ -106,6 +106,13 @@ object AuditSink {
 
   /** The committed snapshot's manifest: the highest-version manifest
     * file, or None when nothing has ever been published.
+    *
+    * Legacy fallback (ADVICE r12): before the versioned-manifest
+    * format, commits wrote a plain `_MANIFEST` — a directory last
+    * written by that format must stay readable, so when NO versioned
+    * manifest exists the plain file is the snapshot. Once any
+    * versioned publish lands, the versioned file wins (it is by
+    * construction newer) and commit-side GC deletes the legacy file.
     */
   def manifestOf(dir: String): Option[Path] = {
     val base = Paths.get(dir)
@@ -122,7 +129,10 @@ object AuditSink {
           case (acc, _) => acc
         }
       finally s.close()
-    best.map(_._2)
+    best.map(_._2).orElse {
+      val legacy = base.resolve("_MANIFEST")
+      if (Files.isRegularFile(legacy)) Some(legacy) else None
+    }
   }
 
   private def committedManifest(dir: String): Path =
@@ -324,23 +334,41 @@ object AuditSink {
     * publishes a SUPERSEDED version adds a below-max manifest file that
     * readers (who resolve the highest version) never see and the next
     * commit's GC removes.
+    *
+    * A zombie can also arrive here AFTER its successor's GC swept its
+    * `_MANIFEST.tmp-*` (ADVICE r12): its O_EXCL claim may still win a
+    * below-max version number, but the move source is gone. That is
+    * the SAME fenced-commit outcome — the just-created claim is
+    * removed and the curated abort is raised, instead of surfacing a
+    * raw NoSuchFileException.
     */
   private[sources] def publishManifest(base: Path, version: Long,
       token: String, manifestTmp: Path): Unit = {
+    def fenced(cause: Throwable): Nothing =
+      throw new IllegalStateException(
+        s"AuditSink: commit fenced — version $version was already " +
+        "claimed by another committer (this committer's lock must have " +
+        "been broken as stale mid-commit). Aborting before publish: the " +
+        "published snapshot is unaffected and this commit's parts are " +
+        "unpublished orphans the next successful commit garbage-collects.",
+        cause)
     val claim = base.resolve(f"_PUBLISH.v$version%06d")
     try Files.write(claim, token.getBytes(UTF_8),
       java.nio.file.StandardOpenOption.CREATE_NEW)
     catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalStateException(
-          s"AuditSink: commit fenced — version $version was already " +
-          "claimed by another committer (this committer's lock must have " +
-          "been broken as stale mid-commit). Aborting before publish: the " +
-          "published snapshot is unaffected and this commit's parts are " +
-          "unpublished orphans the next successful commit garbage-collects.")
+      case e: java.nio.file.FileAlreadyExistsException => fenced(e)
     }
-    Files.move(manifestTmp, base.resolve(manifestName(version)),
+    try Files.move(manifestTmp, base.resolve(manifestName(version)),
       StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.NoSuchFileException =>
+        // the successor that broke our lock GC'd our manifest temp;
+        // withdraw the claim we just planted (it is below the
+        // successor's version, so nothing ever read it) and abort with
+        // the same curated message as the claim-lost path
+        Files.deleteIfExists(claim)
+        fenced(e)
+    }
   }
 }
 
@@ -426,9 +454,11 @@ private[sources] class AuditBatchWrite(dir: String, nCols: Int)
     AuditSink.publishManifest(base, version, token, mTmp)
     // GC strictly AFTER the publication point: older versions' parts,
     // manifests and claims, crashed commits' orphans below the new
-    // version, and leaked manifest temp files go away. (The CURRENT
-    // version's manifest and claim stay — the claim pins the number
-    // against reuse alongside the manifest itself.)
+    // version, leaked manifest temp files, and a pre-versioned-format
+    // plain `_MANIFEST` (superseded by this versioned publish; see
+    // manifestOf's legacy fallback) go away. (The CURRENT version's
+    // manifest and claim stay — the claim pins the number against
+    // reuse alongside the manifest itself.)
     val old = Files.list(base)
     try old.iterator().asScala
       .filter { p =>
@@ -436,6 +466,7 @@ private[sources] class AuditBatchWrite(dir: String, nCols: Int)
           case AuditSink.PartName(v) => v.toLong < version
           case AuditSink.ManifestName(v) => v.toLong < version
           case AuditSink.ClaimName(v) => v.toLong < version
+          case "_MANIFEST" => true
           case n => n.startsWith("_MANIFEST.tmp")
         }
       }.toSeq.foreach(Files.deleteIfExists(_))

@@ -79,6 +79,29 @@ object CCScaleProbe {
     // set (current + previous round while the swap happens).
     @volatile var peakStorage = 0L
     @volatile var peakHeap = 0L
+    // The reliable-checkpoint leg (VERDICT r12 #4) watches its
+    // checkpoint dir too: peak on-disk draw is the number that decides
+    // whether superseded-round file GC works — without it a fixpoint
+    // holds rounds × round-size of cluster storage.
+    @volatile var ckptWatch: Option[java.nio.file.Path] = None
+    @volatile var peakCkptBytes = 0L
+    def dirBytes(d: java.nio.file.Path): Long = {
+      import java.nio.file.Files
+      var sum = 0L
+      if (Files.isDirectory(d)) {
+        val w = Files.walk(d)
+        try {
+          val it = w.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            try { if (Files.isRegularFile(p)) sum += Files.size(p) }
+            catch { case _: java.io.IOException => () }
+          }
+        } catch { case _: Exception => () } // racing checkpoint-file GC
+        finally w.close()
+      }
+      sum
+    }
     val sampler = new Thread(() => {
       try while (true) {
         val s = spark.sparkContext.getRDDStorageInfo
@@ -87,6 +110,10 @@ object CCScaleProbe {
         val rt = Runtime.getRuntime
         val h = rt.totalMemory() - rt.freeMemory()
         if (h > peakHeap) peakHeap = h
+        ckptWatch.foreach { d =>
+          val b = dirBytes(d)
+          if (b > peakCkptBytes) peakCkptBytes = b
+        }
         Thread.sleep(250)
       } catch { case _: InterruptedException => () }
     })
@@ -269,6 +296,23 @@ object CCScaleProbe {
             require(r.converged, "mixed fixpoint did not converge")
             System.err.println(s"[probe] giant mix: iterations=${r.iterations}")
             r.assignments
+          case "reliable" =>
+            // VERDICT r12 #4: the configuration a real multi-hour
+            // cluster fixpoint would actually use — reliable (HDFS-/
+            // disk-backed) round checkpoints that survive executor
+            // loss, vs the probe series' localCheckpoint default. The
+            // watched checkpoint dir quantifies the branch's scratch
+            // draw: with superseded-round file GC it should hold ~2
+            // rounds' files, not rounds × round-size.
+            val dir = sys.env.getOrElse("SPARK_GRAFT_CKPT_DIR",
+              "/tmp/graft_probe_ckpt")
+            spark.sparkContext.setCheckpointDir(dir)
+            ckptWatch = Some(java.nio.file.Paths.get(dir))
+            val r = ConnectedComponents.run(tree, reliableCheckpoint = true)
+            require(r.converged, "reliable fixpoint did not converge")
+            System.err.println(
+              s"[probe] giant reliable: iterations=${r.iterations}")
+            r.assignments
           case _ =>
             val r = ConnectedComponents.run(tree)
             require(r.converged, "fixpoint did not converge")
@@ -304,12 +348,40 @@ object CCScaleProbe {
         System.err.println(s"[probe] giant vs ground truth: wrong=$bad rows=$n")
         require(bad == 0 && n == expected, "giant component labels diverged")
       }
+      // VERDICT r12 #3: componentsPreview ON the giant result —
+      // converts the "every task O(maxMembers)" claim into a measured
+      // row. The aggregation runs over the FULL assignment table (all
+      // components, mega-cluster included); only the giant's row is
+      // collected for the closed-form check.
+      val giantExpected =
+        if (shape == "incremental") nNodes + deltaK else nNodes
+      val prevRow = time("componentsPreview(assignments, 100)") {
+        ConnectedComponents.componentsPreview(labels, 100)
+          .where(col("component") === 0L).collect()
+      }
+      require(prevRow.length == 1,
+        s"preview: expected one giant row, got ${prevRow.length}")
+      val pv = prevRow(0)
+      val want = (0L until math.min(100L, giantExpected)).toSeq
+      System.err.println(s"[probe] preview giant row: " +
+        s"n_members=${pv.getLong(1)} min=${pv.getLong(2)} " +
+        s"head=${pv.getSeq[Long](3).take(4).mkString(",")}")
+      require(pv.getLong(1) == giantExpected && pv.getLong(2) == 0L &&
+        pv.getSeq[Long](3) == want, "preview giant row diverged")
     }
 
     System.err.println(
       f"[probe] peak cached storage: ${peakStorage / 1048576.0}%.1f MiB")
     System.err.println(
       f"[probe] peak JVM heap used: ${peakHeap / 1048576.0}%.1f MiB")
+    ckptWatch.foreach { d =>
+      // one last sample so the final state is never missed between ticks
+      val fin = dirBytes(d)
+      if (fin > peakCkptBytes) peakCkptBytes = fin
+      System.err.println(
+        f"[probe] reliable checkpoint dir: peak ${peakCkptBytes / 1048576.0}%.1f MiB, " +
+        f"final $fin%d bytes (${fin / 1048576.0}%.1f MiB)")
+    }
     System.err.println("[probe] PASS")
     spark.stop()
   }

@@ -46,5 +46,31 @@ class TuningSpec extends SparkSpec {
     spark.conf.set(k, "123456")
     try assert(ConnectedComponents.missingScaleConfs(spark).contains(k))
     finally spark.conf.unset(k)
+    // ...while an EQUIVALENT SPELLING does not (ADVICE r12: exact
+    // string equality nagged correctly-tuned sessions)
+    spark.conf.set(k, "16m")
+    try assert(!ConnectedComponents.missingScaleConfs(spark).contains(k))
+    finally spark.conf.unset(k)
+  }
+
+  test("sameSetting compares under each key's value grammar, not string " +
+       "equality (ADVICE r12)") {
+    val size = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    assert(Tuning.sameSetting(size, "16m", "16777216"))
+    assert(Tuning.sameSetting(size, "16MB", "16777216"))
+    assert(!Tuning.sameSetting(size, "64m", "16777216"))
+    assert(!Tuning.sameSetting(size, "not-a-size", "16777216"))
+    val gc = "spark.cleaner.periodicGC.interval"
+    assert(Tuning.sameSetting(gc, "1min", "60s"))
+    assert(Tuning.sameSetting(gc, "60000ms", "60s"))
+    assert(!Tuning.sameSetting(gc, "30s", "60s"))
+    val codec = "spark.io.compression.codec"
+    assert(Tuning.sameSetting(codec,
+      "org.apache.spark.io.ZstdCompressionCodec", "zstd"))
+    assert(Tuning.sameSetting(codec, "ZSTD", "zstd"))
+    assert(!Tuning.sameSetting(codec, "lz4", "zstd"))
+    // free-form entries compare case-insensitively
+    assert(Tuning.sameSetting("spark.rdd.compress", "TRUE", "true"))
+    assert(!Tuning.sameSetting("spark.rdd.compress", "false", "true"))
   }
 }

@@ -74,6 +74,38 @@ class GeoCapSpec extends SparkSpec {
     assert(maxOcc <= 64L, s"uniform max occupancy $maxOcc")
   }
 
+  test("DBSCAN's guard SCALES with expected occupancy (r12 verdict #5): " +
+       "high-sf uniform data passes, a clustered hot cell still fails") {
+    // arithmetic pinned: floor 512 below the crossover, 32x mean above
+    assert(GeoQueries.DbscanCells === 2500L)
+    assert(GeoQueries.adaptiveDbscanCap(15000L) === 512L)   // sf0.1: mean 6
+    assert(GeoQueries.adaptiveDbscanCap(0L) === 512L)
+    // sf5-equivalent (~750k points, mean 300/cell): a fixed 512 would
+    // trip on ordinary Poisson-tail cells; the scaled guard sits at
+    // 32 x 300 = 9600
+    assert(GeoQueries.adaptiveDbscanCap(750000L) === 9600L)
+    // simulated high occupancy: 600 coincident-cell points is ROUTINE
+    // at that density — passes the scaled guard, trips the fixed cap
+    val occ600 = clusteredPoints(600, 4)
+      .select(col("id"), col("x"), col("y"),
+        expr("x div 20000L").as("cx"), expr("y div 20000L").as("cy"))
+    intercept[IllegalArgumentException] {
+      GeoQueries.requireBoundedCells(occ600, cap = 512L, what = "fixed")
+    }
+    GeoQueries.requireBoundedCells(occ600,
+      cap = GeoQueries.adaptiveDbscanCap(750000L), what = "scaled")
+    // a genuinely clustered hot cell (quadratic hazard) still fails the
+    // scaled guard loudly
+    val hot = clusteredPoints(10000, 0)
+      .select(col("id"), col("x"), col("y"),
+        expr("x div 20000L").as("cx"), expr("y div 20000L").as("cy"))
+    val e = intercept[IllegalArgumentException] {
+      GeoQueries.requireBoundedCells(hot,
+        cap = GeoQueries.adaptiveDbscanCap(750000L), what = "geo_dbscan")
+    }
+    assert(e.getMessage.contains("geo_dbscan"))
+  }
+
   test("DBSCAN's over-density guard fails loudly, naming the occupancy") {
     val pts = clusteredPoints(600, 4)
       .select(col("id"), col("x"), col("y"),

@@ -328,4 +328,89 @@ class AuditSinkSpec extends SparkSpec {
     assert(AuditSink.manifestOf(dir).get.getFileName.toString
       === "_MANIFEST.v000005")
   }
+
+  test("reader-vs-GC race: a reader listing at ANY point between a new " +
+       "publish and its GC sweep resolves a complete snapshot " +
+       "(r12 verdict #6)") {
+    val dir = freshDir("readergc")
+    writeRange(dir, 100L, 2) // v0 committed
+    val v0Parts = AuditSink.committedParts(dir)
+    val base = Paths.get(dir)
+    // interleaving 1: successor has moved its v1 part and written its
+    // manifest temp but NOT published — readers still resolve v0,
+    // whose parts are untouched (GC only ever runs after publish)
+    Files.write(base.resolve("part-v000001-0123abcd-00000.csv"),
+      "7,49\n".getBytes(UTF_8))
+    val tmp = base.resolve("_MANIFEST.tmp-0123abcd")
+    Files.write(tmp, ("VERSION\t1\npart-v000001-0123abcd-00000.csv\t1\t0\n" +
+      "TOTAL\t1\t0\n").getBytes(UTF_8))
+    assert(AuditSink.manifestTotals(dir)._1 === 0L)
+    assert(readCommitted(dir).count() === 100L)
+    // interleaving 2: publish landed, sweep has not — readers resolve
+    // the NEW manifest and every part it names exists; the superseded
+    // v0 parts are still on disk but invisible to manifest-driven reads
+    AuditSink.publishManifest(base, 1L, "tok", tmp)
+    assert(AuditSink.manifestTotals(dir)._1 === 1L)
+    assert(AuditSink.committedParts(dir).forall(Files.exists(_)))
+    assert(v0Parts.forall(Files.exists(_)))
+    // interleaving 3: the next full commit publishes v2 AND sweeps —
+    // readers resolve v2; all superseded manifests and parts are gone
+    writeRange(dir, 5L, 1)
+    assert(AuditSink.manifestTotals(dir)._1 === 2L)
+    assert(readCommitted(dir).count() === 5L)
+    assert(v0Parts.forall(!Files.exists(_)))
+    assert(!Files.exists(base.resolve("_MANIFEST.v000000")))
+    assert(!Files.exists(base.resolve("_MANIFEST.v000001")))
+  }
+
+  test("a pre-versioned-format directory stays readable: plain _MANIFEST " +
+       "fallback, removed by GC after the first versioned publish " +
+       "(ADVICE r12)") {
+    val dir = freshDir("legacy")
+    val base = Files.createDirectories(Paths.get(dir))
+    // fabricate the pre-r12 layout: same part naming and manifest body,
+    // but the manifest file is the unversioned _MANIFEST
+    Files.write(base.resolve("part-v000000-00c0ffee-00000.csv"),
+      "1,7\n2,14\n".getBytes(UTF_8))
+    val sum = AuditSink.rowHash(Seq(1L, 7L)) ^ AuditSink.rowHash(Seq(2L, 14L))
+    Files.write(base.resolve("_MANIFEST"),
+      (s"VERSION\t0\npart-v000000-00c0ffee-00000.csv\t2\t$sum\n" +
+       s"TOTAL\t2\t$sum\n").getBytes(UTF_8))
+    assert(AuditSink.manifestOf(dir).get.getFileName.toString === "_MANIFEST")
+    assert(AuditSink.manifestTotals(dir) === ((0L, 2L, sum)))
+    assert(readCommitted(dir).count() === 2L)
+    // the first versioned publish supersedes it: readers switch to the
+    // versioned manifest and the sweep removes the legacy file
+    writeRange(dir, 5L, 1)
+    assert(!Files.exists(base.resolve("_MANIFEST")))
+    assert(AuditSink.manifestTotals(dir)._1 === 1L) // legacy v0 part pinned 0
+    assert(readCommitted(dir).count() === 5L)
+  }
+
+  test("a zombie whose manifest temp was GC'd by its successor aborts " +
+       "with the curated fenced-commit error and withdraws its claim " +
+       "(ADVICE r12)") {
+    val dir = freshDir("zombiegc")
+    val base = Files.createDirectories(Paths.get(dir))
+    // the successor broke the zombie's stale lock, published v1, and
+    // its sweep removed the zombie's _MANIFEST.tmp-*
+    val sTmp = base.resolve("_MANIFEST.tmp-succ")
+    Files.write(sTmp, "VERSION\t1\nTOTAL\t0\t0\n".getBytes(UTF_8))
+    AuditSink.publishManifest(base, 1L, "succ-token", sTmp)
+    // the zombie wakes holding version 0 and a vanished move source:
+    // its O_EXCL claim WINS (nobody ever claimed 0) but the move must
+    // surface as the same curated fenced abort as losing the claim
+    val gone = base.resolve("_MANIFEST.tmp-zomb")
+    val e = intercept[IllegalStateException] {
+      AuditSink.publishManifest(base, 0L, "zombie-token", gone)
+    }
+    assert(e.getMessage.contains("commit fenced"))
+    assert(e.getCause.isInstanceOf[java.nio.file.NoSuchFileException])
+    // the just-planted claim was withdrawn, the snapshot is untouched,
+    // and version numbering is unaffected
+    assert(!Files.exists(base.resolve("_PUBLISH.v000000")))
+    assert(AuditSink.manifestOf(dir).get.getFileName.toString
+      === "_MANIFEST.v000001")
+    assert(AuditSink.nextVersion(base) === 2L)
+  }
 }
