@@ -503,14 +503,20 @@ object ConnectedComponents {
     * typed buffer falls back to sort-based aggregation per task, an
     * O(slice log slice) sort of that task's OWN partition — bounded by
     * partition sizing, never by component size.
+    *
+    * Input contract: `node` must be an integral column (it is cast to
+    * bigint, matching [[run]]'s own output), and `members_preview` is
+    * always `array<bigint>` — narrower than the old window spelling,
+    * which preserved arbitrary orderable node types.
     */
   def componentsPreview(assignments: DataFrame,
                         maxMembers: Int = 100): DataFrame = {
     require(maxMembers >= 1, s"maxMembers $maxMembers < 1")
     val bottomK = udaf(new graft.functions.BottomK(maxMembers))
+    val node = col("node").cast("bigint")
     assignments.groupBy("component")
-      .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_member"),
-           bottomK(col("node")).as("members_preview"))
+      .agg(count(lit(1)).as("n_members"), min(node).as("min_member"),
+           bottomK(node).as("members_preview"))
       .select(col("component"), col("n_members"), col("min_member"),
               col("members_preview"))
   }

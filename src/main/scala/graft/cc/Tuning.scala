@@ -110,7 +110,11 @@ object Tuning {
       case "spark.sql.adaptive.advisoryPartitionSizeInBytes" =>
         both(JavaUtils.byteStringAsBytes)
       case "spark.cleaner.periodicGC.interval" =>
-        both(JavaUtils.timeStringAsMs)
+        // Spark declares this key timeConf(TimeUnit.SECONDS), so a
+        // suffixless value means SECONDS — parsing with the ms default
+        // would both nag a correct "60" and, worse, silently equate a
+        // mis-tuned "60000" (16.7 h) with the preset's 60s.
+        both(JavaUtils.timeStringAs(_, java.util.concurrent.TimeUnit.SECONDS))
       case "spark.io.compression.codec" => codecName(a) == codecName(b)
       case _ => a.trim.equalsIgnoreCase(b.trim)
     }

@@ -20,14 +20,17 @@ import org.apache.spark.sql.expressions.Aggregator
   * order on longs makes the result deterministic under any
   * partitioning, input order, or speculative retry.
   *
-  * Buffer discipline: kept sorted ascending; once full, a row beyond
-  * the current k-th smallest is rejected with ONE comparison and zero
-  * allocation — the steady-state cost on a giant group is O(1)/row.
+  * Buffer discipline: kept sorted ascending in an INDEXED seq (Vector
+  * from `zero`/`reduce`, ArraySeq off the wire and from `merge`), so
+  * the full-buffer reject really is one `length` + one `last` + one
+  * comparison with zero allocation — a List buffer would silently turn
+  * both accessors into O(k) walks per input row, the hot loop on a
+  * 10⁸-member group.
   */
 class BottomK(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
   require(k >= 1 && k <= 100000, s"k out of range: $k")
 
-  override def zero: Seq[Long] = Seq.empty
+  override def zero: Seq[Long] = Vector.empty
 
   override def reduce(b: Seq[Long], x: Long): Seq[Long] =
     if (b.length == k && x >= b.last) b

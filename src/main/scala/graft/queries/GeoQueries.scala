@@ -62,8 +62,15 @@ object GeoQueries {
 
   private[queries] val GridCells: Long = (Side / R) * (Side / R) // 40 000
 
+  /** max(floor, 32 × ⌈points/cells⌉) — the one occupancy-scaling rule
+    * both the grid join's drop cap and DBSCAN's guard derive from, so
+    * a margin recalibration cannot desynchronize them.
+    */
+  private def adaptiveCap(floor: Long, cells: Long, nPoints: Long): Long =
+    math.max(floor, 32L * ((nPoints + cells - 1L) / cells))
+
   private[queries] def adaptiveGridCap(nPoints: Long): Long =
-    math.max(GridCellCap, 32L * ((nPoints + GridCells - 1L) / GridCells))
+    adaptiveCap(GridCellCap, GridCells, nPoints)
 
   /** DBSCAN's grid uses a GUARD, not a drop: a hot cell there is
     * precisely a dense cluster — dropping it would invert the
@@ -88,7 +95,7 @@ object GeoQueries {
   private[queries] val DbscanCells: Long = (Side / Eps) * (Side / Eps) // 2 500
 
   private[queries] def adaptiveDbscanCap(nPoints: Long): Long =
-    math.max(DbscanCellCap, 32L * ((nPoints + DbscanCells - 1L) / DbscanCells))
+    adaptiveCap(DbscanCellCap, DbscanCells, nPoints)
 
   private def h56(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(c), 1, 14), 16, 10).cast("bigint")
@@ -103,11 +110,28 @@ object GeoQueries {
     val occ = p.groupBy("cx", "cy").count()
       .agg(coalesce(max(col("count")), lit(0L)).as("m"))
       .collect()(0).getLong(0)
+    requireOccupancy(occ, cap, what)
+  }
+
+  /** [[requireBoundedCells]] with the OCCUPANCY-SCALED DBSCAN cap, in
+    * ONE aggregate job: max cell occupancy and the total point count
+    * (which sets the cap) come off the same `groupBy(cx, cy)` pass —
+    * a separate `p.count()` would add a whole job to every dbscan run.
+    */
+  private[queries] def requireBoundedCellsAdaptive(p: DataFrame,
+      what: String): Unit = {
+    val row = p.groupBy("cx", "cy").count()
+      .agg(coalesce(max(col("count")), lit(0L)).as("m"),
+           coalesce(sum(col("count")), lit(0L)).as("n"))
+      .collect()(0)
+    requireOccupancy(row.getLong(0), adaptiveDbscanCap(row.getLong(1)), what)
+  }
+
+  private def requireOccupancy(occ: Long, cap: Long, what: String): Unit =
     require(occ <= cap,
       s"$what: a grid cell holds $occ points > cap $cap — the " +
       "cell-neighborhood join would go quadratic there; shrink the cell " +
       "width, pre-aggregate coincident points, or raise the cap consciously")
-  }
 
   /** (id, x, y) points on the integer plane, one per customer. */
   private[queries] def points(spark: SparkSession, sfDir: String): DataFrame =
@@ -323,7 +347,7 @@ FROM ranked WHERE rank <= 3 ORDER BY qid, rank
       .select(col("id"), col("x"), col("y"),
         expr(s"x div ${Eps}L").as("cx"), expr(s"y div ${Eps}L").as("cy"))
       .localCheckpoint()
-    requireBoundedCells(p, adaptiveDbscanCap(p.count()), "geo_dbscan")
+    requireBoundedCellsAdaptive(p, "geo_dbscan")
     val probes = p.select(col("id").as("a"), col("x").as("xa"),
         col("y").as("ya"),
         explode(expr("transform(sequence(0, 8)," +

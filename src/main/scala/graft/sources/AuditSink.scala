@@ -117,22 +117,34 @@ object AuditSink {
   def manifestOf(dir: String): Option[Path] = {
     val base = Paths.get(dir)
     if (!Files.isDirectory(base)) return None
-    val s = Files.list(base)
-    val best =
-      try s.iterator().asScala
-        .flatMap(p => p.getFileName.toString match {
-          case ManifestName(v) => Some((v.toLong, p))
-          case _ => None
-        })
-        .foldLeft(Option.empty[(Long, Path)]) {
-          case (acc, c) if acc.forall(_._1 < c._1) => Some(c)
-          case (acc, _) => acc
-        }
-      finally s.close()
-    best.map(_._2).orElse {
-      val legacy = base.resolve("_MANIFEST")
-      if (Files.isRegularFile(legacy)) Some(legacy) else None
+    def versioned(): Option[Path] = {
+      val s = Files.list(base)
+      val best =
+        try s.iterator().asScala
+          .flatMap(p => p.getFileName.toString match {
+            case ManifestName(v) => Some((v.toLong, p))
+            case _ => None
+          })
+          .foldLeft(Option.empty[(Long, Path)]) {
+            case (acc, c) if acc.forall(_._1 < c._1) => Some(c)
+            case (acc, _) => acc
+          }
+        finally s.close()
+      best.map(_._2)
     }
+    def legacy(): Option[Path] = {
+      val l = base.resolve("_MANIFEST")
+      if (Files.isRegularFile(l)) Some(l) else None
+    }
+    // list-then-check TOCTOU closed: a reader racing the FIRST
+    // versioned publish of a legacy directory can list before the
+    // versioned manifest lands yet check the legacy file only after
+    // the sweep removed it. One versioned re-scan after a legacy miss
+    // restores the invariant that a committed-at-every-instant
+    // directory always resolves — publish strictly precedes sweep, so
+    // by the time the legacy file is gone the versioned manifest is
+    // already on disk.
+    versioned().orElse(legacy()).orElse(versioned())
   }
 
   private def committedManifest(dir: String): Path =

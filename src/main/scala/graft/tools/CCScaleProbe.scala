@@ -306,8 +306,18 @@ object CCScaleProbe {
             // rounds' files, not rounds × round-size.
             val dir = sys.env.getOrElse("SPARK_GRAFT_CKPT_DIR",
               "/tmp/graft_probe_ckpt")
+            // fresh dir: a previous run's surviving FINAL checkpoint
+            // would inflate this run's peak/final accounting — the
+            // numbers that demonstrate superseded-round GC works
+            val root = java.nio.file.Paths.get(dir)
+            if (java.nio.file.Files.isDirectory(root)) {
+              val w = java.nio.file.Files.walk(root)
+              try w.sorted(java.util.Comparator.reverseOrder())
+                .forEach(p => java.nio.file.Files.deleteIfExists(p))
+              finally w.close()
+            }
             spark.sparkContext.setCheckpointDir(dir)
-            ckptWatch = Some(java.nio.file.Paths.get(dir))
+            ckptWatch = Some(root)
             val r = ConnectedComponents.run(tree, reliableCheckpoint = true)
             require(r.converged, "reliable fixpoint did not converge")
             System.err.println(

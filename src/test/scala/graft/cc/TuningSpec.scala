@@ -64,6 +64,10 @@ class TuningSpec extends SparkSpec {
     assert(Tuning.sameSetting(gc, "1min", "60s"))
     assert(Tuning.sameSetting(gc, "60000ms", "60s"))
     assert(!Tuning.sameSetting(gc, "30s", "60s"))
+    // suffixless means SECONDS for this key (Spark declares it
+    // timeConf(SECONDS)): "60" IS the preset, "60000" is 16.7 hours
+    assert(Tuning.sameSetting(gc, "60", "60s"))
+    assert(!Tuning.sameSetting(gc, "60000", "60s"))
     val codec = "spark.io.compression.codec"
     assert(Tuning.sameSetting(codec,
       "org.apache.spark.io.ZstdCompressionCodec", "zstd"))

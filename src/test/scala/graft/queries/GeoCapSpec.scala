@@ -106,6 +106,31 @@ class GeoCapSpec extends SparkSpec {
     assert(e.getMessage.contains("geo_dbscan"))
   }
 
+  test("requireBoundedCellsAdaptive derives the cap from the SAME " +
+       "aggregate pass (no extra count job) and scales with population") {
+    // 750k points spread evenly over 2500 cells: occupancy 300, cap
+    // 32 x 300 = 9600 — passes, where the fixed 512 would trip
+    val uniform = spark.range(0, 750000).select(
+      col("id"), lit(0L).as("x"), lit(0L).as("y"),
+      (col("id") % 50L).as("cx"), (col("id") / 15000L).as("cy"))
+    GeoQueries.requireBoundedCellsAdaptive(uniform, "ok")
+    // one genuinely hot cell (12k points, 40x the 300 mean) still fails
+    val hot = uniform.unionAll(spark.range(0, 12000).select(
+      (col("id") + 1000000L).as("id"), lit(0L).as("x"), lit(0L).as("y"),
+      lit(0L).as("cx"), lit(0L).as("cy")))
+    val e = intercept[IllegalArgumentException] {
+      GeoQueries.requireBoundedCellsAdaptive(hot, "geo_dbscan")
+    }
+    assert(e.getMessage.contains("geo_dbscan"))
+    // small population degenerates to the 512 floor
+    val small = clusteredPoints(600, 4)
+      .select(col("id"), col("x"), col("y"),
+        expr("x div 20000L").as("cx"), expr("y div 20000L").as("cy"))
+    intercept[IllegalArgumentException] {
+      GeoQueries.requireBoundedCellsAdaptive(small, "floor")
+    }
+  }
+
   test("DBSCAN's over-density guard fails loudly, naming the occupancy") {
     val pts = clusteredPoints(600, 4)
       .select(col("id"), col("x"), col("y"),
