@@ -1,6 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // Digest sink so the JIT can never elide the timed loop.
+  @volatile private var microSink: Int = 0
+
+  /** Fixed-instruction single-thread CPU wall: MD5 over a 64 KiB
+    * deterministic buffer, 8192 timed iterations (512 MiB digested)
+    * after a 512-iteration untimed JIT warm pass. Same instructions
+    * every run — the measured seconds move only when the host's
+    * per-core throughput does, which is exactly the drift signal the
+    * bench needs recorded (SCALE.md r13: ±15% between windows with
+    * zero steal and loadavg ~0).
+    */
+  def cpuMicrobench(): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = new Array[Byte](65536)
+    var i = 0
+    while (i < buf.length) { buf(i) = (i * 31).toByte; i += 1 }
+    var j = 0
+    while (j < 512) { md.update(buf); j += 1 }
+    microSink ^= java.util.Arrays.hashCode(md.digest())
+    val t0 = System.nanoTime()
+    j = 0
+    while (j < 8192) { md.update(buf); j += 1 }
+    microSink ^= java.util.Arrays.hashCode(md.digest())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -31,6 +57,17 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim
       catch { case _: Throwable => "unavailable" }
     val loadStart = loadavg()
+    // Pinned single-thread CPU microbench (VERDICT r13 #1): the same
+    // fixed-instruction md5 loop rounds 11-13 ran by hand to prove the
+    // host's per-core wall drifts ±15% between windows with zero
+    // hypervisor steal. Recording it at start AND end of every run
+    // makes each bench JSON carry its own clock witness, so
+    // scripts/bench_diff.py can separate code from clock without the
+    // hand forensics. 8192 × 64 KiB = 512 MiB digested; ~0.8s on this
+    // box's fast clock, ~0.9s on its slow one. A short untimed warm
+    // pass settles the JIT so the number measures the core, not the
+    // compiler.
+    val microStart = cpuMicrobench()
     val wallStart = java.time.Instant.now().toString
     val fullOut = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL_OUT",
@@ -114,6 +151,10 @@ object Bench {
       name -> (if (times.size == reps) medianOf(times) else -1.0)
     }
     val results = prewarmRows ++ timed
+    // End-of-run clock witness. The Spark session is idle here (all
+    // queries complete), so the loop is effectively single-threaded;
+    // measuring before the JSON lines keeps both artifacts complete.
+    val microEnd = cpuMicrobench()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -126,7 +167,7 @@ object Bench {
     val nFailed = timed.count(_._2 < 0)
     // Distinct metric name so a parser keying on metric:"total" can only
     // ever pick the full per-query record above (ADVICE r6).
-    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","reps":$reps,"n":${results.size},"failed":$nFailed,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total_summary","value":$total,"unit":"sec","reps":$reps,"n":${results.size},"failed":$nFailed,"microbench_start_sec":$microStart%.4f,"microbench_end_sec":$microEnd%.4f,"sf":"$sfDir"}""")
     // Belt and braces: the build routes forked stdout through verbatim
     // (run / outputStrategy := StdoutOutput), and the full line is also
     // mirrored to a file the driver can read directly.
@@ -139,6 +180,7 @@ object Bench {
       s""""n":${results.size},"failed":$nFailed,"cpus":"$cpus",""" +
       s""""wall_start":"$wallStart","wall_end":"${java.time.Instant.now().toString}",""" +
       s""""loadavg_start":"$loadStart","loadavg_end":"${loadavg()}",""" +
+      f""""microbench_start_sec":$microStart%.4f,"microbench_end_sec":$microEnd%.4f,""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
     try {
       val parent = fullOut.getParent

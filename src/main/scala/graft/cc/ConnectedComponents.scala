@@ -512,6 +512,16 @@ object ConnectedComponents {
   def componentsPreview(assignments: DataFrame,
                         maxMembers: Int = 100): DataFrame = {
     require(maxMembers >= 1, s"maxMembers $maxMembers < 1")
+    // ADVICE r13: the bigint cast below is silent under non-ANSI
+    // casting — a string node column would yield null previews instead
+    // of an error. Enforce the documented integral contract loudly.
+    val nodeType = assignments.schema("node").dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(nodeType),
+      s"componentsPreview requires an integral node column " +
+      s"(run()'s own output is bigint); got ${nodeType.simpleString}")
     val bottomK = udaf(new graft.functions.BottomK(maxMembers))
     val node = col("node").cast("bigint")
     assignments.groupBy("component")

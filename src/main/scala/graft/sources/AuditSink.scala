@@ -365,6 +365,13 @@ object AuditSink {
         "unpublished orphans the next successful commit garbage-collects.",
         cause)
     val claim = base.resolve(f"_PUBLISH.v$version%06d")
+    // ADVICE r13: verify the move source exists BEFORE planting the
+    // claim — a temp already swept by a successor's GC gets the fenced
+    // diagnosis without ever claiming a version; a temp missing for
+    // any OTHER reason (write-path bug, external deletion) would reach
+    // the same NoSuchFileException, so the message below names both.
+    if (!Files.exists(manifestTmp)) fenced(
+      new java.nio.file.NoSuchFileException(manifestTmp.toString))
     try Files.write(claim, token.getBytes(UTF_8),
       java.nio.file.StandardOpenOption.CREATE_NEW)
     catch {
@@ -374,10 +381,13 @@ object AuditSink {
       StandardCopyOption.ATOMIC_MOVE)
     catch {
       case e: java.nio.file.NoSuchFileException =>
-        // the successor that broke our lock GC'd our manifest temp;
-        // withdraw the claim we just planted (it is below the
-        // successor's version, so nothing ever read it) and abort with
-        // the same curated message as the claim-lost path
+        // the manifest temp vanished between the existence check above
+        // and the move — either the successor that broke our lock GC'd
+        // it (the zombie-fencing path) or something external deleted
+        // it; both end this commit. Withdraw the claim we just planted
+        // (it is below the successor's version, so nothing ever read
+        // it) and abort with the same curated message as the
+        // claim-lost path; the chained cause carries the raw path.
         Files.deleteIfExists(claim)
         fenced(e)
     }

@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 import graft.cc.{CliqueGen, ConnectedComponents, EdgeBuilder}
 
@@ -19,7 +20,7 @@ import graft.cc.{CliqueGen, ConnectedComponents, EdgeBuilder}
   *
   * `giant` (r10 verdict item 2) is the adversarial SINGLE-component
   * probe: args are
-  * `<nNodes> giant <legacy|new|contracted|incremental|mix [nBlocks]>`
+  * `<nNodes> giant <legacy|new|contracted|incremental|reliable|ab|mix [nBlocks]>`
   * (`mix`, r11 verdict item 3, unions the tree with `nBlocks` CliqueGen
   * blocks offset above it — the mega-cluster-plus-long-tail shape real
   * dedup corpora have — and checks both populations' labels exactly)
@@ -88,34 +89,48 @@ object CCScaleProbe {
     def dirBytes(d: java.nio.file.Path): Long = {
       import java.nio.file.Files
       var sum = 0L
-      if (Files.isDirectory(d)) {
-        val w = Files.walk(d)
-        try {
-          val it = w.iterator()
-          while (it.hasNext) {
-            val p = it.next()
-            try { if (Files.isRegularFile(p)) sum += Files.size(p) }
-            catch { case _: java.io.IOException => () }
-          }
-        } catch { case _: Exception => () } // racing checkpoint-file GC
-        finally w.close()
-      }
+      // ADVICE r13: the whole body (including Files.walk creation — the
+      // dir can vanish between isDirectory and walk under racing
+      // checkpoint-file GC) sits inside the catch so no IOException can
+      // escape into the sampler thread.
+      try {
+        if (Files.isDirectory(d)) {
+          val w = Files.walk(d)
+          try {
+            val it = w.iterator()
+            while (it.hasNext) {
+              val p = it.next()
+              try { if (Files.isRegularFile(p)) sum += Files.size(p) }
+              catch { case _: java.io.IOException => () }
+            }
+          } finally w.close()
+        }
+      } catch { case _: Exception => () } // racing checkpoint-file GC
       sum
     }
     val sampler = new Thread(() => {
-      try while (true) {
-        val s = spark.sparkContext.getRDDStorageInfo
-          .map(i => i.memSize + i.diskSize).sum
-        if (s > peakStorage) peakStorage = s
-        val rt = Runtime.getRuntime
-        val h = rt.totalMemory() - rt.freeMemory()
-        if (h > peakHeap) peakHeap = h
-        ckptWatch.foreach { d =>
-          val b = dirBytes(d)
-          if (b > peakCkptBytes) peakCkptBytes = b
+      var run = true
+      while (run) {
+        // ADVICE r13: a transient exception in one tick (storage-info
+        // race, dir churn) must not end sampling for the rest of the
+        // run — only interruption stops the thread.
+        try {
+          val s = spark.sparkContext.getRDDStorageInfo
+            .map(i => i.memSize + i.diskSize).sum
+          if (s > peakStorage) peakStorage = s
+          val rt = Runtime.getRuntime
+          val h = rt.totalMemory() - rt.freeMemory()
+          if (h > peakHeap) peakHeap = h
+          ckptWatch.foreach { d =>
+            val b = dirBytes(d)
+            if (b > peakCkptBytes) peakCkptBytes = b
+          }
+          Thread.sleep(250)
+        } catch {
+          case _: InterruptedException => run = false
+          case _: Exception => ()
         }
-        Thread.sleep(250)
-      } catch { case _: InterruptedException => () }
+      }
     })
     sampler.setDaemon(true)
     sampler.start()
@@ -248,6 +263,46 @@ object CCScaleProbe {
       // part of the delta to missing nodes and failed the closed-form
       // check spuriously).
       val deltaK = math.min(1000000L, nNodes / 2)
+      // Reliable-checkpoint dir prep, shared by the `reliable` and `ab`
+      // shapes: wipe (guarded), register with the context, watch it.
+      def prepReliableCkptDir(): Unit = {
+        val dir = sys.env.getOrElse("SPARK_GRAFT_CKPT_DIR",
+          "/tmp/graft_probe_ckpt")
+        // fresh dir: a previous run's surviving FINAL checkpoint
+        // would inflate this run's peak/final accounting — the
+        // numbers that demonstrate superseded-round GC works.
+        // ADVICE r13: refuse to wipe a directory that isn't
+        // checkpoint-shaped — pointing SPARK_GRAFT_CKPT_DIR at an
+        // existing unrelated directory must not silently destroy
+        // it. Spark checkpoint roots contain only UUID session
+        // dirs (which hold rdd-N subdirs); anything else aborts.
+        val root = java.nio.file.Paths.get(dir)
+        if (java.nio.file.Files.isDirectory(root)) {
+          val uuidRe =
+            "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+            "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
+          val entries = {
+            val s = java.nio.file.Files.list(root)
+            try s.iterator().asScala.toVector finally s.close()
+          }
+          val foreign = entries.filterNot { p =>
+            p.getFileName.toString.matches(uuidRe) &&
+              java.nio.file.Files.isDirectory(p)
+          }
+          require(foreign.isEmpty,
+            s"refusing to wipe $dir: contains non-checkpoint " +
+            s"entries ${foreign.take(3).mkString(", ")} — point " +
+            "SPARK_GRAFT_CKPT_DIR at an empty or checkpoint-only " +
+            "directory")
+          val w = java.nio.file.Files.walk(root)
+          try w.sorted(java.util.Comparator.reverseOrder())
+            .filter(p => p != root)
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally w.close()
+        }
+        spark.sparkContext.setCheckpointDir(dir)
+        ckptWatch = Some(root)
+      }
       val labels = time(s"giant fixpoint shape=$shape") {
         shape match {
           case "legacy" => LegacyStarOps.runLegacy(tree)
@@ -304,25 +359,76 @@ object CCScaleProbe {
             // watched checkpoint dir quantifies the branch's scratch
             // draw: with superseded-round file GC it should hold ~2
             // rounds' files, not rounds × round-size.
-            val dir = sys.env.getOrElse("SPARK_GRAFT_CKPT_DIR",
-              "/tmp/graft_probe_ckpt")
-            // fresh dir: a previous run's surviving FINAL checkpoint
-            // would inflate this run's peak/final accounting — the
-            // numbers that demonstrate superseded-round GC works
-            val root = java.nio.file.Paths.get(dir)
-            if (java.nio.file.Files.isDirectory(root)) {
-              val w = java.nio.file.Files.walk(root)
-              try w.sorted(java.util.Comparator.reverseOrder())
-                .forEach(p => java.nio.file.Files.deleteIfExists(p))
-              finally w.close()
-            }
-            spark.sparkContext.setCheckpointDir(dir)
-            ckptWatch = Some(root)
+            prepReliableCkptDir()
             val r = ConnectedComponents.run(tree, reliableCheckpoint = true)
             require(r.converged, "reliable fixpoint did not converge")
             System.err.println(
               s"[probe] giant reliable: iterations=${r.iterations}")
             r.assignments
+          case "ab" =>
+            // VERDICT r13 #4: SAME-WINDOW reliable-vs-local A/B. The
+            // r13 claim ("not measurably slower at 5×10⁷": 829.9s
+            // reliable vs 994.5s local) compared two windows on a host
+            // whose per-core wall drifts ±15% between windows — so it
+            // could only say "within the envelope". Interleaving the
+            // legs local → reliable → local in ONE invocation cancels
+            // the clock: the reliable overhead is reported against the
+            // MEAN of the two bracketing local legs, and the pinned
+            // single-thread microbench (graft.Bench.cpuMicrobench)
+            // brackets every leg as the drift witness.
+            prepReliableCkptDir()
+            // Untimed warm-up fixpoint on a small tree: the FIRST
+            // fixpoint in a session pays one-time costs (codegen
+            // compilation for the round's plan shapes, shuffle
+            // machinery init) that the smoke run measured at +40s on
+            // leg 1 vs an identical leg 3 — charged to neither door.
+            locally {
+              val wuTree = spark.range(1L, 200000L)
+                .select(col("id").as("src"), shiftright(col("id"), 1).as("dst"))
+              val wu = ConnectedComponents.run(wuTree)
+              require(wu.converged, "ab warm-up did not converge")
+              spark.sparkContext.getPersistentRDDs.values
+                .foreach(_.unpersist(false))
+            }
+            var walls = Vector.empty[(String, Double)]
+            def leg(tag: String, reliable: Boolean) = {
+              System.err.println(
+                f"[probe] microbench before $tag: ${graft.Bench.cpuMicrobench()}%.3fs")
+              val t0 = System.nanoTime()
+              val r = ConnectedComponents.run(tree,
+                reliableCheckpoint = reliable)
+              val w = (System.nanoTime() - t0) / 1e9
+              require(r.converged, s"ab $tag fixpoint did not converge")
+              val bad = r.assignments
+                .where(col("component") =!= 0L).count()
+              val n = r.assignments.count()
+              require(bad == 0 && n == nNodes,
+                s"ab $tag labels diverged: wrong=$bad rows=$n")
+              walls :+= (tag, w)
+              System.err.println(
+                f"[probe] ab $tag: ${w}%.1fs iterations=${r.iterations}")
+              r
+            }
+            leg("local-1", reliable = false)
+            // free leg state so legs never share cached blocks; the
+            // tree is closed-form and regenerates for free
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(false))
+            leg("reliable", reliable = true)
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(false))
+            val l3 = leg("local-2", reliable = false)
+            System.err.println(
+              f"[probe] microbench after local-2: ${graft.Bench.cpuMicrobench()}%.3fs")
+            val localMean =
+              (walls(0)._2 + walls(2)._2) / 2.0
+            System.err.println(
+              f"[probe] ab summary: local ${walls(0)._2}%.1fs / " +
+              f"${walls(2)._2}%.1fs (mean $localMean%.1fs), reliable " +
+              f"${walls(1)._2}%.1fs — checkpoint-write overhead " +
+              f"${(walls(1)._2 / localMean - 1.0) * 100}%.1f%% of the " +
+              "same-window local wall")
+            l3.assignments
           case _ =>
             val r = ConnectedComponents.run(tree)
             require(r.converged, "fixpoint did not converge")

@@ -149,6 +149,15 @@ class ConnectedComponentsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "preview regressed to a window sort")
     assert(!plan.toLowerCase.contains("join"), "preview regressed to a join")
+    // ADVICE r13: a non-integral node column must fail LOUDLY — the
+    // bigint cast is silent under non-ANSI casting and would otherwise
+    // return null previews for e.g. string ids
+    val stringNodes = res.assignments
+      .selectExpr("cast(node as string) as node", "component")
+    val err = intercept[IllegalArgumentException] {
+      ConnectedComponents.componentsPreview(stringNodes, 5)
+    }
+    assert(err.getMessage.contains("integral"))
   }
 
   test("reliableCheckpoint=true: labels identical to the localCheckpoint " +

@@ -413,4 +413,83 @@ class AuditSinkSpec extends SparkSpec {
       === "_MANIFEST.v000001")
     assert(AuditSink.nextVersion(base) === 2L)
   }
+
+  test("two PROCESSES racing write().save() never corrupt a snapshot: " +
+       "the O_EXCL fences arbitrate across JVMs (VERDICT r13 #5)") {
+    // The thread-race spec above exercises the committer contract
+    // inside one JVM; the fencing primitive is filesystem-level
+    // CREATE_NEW, whose real adversary is a SECOND JVM (a zombie
+    // executor's driver, a concurrent job). Fork one: a child process
+    // running a real write().save() into the same directory as this
+    // session's own save, synchronized by a file barrier so the two
+    // commits genuinely overlap. Same invariants as the thread spec:
+    // any loss is LOUD, and the published manifest always names parts
+    // that exist with rows/checksum matching exactly ONE writer's
+    // complete dataset.
+    val dir = freshDir("xprocess")
+    val nParent = 400L; val nChild = 700L
+    val sync = Files.createTempDirectory("graft_audit_xproc")
+    val ready = sync.resolve("ready"); val go = sync.resolve("go")
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java")
+      .toString
+    val child = new ProcessBuilder(javaBin, "-Xmx2g",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.sources.AuditSinkRaceChild",
+        dir, nChild.toString, ready.toString, go.toString)
+      .redirectErrorStream(true)
+      .redirectOutput(ProcessBuilder.Redirect.to(
+        sync.resolve("child.log").toFile))
+      .start()
+    try {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (!Files.exists(ready) && child.isAlive &&
+             System.nanoTime() < deadline) Thread.sleep(20)
+      assert(Files.exists(ready), "child session never came up: " +
+        new String(Files.readAllBytes(sync.resolve("child.log")), UTF_8)
+          .takeRight(2000))
+      // release the child and commit concurrently from THIS process
+      Files.write(go, Array.empty[Byte])
+      val parentLoss =
+        try { writeRange(dir, nParent, 2); None }
+        catch { case e: Exception => Some(e) }
+      assert(child.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+        "child JVM did not finish")
+      val code = child.exitValue()
+      assert(code == 0 || code == 3, // 3 = loud contract loss
+        s"child exited $code (4 = non-contract failure): " +
+        new String(Files.readAllBytes(sync.resolve("child.log")), UTF_8)
+          .takeRight(2000))
+      parentLoss.foreach { e =>
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Seq.empty
+          else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(e).exists(_.contains("concurrent committer")) ||
+               msgs(e).exists(_.contains("commit fenced")) ||
+               msgs(e).exists(_.contains("Writing job aborted")),
+          s"parent failed outside the contract: $e")
+      }
+      // at least one committer must have published
+      assert(parentLoss.isEmpty || code == 0,
+        "both committers lost — the race must have a winner")
+      // the published snapshot is complete and self-consistent
+      val parts = AuditSink.committedParts(dir)
+      parts.foreach(p => assert(Files.exists(p), s"manifest names missing $p"))
+      val (_, totalRows, totalSum) = AuditSink.manifestTotals(dir)
+      assert(totalRows === nParent || totalRows === nChild,
+        s"mixed snapshot? rows=$totalRows")
+      val back = readCommitted(dir).collect()
+      assert(back.length.toLong === totalRows)
+      val recomputed = back.map(r =>
+        AuditSink.rowHash(Seq(r.getLong(0), r.getLong(1))))
+        .foldLeft(0L)(_ ^ _)
+      assert(recomputed === totalSum,
+        "manifest checksum does not describe disk bytes")
+    } finally {
+      if (child.isAlive) child.destroyForcibly()
+      val w = Files.walk(sync)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally w.close()
+    }
+  }
 }
