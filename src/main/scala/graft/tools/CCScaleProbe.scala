@@ -243,6 +243,48 @@ object CCScaleProbe {
         s"iterations=${plain.iterations}")
       mismatches("plain", plain.assignments)
     }
+    if (mode == "preview") {
+      // Isolated componentsPreview measurement (r13 verdict #3 tail):
+      // the live-giant preview number depends on the session the
+      // fixpoint left behind (thread count, heap at the ceiling, GC
+      // churn), which confounded the post-fix 10⁸ re-leg. This mode
+      // times the aggregate alone: closed-form assignments with the
+      // converged giant's exact shape — a mega-component holding 90%
+      // of rows plus a long tail of 100-member components — built
+      // fresh, checkpointed, then previewed twice (the repeat shows
+      // cache-state sensitivity). args: `<nRows> preview`.
+      val n = nBlocks.toLong
+      val cut = n / 10L * 9L
+      val assign = spark.range(0L, n).select(
+        col("id").as("node"),
+        when(col("id") < cut, lit(0L))
+          .otherwise(expr("(id div 100) * 100")).as("component"))
+      val chk = time("materialize closed-form assignments") {
+        val c = assign.localCheckpoint(); c.count(); c
+      }
+      for (rep <- 1 to 2) {
+        val rows = time(s"componentsPreview rep $rep (mega row)") {
+          ConnectedComponents.componentsPreview(chk, 100)
+            .where(col("component") === 0L).collect()
+        }
+        require(rows.length == 1, s"expected one mega row, got ${rows.length}")
+        val pv = rows(0)
+        require(pv.getLong(1) == cut && pv.getLong(2) == 0L &&
+          pv.getSeq[Long](3) == (0L until 100L).toSeq,
+          "mega-component preview row diverged")
+      }
+      val tail = ConnectedComponents.componentsPreview(chk, 100)
+        .where(col("component") =!= 0L)
+      val tailN = tail.count()
+      val badTail = tail.where(col("n_members") =!= 100L).count()
+      System.err.println(
+        s"[probe] preview tail: $tailN components, $badTail not 100-sized")
+      require(tailN == (n - cut + 99L) / 100L, "tail component count diverged")
+      // every tail group is full when (n - cut) divides evenly; at most
+      // the last one is partial otherwise
+      require(badTail <= (if ((n - cut) % 100L == 0L) 0L else 1L),
+        s"$badTail mis-sized tail components")
+    }
     if (mode == "giant") {
       val nNodes = nBlocks.toLong // first arg is the raw node count here
       val shape = args.drop(2).headOption.getOrElse("new")
