@@ -158,7 +158,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+    // The driver's committed BENCH_r{N}.json derives from this line —
+    // carrying the clock witness here means every driver-window
+    // artifact can be drift-normalized by scripts/bench_diff.py.
+    val json = f"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"microbench_start_sec":$microStart%.4f,"microbench_end_sec":$microEnd%.4f,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // The per-query line above is one very long JSON line; in r5 the
     // driver's stdout-tail parser clipped it and recorded parsed:null.
