@@ -38,25 +38,40 @@ object GraphQueries {
       val cliques = Tables.lineitem(s, d)
         .groupBy("l_orderkey")
         .agg(collect_set(col("l_partkey")).as("nodes"))
-      EdgeBuilder.cliqueEdgesGen(cliques) // streamed Generator: 3-4× the HOF form on this expansion (GenProbe)
+      Pin(EdgeBuilder.cliqueEdgesGen(cliques) // streamed Generator: 3-4× the HOF form on this expansion (GenProbe)
         .where(col("src") =!= col("dst"))
         .select(col("dst").as("u"), col("src").as("v")) // src>=dst ⇒ u<v
-        .distinct()
-        .localCheckpoint()
+        .distinct())
     }
 
-  /** Both orientations of [[undirectedEdges]], memoized/checkpointed for
-    * the per-node traversals (betweenness) — the same treat-derived-
-    * graphs-as-tables discipline as edgeMemo, so repeated level joins
-    * scan a materialized table instead of re-deriving the expansion.
+  /** Both orientations of [[undirectedEdges]], memoized columnar-cached
+    * ([[Pin]]) for the per-node traversals (betweenness, khop,
+    * shortest-path, pagerank/ppr) — the same treat-derived-graphs-as-
+    * tables discipline as edgeMemo, so repeated level joins scan a
+    * materialized table instead of re-deriving the expansion.
     */
   private val dirMemo = new Memo[DataFrame]
   private def directedEdges(spark: SparkSession, sfDir: String): DataFrame =
     dirMemo(spark, sfDir) { (s, dd) =>
       val e = undirectedEdges(s, dd)
-      e.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
-        .localCheckpoint()
+      Pin(e.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(e.select(col("v").as("src"), col("u").as("dst"))))
+    }
+
+  /** [[directedEdges]] joined with per-src out-degree — the iteration
+    * table [[pageRankTop]] and [[pprTop]] both walk. Each used to build
+    * and `localCheckpoint` its own copy PER INVOCATION (one full
+    * derivation + a ~200 MB row-object materialization per bench rep);
+    * it is a derived graph table like the edge memos, so it gets the
+    * same memo + columnar cache (guide §2.4: don't recompute what is
+    * already a table).
+    */
+  private val contribMemo = new Memo[DataFrame]
+  private def contribEdges(spark: SparkSession, sfDir: String): DataFrame =
+    contribMemo(spark, sfDir) { (s, dd) =>
+      val dedges = directedEdges(s, dd)
+      val deg = dedges.groupBy("src").agg(count(lit(1)).as("deg"))
+      Pin(dedges.join(deg, "src"))
     }
 
   /** |V| of the co-purchase graph, one count per (session, sfDir) —
@@ -66,9 +81,17 @@ object GraphQueries {
   private def nNodes(spark: SparkSession, sfDir: String): Long =
     nNodesMemo(spark, sfDir) { (s, d) => allNodes(s, d).count() }
 
+  /** Distinct node table, memoized columnar-cached: 9 queries read it,
+    * and [[pprTop]] read it INSIDE its 5-round loop — each read was a
+    * full lineitem scan + distinct shuffle (guide §2.4: an `orderBy`/
+    * `distinct` re-run per iteration is an Exchange you can delete).
+    */
+  private val nodesMemo = new Memo[DataFrame]
   private def allNodes(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
-      .select(col("l_partkey").cast("bigint").as("node")).distinct()
+    nodesMemo(spark, sfDir) { (s, d) =>
+      Pin(Tables.lineitem(s, d)
+        .select(col("l_partkey").cast("bigint").as("node")).distinct())
+    }
 
   /** Degree histogram: how many nodes have each degree. Isolated parts
     * (only ever bought alone) surface as degree 0 — same
@@ -124,7 +147,7 @@ object GraphQueries {
     */
   private val triMemo = new Memo[DataFrame]
   private def perNodeTriangles(spark: SparkSession, sfDir: String): DataFrame =
-    triMemo(spark, sfDir) { (s, d) => perNodeTrianglesBuild(s, d).localCheckpoint() }
+    triMemo(spark, sfDir) { (s, d) => Pin(perNodeTrianglesBuild(s, d)) }
 
   /** Uncached build behind [[perNodeTriangles]]'s memo: the oriented
     * adjacency + intersection join used to rerun per invocation (~7s of
@@ -267,9 +290,9 @@ FROM coeff GROUP BY deg_band ORDER BY deg_band
   private val hqBaseMemo = new Memo[DataFrame]
   private[graft] def hqBaseAssignments(spark: SparkSession, sfDir: String): DataFrame =
     hqBaseMemo(spark, sfDir) { (s, d) =>
-      ConnectedComponents.runContracted(
+      Pin(ConnectedComponents.runContracted(
           EdgeBuilder.starEdges(hqCliques(s, d, lit(true))))
-        .assignments.localCheckpoint()
+        .assignments)
     }
 
   /** [[ccIncremental]]'s base fixpoint (high-quantity graph minus the
@@ -279,9 +302,9 @@ FROM coeff GROUP BY deg_band ORDER BY deg_band
   private val hqIncBaseMemo = new Memo[DataFrame]
   private[graft] def hqIncBaseAssignments(spark: SparkSession, sfDir: String): DataFrame =
     hqIncBaseMemo(spark, sfDir) { (s, d) =>
-      ConnectedComponents.runContracted(
+      Pin(ConnectedComponents.runContracted(
           EdgeBuilder.starEdges(hqCliques(s, d, col("l_orderkey") % 10 =!= 7)))
-        .assignments.localCheckpoint()
+        .assignments)
     }
 
   /** Incremental CC maintenance: labels for the FULL graph computed as
@@ -412,30 +435,26 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
     val scaleF = 1000000000L // 10⁹ fixed-point
     val base = 150000000L // 0.15 × scale
     val iters = 5
-    val e = undirectedEdges(spark, sfDir)
-    val dedges = e.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
-    val deg = dedges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val contribEdges = dedges.join(deg, "src").localCheckpoint()
+    val contribE = contribEdges(spark, sfDir)
     val nodes = allNodes(spark, sfDir)
     // State between iterations is the CONTRIBUTION table (nodes with
     // in-edges only, ≤ |V| rows), not the full rank vector: rank(x) is
     // recoverable as base + 85·c/100 with c=0 for absent nodes, so each
     // iteration is ONE broadcast of the previous contributions
-    // left-joined into the (checkpointed, never reshuffled) edge list
-    // plus one map-side-combined sum — iteration 1 skips even that,
-    // since the initial rank is a constant.
+    // left-joined into the (memoized columnar-cached, never reshuffled)
+    // edge list plus one map-side-combined sum — iteration 1 skips even
+    // that, since the initial rank is a constant.
     val zero = "cast(0 AS bigint)"
-    // Contribution-table rows are ≤ distinct dst ≤ m; contribEdges is
-    // checkpointed so the count is a cached-block scan. ONE decision
+    // Contribution-table rows are ≤ distinct dst ≤ m; contribE is
+    // cached so the count is a cached-block scan. ONE decision
     // covers all iterations — past the cap every per-iteration join
     // degrades to an AQE-planned shuffle join on `src`, same shape.
-    val m = contribEdges.count()
-    var contribs = contribEdges
+    val m = contribE.count()
+    var contribs = contribE
       .select(col("dst").as("node"), expr(s"$scaleF div deg").as("c"))
       .groupBy("node").agg(sum(col("c")).as("c"))
     for (_ <- 2 to iters) {
-      contribs = contribEdges
+      contribs = contribE
         .join(Hints.maybeBroadcast(contribs.withColumnRenamed("node", "src"), m),
           Seq("src"), "left")
         .select(col("dst").as("node"),
@@ -472,13 +491,13 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
     */
   def khopHist(spark: SparkSession, sfDir: String): DataFrame = {
     val hops = 4
-    val e = undirectedEdges(spark, sfDir)
-    val dedges = e.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint(false)
+    // The memoized directed edge table IS both orientations of the
+    // undirected memo — the per-call union + lazy checkpoint this used
+    // to build duplicated it per invocation (guide §2.4).
+    val dedges = directedEdges(spark, sfDir)
     val seed = allNodes(spark, sfDir).agg(min(col("node"))).head.getLong(0)
     import spark.implicits._
-    // Frontier rows ≤ reachable nodes ≤ |dedges| = 2m (checkpointed, so
+    // Frontier rows ≤ reachable nodes ≤ |dedges| = 2m (cached, so
     // the count is a cached-block scan); past the cap each hop degrades
     // to an AQE-planned shuffle join of the same shape.
     val twoM = dedges.count()
@@ -521,13 +540,12 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
     */
   def shortestPath(spark: SparkSession, sfDir: String): DataFrame = {
     val hops = 6
-    val e = undirectedEdges(spark, sfDir)
-    val w = expr("(src + dst) % 9 + 1")
-    val dedges = e.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
-      .select(col("src"), col("dst"), w.as("w"))
-      .localCheckpoint(false)
-    val twoM = dedges.count()
+    // Narrow projection over the memoized directed edge table: the
+    // weight is symmetric in (src, dst), so both orientations carry the
+    // identical `(u + v) % 9 + 1` the per-call union used to compute.
+    val dedges = directedEdges(spark, sfDir)
+      .select(col("src"), col("dst"), expr("(src + dst) % 9 + 1").as("w"))
+    val twoM = directedEdges(spark, sfDir).count()
     var dist = allNodes(spark, sfDir)
       .where(col("node") % 97 === 0)
       .select(col("node"), lit(0L).as("d"))
@@ -786,14 +804,15 @@ ORDER BY node
   private def weightedPairs(spark: SparkSession, sfDir: String): DataFrame = {
     if (weightedMemo.size > 4) weightedMemo.clear()
     weightedMemo.computeIfAbsent((spark, sfDir), { case (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .agg(count(lit(1)).as("w"))
-        .localCheckpoint()
+      // Streamed clique Generator instead of the self-join (same swap
+      // as CCQueries.percWeighted — see its comment for the
+      // equivalence argument and the GenProbe measurement).
+      val cliques = Tables.lineitem(s, d)
+        .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("nodes"))
+      Pin(EdgeBuilder.cliqueEdgesGen(cliques)
+        .where(col("src") =!= col("dst"))
+        .select(col("dst").as("u"), col("src").as("v")) // src>=dst ⇒ u<v
+        .groupBy("u", "v").agg(count(lit(1)).as("w")))
     })
   }
 
@@ -918,19 +937,29 @@ FROM ranked WHERE rank <= 3 ORDER BY a, rank
   def lpa(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val weighted = weightedPairs(spark, sfDir).where(col("w") >= 2)
+    // Narrow union over the memoized columnar-cached weighted table; a
+    // lazy checkpoint here only re-materialized cached data as fat row
+    // objects (the r14 storage finding — see Pin's scaladoc).
     val sym = weighted.select(col("u").as("node"), col("v").as("nbr"), col("w"))
       .unionAll(weighted.select(col("v").as("node"), col("u").as("nbr"), col("w")))
-      .localCheckpoint(false)
     var labels = allNodes(spark, sfDir).withColumn("lbl", col("node"))
     for (_ <- 1 to 3) {
       val votes = sym
         .join(labels.select(col("node").as("nbr"), col("lbl")), "nbr")
         .groupBy("node", "lbl").agg(sum(col("w")).as("score"))
+      // Winner = label maximizing (score, then LOWEST label) — as a
+      // single combinable max-of-struct aggregate instead of the old
+      // row_number window (shuffle + per-partition sort): struct
+      // ordering is field-by-field, so max(score, -lbl, lbl) picks the
+      // highest score and breaks ties toward the smallest label —
+      // exactly the window's (score DESC, lbl ASC) rank-1 row. Labels
+      // are node ids ≥ 0, so the negation is overflow-safe. Guide §2.3:
+      // an aggregate gets a map-side partial pass; a window never does.
       val winners = votes
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("node").orderBy(col("score").desc, col("lbl"))))
-        .where(col("rn") === 1)
-        .select(col("node"), col("lbl").as("new_lbl"))
+        .groupBy("node")
+        .agg(max(struct(col("score"), negate(col("lbl")).as("neg"),
+          col("lbl"))).as("m"))
+        .select(col("node"), col("m.lbl").as("new_lbl"))
       labels = labels
         .join(winners, Seq("node"), "left")
         .select(col("node"),
@@ -1215,18 +1244,14 @@ FROM a2 ORDER BY authority_fp DESC, part LIMIT 20
     val scaleF = 1000000000L
     val base = 150000000L
     val iters = 5
-    val e = undirectedEdges(spark, sfDir)
-    val dedges = e.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
-    val deg = dedges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val contribEdges = dedges.join(deg, "src").localCheckpoint()
+    val contribE = contribEdges(spark, sfDir)
     val nodes = allNodes(spark, sfDir)
     val seeds = nodes.orderBy("node").limit(10)
       .select(col("node"), lit(1L).as("is_seed")).localCheckpoint()
-    val m = contribEdges.count()
+    val m = contribE.count()
     var rank = seeds.select(col("node"), lit(scaleF).as("rank"))
     for (_ <- 1 to iters) {
-      val contribs = contribEdges
+      val contribs = contribE
         .join(Hints.maybeBroadcast(rank.withColumnRenamed("node", "src"), m),
           Seq("src"))
         .select(col("dst").as("node"), expr("rank div deg").as("c"))
@@ -1297,10 +1322,9 @@ SELECT node, rank FROM r5 ORDER BY rank DESC, node LIMIT 20
     modLabeledMemo(spark, sfDir) { (s, d) =>
       val brands = Tables.part(s, d)
         .select(col("p_partkey").as("node"), col("p_brand"))
-      val l = undirectedEdges(s, d)
+      val l = Pin(undirectedEdges(s, d)
         .join(broadcast(brands.toDF("u", "bu")), "u")
-        .join(broadcast(brands.toDF("v", "bv")), "v")
-        .localCheckpoint()
+        .join(broadcast(brands.toDF("v", "bv")), "v"))
       (l, l.count())
     }
 
@@ -1731,6 +1755,24 @@ FROM m
     var dep = visited.where(col("lev") === maxLev)
       .select(col("seed"), col("node"), col("sigma"), lit(0L).as("dppm"))
     var acc = dep.select(col("seed"), col("node"), col("dppm"))
+    // Dependency-contribution arithmetic: the decimal(38) product was
+    // the suite's single hottest expression (the two big backward
+    // levels burned 23–26 s of executor CPU each at sf0.1 — OptProbe
+    // stage dump — and decimal multiply/divide is BigDecimal per row).
+    // When every sigma fits √(2⁶³) the same value is computable in pure
+    // int64 via the exact split-product identity (proved + spec-pinned
+    // in BetweennessArithSpec): with a = 1e6 + wdppm, s = sigma,
+    // w = wsigma, all ≥ 0 and s ≤ w (a node's path count never exceeds
+    // its BFS successor's), a = qw + r gives
+    //   (a·s) div w = q·s + (r·s) div w,   r·s < w·s ≤ maxSigma².
+    // One tiny max(sigma) probe on the just-checkpointed visited table
+    // picks the path; past the guard the decimal form still runs, so
+    // giant-sigma graphs keep today's exact behavior (guide §1.2 step 2
+    // — per-task work — with the data-driven degrade discipline of
+    // Hints.maybeBroadcast).
+    val maxSigma = Option(visited.agg(max(col("sigma"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val tExpr = brandesContribExpr(intSafe = maxSigma <= 3037000499L)
     for (bl <- (maxLev - 1) to 0 by -1) {
       val succ = dep.select(col("seed").as("ws"), col("node").as("wn"),
         col("sigma").as("wsigma"), col("dppm").as("wdppm"))
@@ -1738,9 +1780,7 @@ FROM m
       val contrib = d.join(hint(cur), col("node") === col("src"))
         .join(hint(succ),
           col("seed") === col("ws") && col("dst") === col("wn"))
-        .select(col("seed"), col("node"),
-          expr("cast((cast(sigma AS decimal(38,0)) * (1000000 + wdppm))" +
-            " div wsigma AS bigint)").as("t"))
+        .select(col("seed"), col("node"), tExpr.as("t"))
         .groupBy("seed", "node").agg(sum(col("t")).as("dppm"))
       dep = cur.join(hint(contrib), Seq("seed", "node"), "left")
         .select(col("seed"), col("node"), col("sigma"),
@@ -1752,6 +1792,22 @@ FROM m
       .groupBy("node").agg(sum(col("dppm")).as("bc_ppm"))
       .orderBy(col("bc_ppm").desc, col("node")).limit(20)
   }
+
+  /** Brandes per-edge dependency contribution
+    * `(sigma · (10⁶ + wdppm)) div wsigma` over columns
+    * (sigma, wdppm, wsigma) — int64 split-product form when the caller
+    * proved `max(sigma) ≤ ⌊√(2⁶³−1)⌋`, decimal(38) otherwise. Both
+    * forms are value-identical on the guarded domain
+    * (BetweennessArithSpec drives them against each other and against
+    * BigInt ground truth).
+    */
+  private[graft] def brandesContribExpr(intSafe: Boolean): org.apache.spark.sql.Column =
+    if (intSafe)
+      expr("((1000000 + wdppm) div wsigma) * sigma" +
+           " + ((1000000 + wdppm) % wsigma) * sigma div wsigma")
+    else
+      expr("cast((cast(sigma AS decimal(38,0)) * (1000000 + wdppm))" +
+           " div wsigma AS bigint)")
 
   // Mirrors the level-synchronous Brandes passes as chained MATERIALIZED
   // CTEs (bounded depth needs no recursion; plain CTEs would re-inline).
@@ -1858,6 +1914,8 @@ FROM cl GROUP BY 1 ORDER BY 1
     perNodeTriangles(spark, sfDir).count()
     modLabeled(spark, sfDir)
     directedEdges(spark, sfDir).count()
+    contribEdges(spark, sfDir).count()
+    allNodes(spark, sfDir).count()
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -13,6 +13,33 @@ import org.apache.spark.sql.SparkSession
   * dirs, so the clear never fires there. Worst case under a race is a
   * recompute, never a wrong result.
   */
+/** Materialization for memoized derived tables (r14, guide §1.1/§5).
+  *
+  * Eager local checkpoint, factored out so the storage decision is in
+  * ONE place with its measurement history: r14 A/B-tested columnar
+  * `cache()` against `localCheckpoint()` for these tables after
+  * finding the checkpoint blocks are ~10× the columnar footprint
+  * (200 MB vs 38 MB for the 1.8M-row directed edge list, 11 MB in
+  * parquet). The columnar variant LOST — per-query wall rose 15-60%
+  * (kcore 2.56→3.64 s, shortest_path 2.34→3.35 s, lpa 1.70→3.81 s):
+  * the InMemoryTableScan → ColumnarToRow path costs more CPU per
+  * rescan than iterating the fat-but-flat checkpointed rows, and the
+  * cached tables keep all 32 build partitions where the checkpoint
+  * inherits AQE-coalesced ones, tripling per-stage task counts on a
+  * suite dominated by per-task fixed costs. Deserialized row blocks +
+  * few partitions win for broadcast-probe rescans at this scale; at
+  * cluster scale the same tables would be parquet/bucketed tables, not
+  * executor-memory pins (SCALE.md).
+  *
+  * Loop-LOCAL checkpoints (CC fixpoint rounds, BFS frontiers) are not
+  * routed through here: they are scanned once or twice and need
+  * lineage truncation, not sharing.
+  */
+private[queries] object Pin {
+  def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.localCheckpoint()
+}
+
 private[queries] final class Memo[V] {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V]()
