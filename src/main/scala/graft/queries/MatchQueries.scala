@@ -47,7 +47,17 @@ object MatchQueries {
     // ngram pipeline measured with TrigramHashes). A hash collision can
     // only ADD a candidate pair, and the levenshtein verify removes it
     // — correctness does not depend on collision-freeness.
-    val variants = names.select(col("name"), explode(expr(
+    //
+    // Spread the name table over the cluster's cores first: the
+    // distinct upstream AQE-coalesces to one ~1 MB partition — right
+    // for its bytes, wrong for the L× variant expansion, hash join and
+    // banded-levenshtein verify that explode out of it (measured at
+    // sf0.1: the whole query ran in single tasks — probe tasks=5,
+    // 3.0 s of single-threaded CPU). defaultParallelism follows the
+    // cluster, not a local constant (guide §2.5).
+    val spread = names.repartition(
+      names.sparkSession.sparkContext.defaultParallelism)
+    val variants = spread.select(col("name"), explode(expr(
       "transform(sequence(1, length(name)), i -> " +
         "xxhash64(concat(substring(name, 1, i - 1), '_', " +
         "substring(name, i + 1, length(name)), '#', length(name))))"))
@@ -91,8 +101,12 @@ ORDER BY name_a, name_b
     * unrelated deletion) harmless.
     */
   def fuzzyIndelPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    // Same core-spread as [[fuzzyPairsOf]]: the deletion-neighborhood
+    // expansion and verify are CPU-bound row explosions over a
+    // byte-tiny distinct input.
     val names = Tables.part(spark, sfDir)
       .select(col("p_name").as("name")).distinct()
+      .repartition(spark.sparkContext.defaultParallelism)
     val variants = names.select(col("name"), explode(array_distinct(expr(
       "transform(sequence(0, length(name)), j -> xxhash64(" +
         "CASE WHEN j = 0 THEN name " +

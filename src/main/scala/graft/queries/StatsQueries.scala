@@ -1140,7 +1140,19 @@ FROM scan ORDER BY abs(n_days * cum - k * total) DESC, day LIMIT 5
     // calendar-bound the scale argument above rests on: 60k daily rows
     // ≈ 30+ years × the 5 priority groups. More means the grouping key
     // changed and the O(n²) pairwise join below is no longer safe.
-    val dailyCk = daily.localCheckpoint()
+    // Spread the tiny daily series across the cluster's cores BEFORE
+    // the pairwise explosion: AQE coalesces the ~12k-row aggregate to
+    // ONE post-shuffle partition (right for its byte size), but the
+    // O(n²) slope generation downstream is CPU-bound, not byte-bound —
+    // measured at sf0.1 the whole 13M-pair explosion ran in a single
+    // task (probe: tasks=14 over 14 stages, 3.9 s single-threaded).
+    // Round-robin over defaultParallelism is scale-adaptive (it follows
+    // the cluster size, not a local constant) and costs one shuffle of
+    // the CALENDAR-BOUNDED series (guide §2.5: partition count must
+    // follow the work, not the bytes, when rows explode downstream).
+    val dailyCk = daily
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
     val nDaily = dailyCk.count()
     require(nDaily <= 60000L,
       s"theilsen: daily series has $nDaily rows — not calendar-bounded; " +
@@ -1242,6 +1254,10 @@ FROM ranked WHERE rn = (n + 1) // 2 ORDER BY o_orderpriority
       .select(col("g"),
         datediff(col("d"), lit("1992-01-01").cast("date")).cast("long").as("x"),
         col("y"))
+      // Same core-spread as theilSen (see its comment): the O(n²) sign
+      // pass downstream is CPU-bound while AQE coalesces this tiny
+      // aggregate to one partition by bytes.
+      .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint()
     val nDaily = daily.count()
     require(nDaily <= 60000L,
