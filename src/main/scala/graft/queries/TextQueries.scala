@@ -724,12 +724,23 @@ GROUP BY source ORDER BY source
       .select(col("doc_id"), w.as("w"))
       .where(size(col("w")) >= 5)
       .select(col("doc_id"), explode(grams5).as("g"))
-    val df = occ.distinct()
+    // Join the occurrences against ONLY the grams that matter (df ≥ 3)
+    // instead of the full gram-frequency table: boilerplate grams are a
+    // small minority of distinct grams, so the join's build side shrinks
+    // by ~the boilerplate rate and stays broadcastable far beyond where
+    // the full DF table stops fitting (guide §3.2 — pre-filter the join
+    // input; the big exploded side is never shuffled). A LEFT join
+    // keeps every occurrence row, so n_grams = count(*) is unchanged
+    // and n_boiler counts the matched rows — row-for-row identical to
+    // the old inner-join + sum(when(df >= 3)) form.
+    val boilerGrams = occ.distinct()
       .groupBy("g").agg(count(lit(1)).as("df"))
-    occ.join(df, "g")
+      .where(col("df") >= 3)
+      .select(col("g"), lit(1L).as("hit"))
+    occ.join(boilerGrams, Seq("g"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
-           sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_boiler"))
+           count(col("hit")).as("n_boiler"))
       .select(col("doc_id"), col("n_grams"), col("n_boiler"),
         expr("(n_boiler * 1000000) div n_grams").as("boiler_ppm"))
       .orderBy("doc_id")
