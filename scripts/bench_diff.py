@@ -38,6 +38,22 @@ def micro(d):
     return sum(vals) / len(vals) if vals else None
 
 
+def micro_mt(d):
+    """Mean of the multi-core witness readings (r14+ artifacts), or None.
+
+    The single-thread witness misses core THEFT: a co-tenant can take
+    half the cores while per-core throughput reads normal, inflating
+    every many-task query 2-4x (the r14 resumed-session false alarm:
+    verdict CODE on 30 movers that all re-probed at baseline).  The
+    multi-core witness runs the same loop on min(16, cores) threads;
+    under theft the slowest-thread wall rises far beyond the
+    single-thread number.
+    """
+    vals = [d[k] for k in ("microbench_mt_start_sec", "microbench_mt_end_sec")
+            if isinstance(d.get(k), (int, float))]
+    return sum(vals) / len(vals) if vals else None
+
+
 def family(name):
     return name.lstrip("_").split("_", 1)[0]
 
@@ -67,6 +83,17 @@ def main():
     else:
         print("clock witness: absent in at least one artifact "
               "(pre-r14 record) -- falling back to per-query band only")
+
+    mta, mtb = micro_mt(a), micro_mt(b)
+    cores_contended = False
+    if mta and mtb:
+        mt_ratio = mtb / mta
+        cores_contended = mt_ratio > 1.3
+        print(f"multi-core witness: {mta:.3f}s -> {mtb:.3f}s "
+              f"({mt_ratio:.2f}x"
+              + ("; candidate window had CONTENDED CORES -- expect "
+                 "many-task queries inflated beyond the per-core clock"
+                 if cores_contended else "; no core-theft signal") + ")")
 
     failed_a = sorted(k for k, v in qa.items() if v < 0)
     failed_b = sorted(k for k, v in qb.items() if v < 0)
@@ -142,7 +169,15 @@ def main():
         few_movers = (len(regressed) <= max(3, len(common) // 20)
                       and len(fams) > 1)
         uniform_shift = (not improved and med_r >= 1.03 and len(fams) >= 3)
-        clockish = in_env and (few_movers or uniform_shift)
+        # Contended-core windows break the uniform_shift test when the
+        # candidate ALSO carries real code improvements (improved != []):
+        # the r14 resumed session read CODE on 30 cross-family movers
+        # that all re-probed at baseline.  When the candidate's own
+        # multi-core witness says cores were stolen and the regressions
+        # are spread across >=3 families, trust the witness.
+        contended_window = cores_contended and len(fams) >= 3
+        clockish = (in_env and (few_movers or uniform_shift)) \
+            or contended_window
         # external-load witness from the candidate's own loadavg fields
         try:
             load1 = max(float(str(b.get(k, "0")).split()[0])
@@ -156,11 +191,17 @@ def main():
             spot = ("; spot-check the >2x movers against the record's "
                     f"commit ({', '.join(big[:3])}: byte-identical source "
                     "=> host)" if big else "")
-            shape = ("the whole suite shifted uniformly (0 improved) -- "
-                     "external load, not code" if uniform_shift and
-                     not few_movers else
-                     f"the {len(regressed)} regressed movers are "
-                     "jitter-prone tails across families; no code signal")
+            if contended_window and not (in_env and (few_movers
+                                                     or uniform_shift)):
+                shape = (f"the multi-core witness flags core theft; the "
+                         f"{len(regressed)} regressed movers span "
+                         f"{len(fams)} families -- host, not code")
+            elif uniform_shift and not few_movers:
+                shape = ("the whole suite shifted uniformly (0 improved) "
+                         "-- external load, not code")
+            else:
+                shape = (f"the {len(regressed)} regressed movers are "
+                         "jitter-prone tails across families; no code signal")
             verdict = (f"CLOCK/HOST -- median ratio {med_r:.2f} "
                        f"{env_note}; {shape}{load_note}{spot}")
         else:

@@ -27,6 +27,29 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Multi-core clock witness: the SAME fixed-instruction loop on
+    * min(16, cores) threads at once, reporting the slowest thread's
+    * wall. The single-thread witness misses the host axis that
+    * actually bends this suite: a co-tenant stealing CORES inflates
+    * parallel iterative queries 2–4× while per-core throughput reads
+    * normal (r14 resumed session: a 265 s window whose 30 "regressed"
+    * movers all re-probed at baseline minutes later — every one a
+    * many-task shape, witness 0.97 s ≈ normal). Under core theft the
+    * threads contend and the slowest-thread wall rises; quiet, it
+    * tracks the single-thread number. Additive JSON fields
+    * (`microbench_mt_*`); scripts/bench_diff.py reads them when
+    * present.
+    */
+  def cpuMicrobenchMt(): Double = {
+    val n = math.min(16, Runtime.getRuntime.availableProcessors())
+    val walls = new Array[Double](n)
+    val ts = (0 until n).map { k =>
+      new Thread(() => { walls(k) = cpuMicrobench() })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    walls.max
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -68,6 +91,7 @@ object Bench {
     // pass settles the JIT so the number measures the core, not the
     // compiler.
     val microStart = cpuMicrobench()
+    val microMtStart = cpuMicrobenchMt()
     val wallStart = java.time.Instant.now().toString
     val fullOut = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL_OUT",
@@ -134,16 +158,19 @@ object Bench {
       // their ~7 reader queries; now one timed build, same accounting
       // contract as the rows above (additive: no existing row renamed
       // or removed).
-      timedBuild("_prewarm_dedup_memos") {
-        graft.queries.DedupQueries.prewarmDedupMemos(spark, sfDir) },
       // r14: the normalized embedding table (sim family + dedup ANN)
       // and the geo point table — both byte-tiny single-task scans
       // whose downstream vector/distance math serialized on one core;
       // memoized core-spread checkpoints, timed here (additive rows).
+      // Ordered BEFORE the dedup row: the ANN pair memo built there
+      // reads the normalized table, so this keeps each row charged
+      // its own build.
       timedBuild("_prewarm_sim_memos") {
         graft.queries.SimilarityQueries.prewarmSimMemos(spark, sfDir) },
       timedBuild("_prewarm_geo_memos") {
-        graft.queries.GeoQueries.prewarmGeoMemos(spark, sfDir) })
+        graft.queries.GeoQueries.prewarmGeoMemos(spark, sfDir) },
+      timedBuild("_prewarm_dedup_memos") {
+        graft.queries.DedupQueries.prewarmDedupMemos(spark, sfDir) })
     // A failed query is recorded as -1 (visible in the JSON) and kept
     // out of the total — silently charging its elapsed time would make
     // a broken suite look fast.
@@ -171,13 +198,14 @@ object Bench {
     // queries complete), so the loop is effectively single-threaded;
     // measuring before the JSON lines keeps both artifacts complete.
     val microEnd = cpuMicrobench()
+    val microMtEnd = cpuMicrobenchMt()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // The driver's committed BENCH_r{N}.json derives from this line —
     // carrying the clock witness here means every driver-window
     // artifact can be drift-normalized by scripts/bench_diff.py.
-    val json = f"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"microbench_start_sec":$microStart%.4f,"microbench_end_sec":$microEnd%.4f,"queries":$qs,"sf":"$sfDir"}"""
+    val json = f"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"microbench_start_sec":$microStart%.4f,"microbench_end_sec":$microEnd%.4f,"microbench_mt_start_sec":$microMtStart%.4f,"microbench_mt_end_sec":$microMtEnd%.4f,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // The per-query line above is one very long JSON line; in r5 the
     // driver's stdout-tail parser clipped it and recorded parsed:null.
@@ -186,7 +214,7 @@ object Bench {
     val nFailed = timed.count(_._2 < 0)
     // Distinct metric name so a parser keying on metric:"total" can only
     // ever pick the full per-query record above (ADVICE r6).
-    println(f"""{"metric":"total_summary","value":$total,"unit":"sec","reps":$reps,"n":${results.size},"failed":$nFailed,"microbench_start_sec":$microStart%.4f,"microbench_end_sec":$microEnd%.4f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total_summary","value":$total,"unit":"sec","reps":$reps,"n":${results.size},"failed":$nFailed,"microbench_start_sec":$microStart%.4f,"microbench_end_sec":$microEnd%.4f,"microbench_mt_start_sec":$microMtStart%.4f,"microbench_mt_end_sec":$microMtEnd%.4f,"sf":"$sfDir"}""")
     // Belt and braces: the build routes forked stdout through verbatim
     // (run / outputStrategy := StdoutOutput), and the full line is also
     // mirrored to a file the driver can read directly.
@@ -200,6 +228,7 @@ object Bench {
       s""""wall_start":"$wallStart","wall_end":"${java.time.Instant.now().toString}",""" +
       s""""loadavg_start":"$loadStart","loadavg_end":"${loadavg()}",""" +
       f""""microbench_start_sec":$microStart%.4f,"microbench_end_sec":$microEnd%.4f,""" +
+      f""""microbench_mt_start_sec":$microMtStart%.4f,"microbench_mt_end_sec":$microMtEnd%.4f,""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
     try {
       val parent = fullOut.getParent

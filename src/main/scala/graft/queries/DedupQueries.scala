@@ -724,7 +724,18 @@ SELECT node AS vec_id, min(comp) AS cluster FROM walk GROUP BY node ORDER BY vec
     */
   private val AnnMaxBucket = 256
 
-  private[queries] def embeddingAnnPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Verified near-duplicate pair set — memoized checkpointed (r14):
+    * TWO graded queries ([[dedupEmbeddingAnn]], [[dedupAnnRecall]])
+    * each re-ran the whole 12-table LSH bucketing, cold-bucket
+    * self-join and dot-product verify per invocation; it is a shared
+    * derived table like the family's other memos (guide §2.4). Built
+    * in the `_prewarm_dedup_memos` bench row.
+    */
+  private val annPairsMemo = new Memo[DataFrame]
+  private[queries] def embeddingAnnPairs(spark: SparkSession, sfDir: String): DataFrame =
+    annPairsMemo(spark, sfDir) { (s, d) => Pin(embeddingAnnPairsBuild(s, d)) }
+
+  private def embeddingAnnPairsBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val n = SimilarityQueries.normalized(spark, sfDir) // memoized checkpointed (r14)
     val nVecs = n.count()
     val bits = (1 to 30).find(b => (64L << b) >= nVecs)
@@ -1103,11 +1114,17 @@ FROM newd
     * contract as the graph/percolation prewarms (Bench.scala).
     */
   private[graft] def prewarmDedupMemos(spark: SparkSession, sfDir: String): Unit = {
-    docTokens(spark, sfDir).count()
-    trigramInv(spark, sfDir).count()
-    trigramShared(spark, sfDir).count()
-    minhashSigs(spark, sfDir).count()
-    simhashFingerprints(spark, sfDir).count()
+    // Three independent chains overlapped (guide §2.6, see queries.Par):
+    // the trigram chain never reads docTokens, and the two
+    // fingerprint builds share it through the memo (the second thread
+    // blocks on the first's computeIfAbsent, then reuses the table).
+    Par(
+      () => { docTokens(spark, sfDir).count()
+              minhashSigs(spark, sfDir).count() },
+      () => simhashFingerprints(spark, sfDir).count(),
+      () => { trigramInv(spark, sfDir).count()
+              trigramShared(spark, sfDir).count() },
+      () => embeddingAnnPairs(spark, sfDir).count())
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

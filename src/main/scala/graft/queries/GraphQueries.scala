@@ -857,10 +857,18 @@ SELECT w, count(*) AS n_edges FROM we GROUP BY w ORDER BY w
       .groupBy(col("a"), col("n").as("b"))
       .agg(count(lit(1)).as("common"))
       .where(col("common") >= MinCommon)
-    // drop existing neighbors (either orientation)
+    // drop existing neighbors (either orientation). Every wedge source
+    // `a` is in the query set, so the only edges that can disqualify a
+    // candidate are the Q-incident ones — and aToC IS that table (a's
+    // full neighbor list, both orientations already folded by sym).
+    // The spelling against the raw edge table built a broadcast hash
+    // relation over ALL m edges TWICE per run (55 s of executor CPU at
+    // sf0.1, the family's worst GC exposure; at volume, broadcasting
+    // the edge table is a scale-killer) where |Q|·d rows suffice
+    // (guide §3.1: broadcast the side you can PROVE small).
     val nonEdges = wedges
-      .join(e, wedges("a") === e("u") && wedges("b") === e("v"), "left_anti")
-      .join(e, wedges("a") === e("v") && wedges("b") === e("u"), "left_anti")
+      .join(broadcast(aToC.select(col("a"), col("c").as("b"))),
+        Seq("a", "b"), "left_anti")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("a").orderBy(col("common").desc, col("b"))
     nonEdges
@@ -1907,15 +1915,22 @@ FROM cl GROUP BY 1 ORDER BY 1
     * per-query rows measure their own work only (VERDICT r5 items 1-2).
     */
   private[graft] def prewarmHqBases(spark: SparkSession, sfDir: String): Unit = {
-    hqBaseAssignments(spark, sfDir).count()
-    hqIncBaseAssignments(spark, sfDir).count()
+    // Two independent CC fixpoints — many small sequential rounds each,
+    // so overlapping them back-fills the other's stage tails (§2.6).
+    Par(
+      () => hqBaseAssignments(spark, sfDir).count(),
+      () => hqIncBaseAssignments(spark, sfDir).count())
   }
   private[graft] def prewarmGraphMemos(spark: SparkSession, sfDir: String): Unit = {
-    perNodeTriangles(spark, sfDir).count()
-    modLabeled(spark, sfDir)
-    directedEdges(spark, sfDir).count()
-    contribEdges(spark, sfDir).count()
-    allNodes(spark, sfDir).count()
+    // Four independent chains off the (already-built) edge memo,
+    // overlapped (guide §2.6, see queries.Par); contribEdges stays
+    // behind directedEdges within its thread.
+    Par(
+      () => perNodeTriangles(spark, sfDir).count(),
+      () => { modLabeled(spark, sfDir); () },
+      () => { directedEdges(spark, sfDir).count()
+              contribEdges(spark, sfDir).count() },
+      () => allNodes(spark, sfDir).count())
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -40,6 +40,42 @@ private[queries] object Pin {
     df.localCheckpoint()
 }
 
+/** Overlap independent memo builds as concurrent Spark jobs (r14,
+  * guide §2.6): actions are only sequential because the driver calls
+  * them sequentially, and each build here is a small-data job whose
+  * stage tails leave most cores idle — submitting the independent
+  * chains from driver threads lets the next build's tasks back-fill
+  * executors freed by the current one's tail. FIFO scheduling keeps
+  * the earlier chain ahead; at cluster scale the same overlap fills
+  * the same tails. Dependent builds stay ordered WITHIN a thread;
+  * cross-thread collisions on one memo key block in computeIfAbsent
+  * (one build, others wait) — never a duplicate or a wrong result.
+  * The first failure is rethrown after all threads finish, so a broken
+  * build fails the prewarm row exactly as the sequential form did.
+  */
+private[queries] object Par {
+  /** `SPARK_GRAFT_SEQ_PREWARM=1` restores the old sequential order —
+    * the measurement A/B lever, and an escape hatch for a driver that
+    * must not submit concurrent jobs. */
+  private val sequential =
+    sys.env.get("SPARK_GRAFT_SEQ_PREWARM").contains("1")
+
+  def apply(thunks: (() => Unit)*): Unit = if (sequential) {
+    thunks.foreach(_())
+  } else {
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val ts = thunks.map { t =>
+      val th = new Thread(() =>
+        try t() catch { case e: Throwable => err.compareAndSet(null, e) })
+      th.setDaemon(true)
+      th.start()
+      th
+    }
+    ts.foreach(_.join())
+    if (err.get() != null) throw err.get()
+  }
+}
+
 private[queries] final class Memo[V] {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V]()

@@ -54,15 +54,29 @@ object OptProbe {
       if (p.toString.endsWith(".parquet"))
         spark.read.parquet(p.toString).count()
     }
-    graft.queries.CCQueries.ccCopurchase(spark, sfDir).count()
-    graft.queries.GraphQueries.all("graph_degree_hist")(spark, sfDir).count()
-    graft.queries.DedupQueries.all("dedup_minhash_clusters")(spark, sfDir).count()
-    graft.queries.GraphQueries.prewarmHqBases(spark, sfDir)
-    graft.queries.GraphQueries.prewarmGraphMemos(spark, sfDir)
-    graft.queries.CCQueries.prewarmPercolation(spark, sfDir)
-    graft.queries.DedupQueries.prewarmDedupMemos(spark, sfDir)
-    graft.queries.SimilarityQueries.prewarmSimMemos(spark, sfDir)
-    graft.queries.GeoQueries.prewarmGeoMemos(spark, sfDir)
+    // Timed cold-build prints mirror the bench's _prewarm_* rows, so a
+    // prewarm-shape change (e.g. the r14 Par overlap) can be A/B'd here
+    // (SPARK_GRAFT_SEQ_PREWARM=1 restores the sequential order) without
+    // a full bench run.
+    def warm(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      println(f"[prewarm] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    warm("cc_fixpoint") {
+      graft.queries.CCQueries.ccCopurchase(spark, sfDir).count() }
+    warm("degree_memo") {
+      graft.queries.GraphQueries.all("graph_degree_hist")(spark, sfDir).count() }
+    warm("minhash_clusters") {
+      graft.queries.DedupQueries.all("dedup_minhash_clusters")(spark, sfDir).count() }
+    warm("cc_hq_base") { graft.queries.GraphQueries.prewarmHqBases(spark, sfDir) }
+    warm("graph_memos") { graft.queries.GraphQueries.prewarmGraphMemos(spark, sfDir) }
+    warm("percolation") { graft.queries.CCQueries.prewarmPercolation(spark, sfDir) }
+    // sim before dedup: the dedup row's ANN pair memo reads the
+    // normalized table (same order as Bench).
+    warm("sim_memos") { graft.queries.SimilarityQueries.prewarmSimMemos(spark, sfDir) }
+    warm("geo_memos") { graft.queries.GeoQueries.prewarmGeoMemos(spark, sfDir) }
+    warm("dedup_memos") { graft.queries.DedupQueries.prewarmDedupMemos(spark, sfDir) }
 
     args.headOption match {
       case Some("plan") =>
