@@ -845,7 +845,16 @@ FROM sc ORDER BY score_ppm DESC, deg DESC, word LIMIT 20
     val n = docs.count()
     val marg = docs.select(explode(col("ts")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+    // Core-spread ONLY the quadratic pair explode (r14, guide §2.5):
+    // the documents parquet is one scan split, so this branch ran as
+    // ONE task (probe: 8 stages × 1 task, 1.6 s single-core CPU/rep).
+    // Spreading the whole checkpoint instead pushed 32 partitions into
+    // every downstream stage (task CPU ×10 for tiny rows — the
+    // geo_dbscan counter-finding); here the spread stops at the
+    // groupBy's exchange, which AQE sizes by bytes. Scale-adaptive: at
+    // volume the scan has many splits and the repartition is a no-op.
     val pairs = docs
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(expr(
         "flatten(transform(ts, (a, i) -> transform(slice(ts, i + 2," +
         " size(ts)), b -> named_struct('a', a, 'b', b))))")).as("p"))
