@@ -95,6 +95,20 @@ def main():
                  "many-task queries inflated beyond the per-core clock"
                  if cores_contended else "; no core-theft signal") + ")")
 
+    # Whole-run hypervisor steal (r14+ artifacts): the instant-sampling
+    # witnesses miss theft BETWEEN their samples; steal_pct integrates
+    # /proc/stat over the entire run.  3.4% average steal was measured
+    # bracketing a 291s run whose start loadavg read 0.65 and whose
+    # start witnesses read near-normal -- bursts land on the queries.
+    steal_b = b.get("steal_pct")
+    if isinstance(steal_b, (int, float)) and steal_b >= 0:
+        stolen = steal_b > 1.0
+        print(f"steal witness: candidate ran under {steal_b:.1f}% "
+              f"hypervisor steal"
+              + (" -- co-tenant bursts hit mid-run; totals are not "
+                 "comparable" if stolen else " (clean)"))
+        cores_contended = cores_contended or stolen
+
     failed_a = sorted(k for k, v in qa.items() if v < 0)
     failed_b = sorted(k for k, v in qb.items() if v < 0)
     added = sorted(set(qb) - set(qa))
@@ -193,9 +207,10 @@ def main():
                     "=> host)" if big else "")
             if contended_window and not (in_env and (few_movers
                                                      or uniform_shift)):
-                shape = (f"the multi-core witness flags core theft; the "
-                         f"{len(regressed)} regressed movers span "
-                         f"{len(fams)} families -- host, not code")
+                shape = (f"a contention witness (multi-core or steal) "
+                         f"flags core theft; the {len(regressed)} "
+                         f"regressed movers span {len(fams)} families "
+                         "-- host, not code")
             elif uniform_shift and not few_movers:
                 shape = ("the whole suite shifted uniformly (0 improved) "
                          "-- external load, not code")

@@ -79,7 +79,21 @@ object Bench {
       try new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim
       catch { case _: Throwable => "unavailable" }
+    // Hypervisor-steal witness: loadavg only counts THIS kernel's
+    // runnable tasks and the md5 witnesses only sample instants — a
+    // co-tenant stealing cycles mid-run is invisible to both (the r14
+    // resumed session saw three 1.3-1.5x-inflated runs whose start
+    // witnesses all read normal). /proc/stat's steal field is the
+    // hypervisor's own account, integrated over the whole run:
+    // (Δsteal / Δtotal) across start→end brackets every query.
+    def cpuJiffies(): (Long, Long) =
+      try {
+        val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+          .next().trim.split("\\s+").drop(1).map(_.toLong)
+        (cpu(7), cpu.sum) // (steal, total)
+      } catch { case _: Throwable => (-1L, -1L) }
     val loadStart = loadavg()
+    val jifStart = cpuJiffies()
     // Pinned single-thread CPU microbench (VERDICT r13 #1): the same
     // fixed-instruction md5 loop rounds 11-13 ran by hand to prove the
     // host's per-core wall drifts ±15% between windows with zero
@@ -199,6 +213,16 @@ object Bench {
     // measuring before the JSON lines keeps both artifacts complete.
     val microEnd = cpuMicrobench()
     val microMtEnd = cpuMicrobenchMt()
+    val jifEnd = cpuJiffies()
+    // Whole-run hypervisor steal as a percentage of all cpu time the
+    // host accounted to this guest's window; -1 when /proc/stat is
+    // unreadable or the counters did not advance.
+    val stealPct: Double = {
+      val ds = jifEnd._1 - jifStart._1
+      val dt = jifEnd._2 - jifStart._2
+      if (jifStart._1 < 0 || jifEnd._1 < 0 || dt <= 0) -1.0
+      else math.rint(10000.0 * ds / dt) / 100.0
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -229,6 +253,7 @@ object Bench {
       s""""loadavg_start":"$loadStart","loadavg_end":"${loadavg()}",""" +
       f""""microbench_start_sec":$microStart%.4f,"microbench_end_sec":$microEnd%.4f,""" +
       f""""microbench_mt_start_sec":$microMtStart%.4f,"microbench_mt_end_sec":$microMtEnd%.4f,""" +
+      s""""steal_pct":$stealPct,""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
     try {
       val parent = fullOut.getParent
