@@ -190,8 +190,7 @@ def main():
         # multi-core witness says cores were stolen and the regressions
         # are spread across >=3 families, trust the witness.
         contended_window = cores_contended and len(fams) >= 3
-        clockish = (in_env and (few_movers or uniform_shift)) \
-            or contended_window
+        clockish = in_env and (few_movers or uniform_shift)
         # external-load witness from the candidate's own loadavg fields
         try:
             load1 = max(float(str(b.get(k, "0")).split()[0])
@@ -205,13 +204,7 @@ def main():
             spot = ("; spot-check the >2x movers against the record's "
                     f"commit ({', '.join(big[:3])}: byte-identical source "
                     "=> host)" if big else "")
-            if contended_window and not (in_env and (few_movers
-                                                     or uniform_shift)):
-                shape = (f"a contention witness (multi-core or steal) "
-                         f"flags core theft; the {len(regressed)} "
-                         f"regressed movers span {len(fams)} families "
-                         "-- host, not code")
-            elif uniform_shift and not few_movers:
+            if uniform_shift and not few_movers:
                 shape = ("the whole suite shifted uniformly (0 improved) "
                          "-- external load, not code")
             else:
@@ -219,6 +212,22 @@ def main():
                          "jitter-prone tails across families; no code signal")
             verdict = (f"CLOCK/HOST -- median ratio {med_r:.2f} "
                        f"{env_note}; {shape}{load_note}{spot}")
+        elif contended_window:
+            # A contention witness ALONE (mt ratio > 1.3 or steal > 1%)
+            # must not definitively exonerate the candidate: a genuine
+            # broad regression that happens to run under mild steal
+            # would be waved through (ADVICE r14 #1). Demand a re-probe
+            # of the movers in isolation -- same-session probe A/Bs
+            # cancel the host regime; the witnesses say the window is
+            # dirty, not that the code is clean.
+            verdict = (f"RE-PROBE -- a contention witness (multi-core or "
+                       f"steal) flags core theft and the {len(regressed)} "
+                       f"regressed movers span {len(fams)} families, but "
+                       f"the single-thread clock does not corroborate "
+                       f"(median ratio {med_r:.2f}); re-probe the movers "
+                       "in isolation (graft.tools.OptProbe time "
+                       + " ".join(regressed[:5]) + ") before concluding"
+                       f"{load_note}")
         else:
             verdict = (f"CODE -- {len(regressed)} queries regressed beyond "
                        "what the clock witness explains; investigate: "

@@ -1,8 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  // Digest sink so the JIT can never elide the timed loop.
-  @volatile private var microSink: Int = 0
+  // Digest sink so the JIT can never elide the timed loop. Atomic: the
+  // multi-core witness runs cpuMicrobench from up to 16 threads at once,
+  // and a plain volatile ^= is a lost-update race (ADVICE r14) — harmless
+  // while the value is only a DCE sink, but cheap to make correct.
+  private val microSink = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Fixed-instruction single-thread CPU wall: MD5 over a 64 KiB
     * deterministic buffer, 8192 timed iterations (512 MiB digested)
@@ -19,11 +22,11 @@ object Bench {
     while (i < buf.length) { buf(i) = (i * 31).toByte; i += 1 }
     var j = 0
     while (j < 512) { md.update(buf); j += 1 }
-    microSink ^= java.util.Arrays.hashCode(md.digest())
+    microSink.getAndAccumulate(java.util.Arrays.hashCode(md.digest()), _ ^ _)
     val t0 = System.nanoTime()
     j = 0
     while (j < 8192) { md.update(buf); j += 1 }
-    microSink ^= java.util.Arrays.hashCode(md.digest())
+    microSink.getAndAccumulate(java.util.Arrays.hashCode(md.digest()), _ ^ _)
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -86,10 +89,16 @@ object Bench {
     // witnesses all read normal). /proc/stat's steal field is the
     // hypervisor's own account, integrated over the whole run:
     // (Δsteal / Δtotal) across start→end brackets every query.
+    // Fields 0-7 only (user nice system idle iowait irq softirq steal):
+    // guest/guest_nice (8-9) are already folded into user/nice by the
+    // kernel, so summing them double-counts and understates steal_pct
+    // (ADVICE r14). Files.readAllBytes also avoids the leaked Source fd.
     def cpuJiffies(): (Long, Long) =
       try {
-        val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
-          .next().trim.split("\\s+").drop(1).map(_.toLong)
+        val line = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+          .linesIterator.next()
+        val cpu = line.trim.split("\\s+").drop(1).take(8).map(_.toLong)
         (cpu(7), cpu.sum) // (steal, total)
       } catch { case _: Throwable => (-1L, -1L) }
     val loadStart = loadavg()

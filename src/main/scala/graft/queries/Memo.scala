@@ -66,7 +66,13 @@ private[queries] object Par {
     val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     val ts = thunks.map { t =>
       val th = new Thread(() =>
-        try t() catch { case e: Throwable => err.compareAndSet(null, e) })
+        try t() catch {
+          case e: Throwable =>
+            // Keep every concurrent failure: the first wins the rethrow,
+            // later ones ride along as suppressed so a multi-build
+            // breakage doesn't lose diagnostics (ADVICE r14).
+            if (!err.compareAndSet(null, e)) err.get().addSuppressed(e)
+        })
       th.setDaemon(true)
       th.start()
       th
