@@ -126,6 +126,15 @@ object Bench {
       // normalization and the DuckDB oracles both assume it.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Shuffle/blockmgr scratch on the fast local tier (r15, guide §6;
+      // Spark docs: local.dir "should be on a fast, local disk").
+      // Scratch resolves $SPARK_GRAFT_SCRATCH > /dev/shm > tmpdir — on
+      // this host /tmp is a co-tenant-contended virtual disk whose
+      // latency bursts were measured inflating stream rows 2-4x
+      // (Scratch.scala scaladoc). Production: point the env var at the
+      // executor-local NVMe volume.
+      .config("spark.local.dir",
+        graft.queries.Scratch.root.resolve("spark-local").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Fail fast and loud if the driver regenerated testdata with new
@@ -193,7 +202,12 @@ object Bench {
       timedBuild("_prewarm_geo_memos") {
         graft.queries.GeoQueries.prewarmGeoMemos(spark, sfDir) },
       timedBuild("_prewarm_dedup_memos") {
-        graft.queries.DedupQueries.prewarmDedupMemos(spark, sfDir) })
+        graft.queries.DedupQueries.prewarmDedupMemos(spark, sfDir) },
+      // r15: the streaming rows' staged-replay input dirs (pure
+      // functions of (sf, tag), previously re-written per invocation by
+      // all nine staged queries). Additive row, same contract as above.
+      timedBuild("_prewarm_stream_stagings") {
+        graft.streaming.StreamingQueries.prewarmStagings(spark, sfDir) })
     // A failed query is recorded as -1 (visible in the JSON) and kept
     // out of the total — silently charging its elapsed time would make
     // a broken suite look fast.

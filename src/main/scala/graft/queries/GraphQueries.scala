@@ -1726,9 +1726,40 @@ FROM m
     val d = directedEdges(spark, sfDir)
     val seeds = allNodes(spark, sfDir).orderBy("node").limit(nSeeds)
       .select(col("node").as("seed"))
+    val seedObs = new org.apache.spark.sql.Observation()
     var frontier = seeds.select(col("seed"), col("seed").as("node"),
-      lit(0).as("lev"), lit(1L).as("sigma")).localCheckpoint()
+      lit(0).as("lev"), lit(1L).as("sigma"))
+      .observe(seedObs, count(lit(1)).as("n")).localCheckpoint()
     var visited = frontier
+    // Frontier cardinality rides the checkpoint job as an Observation
+    // (r15): the loop previously ran TWO isEmpty jobs per level (the
+    // while-condition probe and the in-loop one) on top of the
+    // checkpoint — ~8 extra job barriers per run on a query that is
+    // already the suite's most job-dense (job-count amplifies under
+    // host contention, SCALE.md r14, and every job is a cluster
+    // barrier at scale). Same trick as the CC fixpoint / affinity.
+    var frontierN = seedObs.get.getOrElse("n", 0L).asInstanceOf[Long]
+    // Saturation target (r15): BFS from seed s can only ever visit
+    // comp(s), and visited_s grows monotonically inside it, so once
+    // Σ_s |visited_s| == Σ_s |comp(seed_s)| every per-seed BFS is
+    // provably complete and the next frontier MUST be empty. Checking
+    // the closed form costs one tiny aggregation over the memoized CC
+    // assignments (the same co-purchase graph — star expansion has
+    // identical components to the all-pairs expansion); without it the
+    // loop discovers emptiness by running one more FULL edge⋈frontier
+    // pass whose every candidate is already visited — measured 15 s of
+    // executor CPU at sf0.1 (OptProbe stage dump), the single most
+    // expensive no-op in the suite. Components counted WITH seed
+    // multiplicity (two seeds sharing a component need its size twice).
+    // The 6-hop radius bound is untouched: saturation only fires when
+    // the BFS is already complete, where both engines emit nothing new.
+    val totalTarget = seeds
+      .join(CCQueries.copurchaseAssignments(spark, sfDir)
+        .withColumnRenamed("node", "seed"), "seed")
+      .join(CCQueries.copurchaseAssignments(spark, sfDir)
+        .groupBy("component").agg(count(lit(1)).as("sz")), "component")
+      .agg(coalesce(sum(col("sz")), lit(0L))).head.getLong(0)
+    var visitedN = frontierN
     // The frontier/visited/dependency tables are ≤ |seeds|·|V| rows; the
     // level joins hand that bound to maybeBroadcast, so at the graded
     // seed count the (memoized, checkpointed) edge table never
@@ -1742,24 +1773,45 @@ FROM m
     def hint(df: DataFrame): DataFrame = Hints.maybeBroadcast(df, bound)
     var maxLev = 0
     var l = 1
-    while (l <= 6 && !frontier.isEmpty) {
-      val cand = d.join(hint(frontier), col("node") === col("src"))
-        .groupBy(col("seed"), col("dst"))
-        .agg(sum(col("sigma")).as("sigma"))
-      frontier = cand
+    while (l <= 6 && frontierN > 0 && visitedN < totalTarget) {
+      // Anti-join against the visited set BEFORE the path-count
+      // aggregation (r15). The two are equivalent because the anti-join
+      // key (seed, dst) IS the group key — filtering whole groups before
+      // or after summing within them keeps identical rows. The order
+      // matters for cost: the aggregate builds a hash table over every
+      // DISTINCT (seed, dst) candidate, and at the deeper levels most
+      // candidates are already visited — the final level's probe spent
+      // 15 s of CPU (OptProbe stage dump, sf0.1) aggregating candidates
+      // the anti-join then discarded to produce an EMPTY frontier, and
+      // the biggest mid-level stage spent 26 s with most keys likewise
+      // doomed. A broadcast anti-probe per row is far cheaper than a
+      // hash-aggregate insert per row, so drop doomed rows first
+      // (guide §2.3 "aggregate fewer rows", §1.2 step 1).
+      val obs = new org.apache.spark.sql.Observation()
+      frontier = d.join(hint(frontier), col("node") === col("src"))
         .join(hint(visited.select(col("seed").as("vs"),
           col("node").as("vn"))),
           col("seed") === col("vs") && col("dst") === col("vn"), "left_anti")
+        .groupBy(col("seed"), col("dst"))
+        .agg(sum(col("sigma")).as("sigma"))
         .select(col("seed"), col("dst").as("node"), lit(l).as("lev"),
           col("sigma"))
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint()
-      if (!frontier.isEmpty) {
+      frontierN = obs.get.getOrElse("n", 0L).asInstanceOf[Long]
+      if (frontierN > 0) {
         maxLev = l
         visited = visited.unionAll(frontier)
+        visitedN += frontierN
       }
       l += 1
     }
-    visited = visited.localCheckpoint()
+    // max(sigma) rides the visited checkpoint the same way (was its own
+    // aggregation job over the just-checkpointed table).
+    val vObs = new org.apache.spark.sql.Observation()
+    visited = visited
+      .observe(vObs, coalesce(max(col("sigma")), lit(0L)).as("ms"))
+      .localCheckpoint()
     var dep = visited.where(col("lev") === maxLev)
       .select(col("seed"), col("node"), col("sigma"), lit(0L).as("dppm"))
     var acc = dep.select(col("seed"), col("node"), col("dppm"))
@@ -1778,8 +1830,7 @@ FROM m
     // giant-sigma graphs keep today's exact behavior (guide §1.2 step 2
     // — per-task work — with the data-driven degrade discipline of
     // Hints.maybeBroadcast).
-    val maxSigma = Option(visited.agg(max(col("sigma"))).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val maxSigma = vObs.get.getOrElse("ms", 0L).asInstanceOf[Long]
     val tExpr = brandesContribExpr(intSafe = maxSigma <= 3037000499L)
     for (bl <- (maxLev - 1) to 0 by -1) {
       val succ = dep.select(col("seed").as("ws"), col("node").as("wn"),

@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * target format, reads it back, and aggregates — so the graded hash
   * proves the round-trip lossless, not just that the files appeared.
   *
-  * The staging dir lives under java.io.tmpdir per (sf, format);
+  * The staging dir lives under Scratch.root per (sf, format) — the
+  * fast local tier (r15, guide §6; see Scratch.scala);
   * `mode(Overwrite)` keeps reruns idempotent. At scale this is the
   * ordinary pattern for landing-zone interchange: the write is one
   * narrow pass, the read re-parallelizes by file split.
@@ -19,7 +20,7 @@ object IoQueries {
 
   private def stageDir(sfDir: String, fmt: String): String =
     java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_io",
+      Scratch.root.toString, "graft_io",
       sfDir.replaceAll("[^A-Za-z0-9._-]", "_"), fmt).toString
 
   /** Build a staged table copy ONCE per source-data vintage: the write
@@ -1219,7 +1220,7 @@ JOIN (SELECT DISTINCT o_orderkey AS k FROM orders
     */
   private def freshAuditDir(tag: String): String = {
     val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_audit")
+      Scratch.root.toString, "graft_audit")
     // The WHOLE sweep is best-effort and must never fail a graded
     // query: a concurrent run deleting the same sibling surfaces as
     // UncheckedIOException from Files.walk, DirectoryIteratorException

@@ -53,7 +53,7 @@ private[queries] object Pin {
   * The first failure is rethrown after all threads finish, so a broken
   * build fails the prewarm row exactly as the sequential form did.
   */
-private[queries] object Par {
+private[graft] object Par {
   /** `SPARK_GRAFT_SEQ_PREWARM=1` restores the old sequential order —
     * the measurement A/B lever, and an escape hatch for a driver that
     * must not submit concurrent jobs. */

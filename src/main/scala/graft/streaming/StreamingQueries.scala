@@ -36,7 +36,7 @@ object StreamingQueries {
     // duplicate feed for the streaming-dedup query.
     val src = java.nio.file.Paths.get(path).toAbsolutePath
     val dir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_stream",
+      graft.queries.Scratch.root.toString, "graft_stream",
       sfDir.replaceAll("[^A-Za-z0-9._-]", "_"), tag)
     java.nio.file.Files.createDirectories(dir)
     (1 to copies).foreach { i =>
@@ -84,9 +84,17 @@ object StreamingQueries {
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
     val sub = spark.newSession()
     sub.conf.set("spark.sql.shuffle.partitions", "8")
+    // Explicit checkpoint under the scratch root (r15): without it Spark
+    // creates the temporary checkpoint under java.io.tmpdir — the
+    // contended block device the Scratch scaladoc measures. Deleted
+    // after termination exactly as Spark deletes its temp dir (the
+    // memory sink holds the result; the finite replay never resumes).
+    val ck = graft.queries.Scratch.root.resolve(s"ck_$name")
     val q = build(sub).writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ck.toString)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    graft.queries.Scratch.deleteRec(ck)
     sub.table(name) // memory-sink temp view is session-scoped
   }
 
@@ -210,7 +218,7 @@ FROM events GROUP BY user_id ORDER BY user_id
     */
   def fileSinkEtl(spark: SparkSession, sfDir: String): DataFrame = {
     val base = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_stream_sink",
+      graft.queries.Scratch.root.toString, "graft_stream_sink",
       sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
     def wipe(p: java.nio.file.Path): Unit =
       if (java.nio.file.Files.exists(p)) {
@@ -382,11 +390,142 @@ GROUP BY 1, 2 ORDER BY c_mktsegment, event_type
     * The staging dir is wiped first — stale files would change batch
     * layout. Returns the stage path.
     */
-  private def stageBatches(spark: SparkSession, sfDir: String, tag: String,
+  /** Staged-replay memo (r15, guide §2.4 — the r14 "finding 1"
+    * discipline extended to the stream inputs): each staged dir is a
+    * pure function of (sfDir, tag) — the predicates are fixed per query
+    * and the events/lineitem inputs are immutable for a session — yet
+    * every invocation re-wiped and re-wrote it (2–4 filter+coalesce(1)
+    * write jobs per call, ×9 staged queries ×3 bench reps). Memoized
+    * per (session, sf, tag); first build per session is charged to the
+    * additive `_prewarm_stream_stagings` bench row. The CONSUMING
+    * stream stays fully per-invocation (fresh checkpoint, fresh state,
+    * fresh maintained tables) — only the replay INPUT files are reused,
+    * exactly like every other memoized derived table.
+    * `stream_checkpoint_recovery` and `stream_state_reader` keep their
+    * own staging: recovery MUTATES its input dir mid-run (file b lands
+    * between the two runs), and the state reader's checkpoint IS the
+    * graded artifact — neither input is invocation-independent.
+    * Values are path strings (no pinned executor memory); bound 64 for
+    * long-lived multi-(session, sf) services. */
+  private val stageCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private def stagedDir(spark: SparkSession, sfDir: String, tag: String)(
+      build: => String): String = {
+    if (stageCache.size > 64) stageCache.clear()
+    stageCache.computeIfAbsent((spark, s"$sfDir#$tag"), _ => build)
+  }
+
+  /** Build every memoized staged-replay dir once — the bench's additive
+    * `_prewarm_stream_stagings` row (same accounting contract as the
+    * other `_prewarm_*` rows: the build cost stays in the total, each
+    * stream row then measures its OWN work). The nine stagings are
+    * independent filter+write chains, so they overlap (guide §2.6).
+    */
+  def prewarmStagings(spark: SparkSession, sfDir: String): Unit =
+    graft.queries.Par(
+      () => { stageLateData(spark, sfDir); () },
+      () => { stageOuterJoin(spark, sfDir); () },
+      () => { stageUpdateMode(spark, sfDir); () },
+      () => { stageCcInc(spark, sfDir); () },
+      () => { stageCcDec(spark, sfDir); () },
+      () => { stageFebUpsert(spark, sfDir); () },
+      () => { stageSessionTimers(spark, sfDir); () },
+      () => { stageChainedWindows(spark, sfDir); () },
+      () => { stageProgressMetrics(spark, sfDir); () })
+
+  private def stageLateData(spark: SparkSession, sfDir: String): String =
+    stagedDir(spark, sfDir, "late_data") {
+      val raw = graft.queries.Tables.events(spark, sfDir)
+      val maxUs = raw.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val splitUs = maxUs - 2L * 3600 * 1000000L
+      stageBatchesBuild(spark, sfDir, "late_data", raw, Seq(
+        (unix_micros(col("ts")) >= splitUs) -> "newest_first",
+        lit(false) -> "spacer_empty",
+        (unix_micros(col("ts")) < splitUs) -> "older_late"))
+    }
+
+  private def stageOuterJoin(spark: SparkSession, sfDir: String): String =
+    stagedDir(spark, sfDir, "outer_join") {
+      stageBatchesBuild(spark, sfDir, "outer_join",
+        graft.queries.Tables.events(spark, sfDir), Seq(
+          (lit(true): org.apache.spark.sql.Column) -> "all_events",
+          lit(false) -> "spacer_empty"))
+    }
+
+  private def stageUpdateMode(spark: SparkSession, sfDir: String): String =
+    stagedDir(spark, sfDir, "update_mode") {
+      val raw = graft.queries.Tables.events(spark, sfDir)
+      val maxUs = raw.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val splitUs = maxUs - 2L * 3600 * 1000000L
+      stageBatchesBuild(spark, sfDir, "update_mode", raw, Seq(
+        (unix_micros(col("ts")) < splitUs) -> "older_first",
+        (unix_micros(col("ts")) >= splitUs) -> "newest_second"))
+    }
+
+  private def stageCcInc(spark: SparkSession, sfDir: String): String =
+    stagedDir(spark, sfDir, "cc_inc") {
+      val li = graft.queries.Tables.lineitem(spark, sfDir)
+        .where(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_partkey"))
+      stageBatchesBuild(spark, sfDir, "cc_inc", li, Seq(
+        (col("l_orderkey") % 10 =!= 7) -> "base_first",
+        (col("l_orderkey") % 10 === 7) -> "delta_second"))
+    }
+
+  private def stageCcDec(spark: SparkSession, sfDir: String): String =
+    stagedDir(spark, sfDir, "cc_dec") {
+      val hq = graft.queries.Tables.lineitem(spark, sfDir)
+        .where(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val raw = hq.withColumn("op", lit("add")).withColumn("tag", lit(1))
+        .unionAll(hq.where(col("l_orderkey") % 10 === 3)
+          .withColumn("op", lit("delete")).withColumn("tag", lit(2)))
+      stageBatchesBuild(spark, sfDir, "cc_dec", raw, Seq(
+        (col("tag") === 1) -> "adds_first",
+        (col("tag") === 2) -> "deletes_second"))
+    }
+
+  private def stageFebUpsert(spark: SparkSession, sfDir: String): String =
+    stagedDir(spark, sfDir, "feb_upsert") {
+      val raw = graft.queries.Tables.events(spark, sfDir)
+      val maxUs = raw.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val splitUs = maxUs - 2L * 3600 * 1000000L
+      stageBatchesBuild(spark, sfDir, "feb_upsert", raw, Seq(
+        (unix_micros(col("ts")) < splitUs) -> "older_first",
+        (unix_micros(col("ts")) >= splitUs) -> "newest_second"))
+    }
+
+  private def stageSessionTimers(spark: SparkSession, sfDir: String): String =
+    stagedDir(spark, sfDir, "session_timers") {
+      stageBatchesBuild(spark, sfDir, "session_timers",
+        graft.queries.Tables.events(spark, sfDir), Seq(
+          (lit(true): org.apache.spark.sql.Column) -> "all_events",
+          lit(false) -> "spacer_empty"))
+    }
+
+  private def stageChainedWindows(spark: SparkSession, sfDir: String): String =
+    stagedDir(spark, sfDir, "chained_windows") {
+      stageBatchesBuild(spark, sfDir, "chained_windows",
+        graft.queries.Tables.events(spark, sfDir), Seq(
+          (lit(true): org.apache.spark.sql.Column) -> "all_events",
+          lit(false) -> "spacer_empty_1",
+          lit(false) -> "spacer_empty_2"))
+    }
+
+  private def stageProgressMetrics(spark: SparkSession, sfDir: String): String =
+    stagedDir(spark, sfDir, "progress_metrics") {
+      stageBatchesBuild(spark, sfDir, "progress_metrics",
+        graft.queries.Tables.events(spark, sfDir), Seq(
+          (lit(true): org.apache.spark.sql.Column) -> "all_events",
+          lit(false) -> "spacer_empty"))
+    }
+
+  private def stageBatchesBuild(spark: SparkSession, sfDir: String, tag: String,
       raw: DataFrame,
       parts: Seq[(org.apache.spark.sql.Column, String)]): String = {
     val dir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_stream",
+      graft.queries.Scratch.root.toString, "graft_stream",
       sfDir.replaceAll("[^A-Za-z0-9._-]", "_"), tag)
     if (java.nio.file.Files.exists(dir)) {
       val walk = java.nio.file.Files.walk(dir)
@@ -417,12 +556,7 @@ GROUP BY 1, 2 ORDER BY c_mktsegment, event_type
     // Normalized read (ts: TIMESTAMP); the staged replay files inherit
     // that type, so the stream side needs no further conversion.
     val raw = graft.queries.Tables.events(spark, sfDir)
-    val maxUs = raw.agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val splitUs = maxUs - 2L * 3600 * 1000000L
-    val stage = stageBatches(spark, sfDir, "late_data", raw, Seq(
-      (unix_micros(col("ts")) >= splitUs) -> "newest_first",
-      lit(false) -> "spacer_empty",
-      (unix_micros(col("ts")) < splitUs) -> "older_late"))
+    val stage = stageLateData(spark, sfDir)
     val schema = raw.schema
     runToCompletion(spark, sub =>
       sub.readStream.schema(schema)
@@ -485,9 +619,7 @@ ORDER BY window_start, event_type
     */
   def outerJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = graft.queries.Tables.events(spark, sfDir)
-    val stage = stageBatches(spark, sfDir, "outer_join", raw, Seq(
-      (lit(true): org.apache.spark.sql.Column) -> "all_events",
-      lit(false) -> "spacer_empty"))
+    val stage = stageOuterJoin(spark, sfDir)
     val schema = raw.schema
     runToCompletion(spark, { sub =>
         def src() = sub.readStream.schema(schema)
@@ -575,11 +707,7 @@ ORDER BY user_id
     */
   def updateMode(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = graft.queries.Tables.events(spark, sfDir)
-    val maxUs = raw.agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val splitUs = maxUs - 2L * 3600 * 1000000L
-    val stage = stageBatches(spark, sfDir, "update_mode", raw, Seq(
-      (unix_micros(col("ts")) < splitUs) -> "older_first",
-      (unix_micros(col("ts")) >= splitUs) -> "newest_second"))
+    val stage = stageUpdateMode(spark, sfDir)
     val schema = raw.schema
     runToCompletion(spark, sub =>
       sub.readStream.schema(schema)
@@ -850,9 +978,7 @@ FROM r WHERE rn = (n + 1) // 2 ORDER BY user_id
     val li = graft.queries.Tables.lineitem(spark, sfDir)
       .where(col("l_quantity") >= 45)
       .select(col("l_orderkey"), col("l_partkey"))
-    val stage = stageBatches(spark, sfDir, "cc_inc", li, Seq(
-      (col("l_orderkey") % 10 =!= 7) -> "base_first",
-      (col("l_orderkey") % 10 === 7) -> "delta_second"))
+    val stage = stageCcInc(spark, sfDir)
     val schema = li.schema
     val tableRoot = java.nio.file.Paths.get(stage).getParent.resolve("table")
     if (java.nio.file.Files.exists(tableRoot)) {
@@ -868,6 +994,7 @@ FROM r WHERE rn = (n + 1) // 2 ORDER BY user_id
       .option("maxFilesPerTrigger", "1")
       .parquet(stage)
       .writeStream
+      .option("checkpointLocation", tableRoot.resolve("ckpt").toString)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -959,9 +1086,7 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
     val raw = hq.withColumn("op", lit("add")).withColumn("tag", lit(1))
       .unionAll(hq.where(col("l_orderkey") % 10 === 3)
         .withColumn("op", lit("delete")).withColumn("tag", lit(2)))
-    val stage = stageBatches(spark, sfDir, "cc_dec", raw, Seq(
-      (col("tag") === 1) -> "adds_first",
-      (col("tag") === 2) -> "deletes_second"))
+    val stage = stageCcDec(spark, sfDir)
     val schema = raw.schema
     val tableRoot = java.nio.file.Paths.get(stage).getParent.resolve("table")
     if (java.nio.file.Files.exists(tableRoot)) {
@@ -992,6 +1117,7 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
       .option("maxFilesPerTrigger", "1")
       .parquet(stage)
       .writeStream
+      .option("checkpointLocation", tableRoot.resolve("ckpt").toString)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
@@ -1104,11 +1230,7 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
     */
   def foreachBatchUpsert(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = graft.queries.Tables.events(spark, sfDir)
-    val maxUs = raw.agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val splitUs = maxUs - 2L * 3600 * 1000000L
-    val stage = stageBatches(spark, sfDir, "feb_upsert", raw, Seq(
-      (unix_micros(col("ts")) < splitUs) -> "older_first",
-      (unix_micros(col("ts")) >= splitUs) -> "newest_second"))
+    val stage = stageFebUpsert(spark, sfDir)
     val schema = raw.schema
     val tableRoot = java.nio.file.Paths.get(stage).getParent.resolve("table")
     // fresh target per invocation — the merge result is the graded value
@@ -1129,6 +1251,7 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node ORDER BY node
       .select(unix_timestamp(col("window.start")).as("window_start"),
               col("event_type"), col("n"))
       .writeStream
+      .option("checkpointLocation", tableRoot.resolve("ckpt").toString)
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1200,9 +1323,7 @@ FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
     */
   def sessionTimers(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = graft.queries.Tables.events(spark, sfDir)
-    val stage = stageBatches(spark, sfDir, "session_timers", raw, Seq(
-      (lit(true): org.apache.spark.sql.Column) -> "all_events",
-      lit(false) -> "spacer_empty"))
+    val stage = stageSessionTimers(spark, sfDir)
     val schema = raw.schema
     runToCompletion(spark, { sub =>
         import sub.implicits._
@@ -1286,10 +1407,7 @@ FROM closed GROUP BY user_id ORDER BY user_id
     */
   def chainedWindows(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = graft.queries.Tables.events(spark, sfDir)
-    val stage = stageBatches(spark, sfDir, "chained_windows", raw, Seq(
-      (lit(true): org.apache.spark.sql.Column) -> "all_events",
-      lit(false) -> "spacer_empty_1",
-      lit(false) -> "spacer_empty_2"))
+    val stage = stageChainedWindows(spark, sfDir)
     val schema = raw.schema
     runToCompletion(spark, sub =>
       sub.readStream.schema(schema)
@@ -1358,7 +1476,7 @@ ORDER BY window_start, event_type
     val bounds = raw.agg(min(unix_micros(col("ts"))),
       max(unix_micros(col("ts")))).head()
     val midUs = (bounds.getLong(0) + bounds.getLong(1)) / 2
-    val base = Paths.get(System.getProperty("java.io.tmpdir"),
+    val base = Paths.get(graft.queries.Scratch.root.toString,
       "graft_stream", sfDir.replaceAll("[^A-Za-z0-9._-]", "_"),
       "ckpt_recovery")
     if (Files.exists(base)) {
@@ -1430,7 +1548,7 @@ ORDER BY window_start, event_type
   def stateReader(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val raw = graft.queries.Tables.events(spark, sfDir)
-    val base = Paths.get(System.getProperty("java.io.tmpdir"),
+    val base = Paths.get(graft.queries.Scratch.root.toString,
       "graft_stream", sfDir.replaceAll("[^A-Za-z0-9._-]", "_"),
       "state_reader")
     if (Files.exists(base)) {
@@ -1493,21 +1611,22 @@ FROM events GROUP BY 1 ORDER BY event_type
     */
   def progressMetrics(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = graft.queries.Tables.events(spark, sfDir)
-    val stage = stageBatches(spark, sfDir, "progress_metrics", raw, Seq(
-      (lit(true): org.apache.spark.sql.Column) -> "all_events",
-      lit(false) -> "spacer_empty"))
+    val stage = stageProgressMetrics(spark, sfDir)
     val schema = raw.schema
     val name = s"graft_progress_${nameCounter.incrementAndGet()}"
     val sub = spark.newSession()
     sub.conf.set("spark.sql.shuffle.partitions", "8")
+    val ck = graft.queries.Scratch.root.resolve(s"ck_$name")
     val q = sub.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
       .withWatermark("ts", "1 minute")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ck.toString)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    graft.queries.Scratch.deleteRec(ck)
     val progresses = q.recentProgress
     val totalRows = progresses.map(_.numInputRows).sum
     val wmUs = java.time.Instant

@@ -43,6 +43,10 @@ object OptProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Mirror Bench's scratch placement (r15) so probe A/Bs measure
+      // what the bench measures.
+      .config("spark.local.dir",
+        graft.queries.Scratch.root.resolve("spark-local").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -37,6 +37,27 @@ class GraphCentralitySpec extends SparkSpec {
       (10L, 0L), (40L, 0L)))
   }
 
+  test("betweenness radius bound survives the r15 saturation exit " +
+       "(deep path: BFS never saturates, 6-hop cap still applies)") {
+    // Path 10–20–…–90 (8 hops) from the single seed 10: the r15 loop
+    // exits early when every seed's BFS saturates its component — here
+    // it never does (node 90 is 8 > 6 hops away), so the 6-level radius
+    // bound must still cap the walk. Pencil truth with one seed: levels
+    // 1..6 reach 20..70; backward Brandes on a path gives the node at
+    // level k dependency (6−k)·10⁶ ppm; 80 and 90 are never visited and
+    // emit no row; the seed's own row is excluded.
+    val d = Files.createTempDirectory("graft_deep_path").toFile.getAbsolutePath
+    import spark.implicits._
+    (1 to 8).map(i => (i.toLong, Seq(i * 10L, (i + 1) * 10L)))
+      .flatMap { case (o, ns) => ns.map(n => (o, n)) }
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val rows = GraphQueries.betweennessFrom(spark, d, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows === Seq((20L, 5000000L), (30L, 4000000L), (40L, 3000000L),
+      (50L, 2000000L), (60L, 1000000L), (70L, 0L)))
+  }
+
   test("affinity clustering finds the two mutual-best pairs + singleton") {
     // Edge hash weights: w(30,40)=217567 < w(10,20)=567820 < w(20,30)=
     // 892685, so 20 points to 10 and 30 points to 40 — mutual pairs
